@@ -1,0 +1,212 @@
+package graft.convert
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalizers
+import graft.schema._
+
+/** Per-column feature converters — the engine's re-expression of the
+  * reference's `SeriesConverter` framework
+  * (db_transformer/data/converter/column/series_converter.py:15-20): a
+  * vectorized 1→N column transform with output ColumnDefs. Here each
+  * converter is a pure Catalyst expression bundle (UDTF-shaped API, no
+  * UDFs — everything stays inside whole-stage codegen).
+  */
+trait ColumnConverter extends Serializable {
+  /** @return derived (outputSuffix, expression, outputDef) triples; the
+    *         final name is `<col><suffix>` (F19 naming,
+    *         pandas_converter.py:40-48). */
+  def convert(name: String, cd: ColumnDef, c: Column): Seq[(String, Column, ColumnDef)]
+}
+
+object Converters {
+
+  /** F8: date → (year, dayofyear)
+    * (data/converter/column/default_datetime_converters.py:13-21). */
+  object DateConverter extends ColumnConverter {
+    def convert(name: String, cd: ColumnDef, c: Column) = Seq(
+      ("_year", year(c).cast("double"), NumericColumnDef()),
+      ("_dayofyear", dayofyear(c).cast("double"), NumericColumnDef()))
+  }
+
+  /** F9: datetime → (year, dayofyear, seconds-since-midnight), NULL→0 on
+    * the seconds term (default_datetime_converters.py:24-47). */
+  object DateTimeConverter extends ColumnConverter {
+    def convert(name: String, cd: ColumnDef, c: Column) = Seq(
+      ("_year", year(c).cast("double"), NumericColumnDef()),
+      ("_dayofyear", dayofyear(c).cast("double"), NumericColumnDef()),
+      ("_seconds_since_midnight",
+        coalesce((hour(c) * 3600 + minute(c) * 60 + second(c)).cast("double"), lit(0.0)),
+        NumericColumnDef()))
+  }
+
+  /** F10: time-of-day string "HH:mm:ss" → seconds-since-midnight, null-safe
+    * (default_datetime_converters.py:50-63). */
+  object TimeConverter extends ColumnConverter {
+    def convert(name: String, cd: ColumnDef, c: Column) = Seq(
+      ("_seconds_since_midnight",
+        coalesce(
+          (split(c, ":").getItem(0).cast("double") * 3600 +
+            split(c, ":").getItem(1).cast("double") * 60 +
+            split(c, ":").getItem(2).cast("double")),
+          lit(0.0)),
+        NumericColumnDef()))
+  }
+
+  /** F11: timestamp → epoch seconds (default_datetime_converters.py:66-73;
+    * the reference floor-divides nanoseconds by 1e9 — `unix_timestamp`
+    * matches that for non-negative epochs). */
+  object TimestampConverter extends ColumnConverter {
+    def convert(name: String, cd: ColumnDef, c: Column) = Seq(
+      ("_timestamp", unix_timestamp(c).cast("double"), NumericColumnDef()))
+  }
+
+  /** F15: numeric used as-is, cast to double; NULL→0.0
+    * (data/convertor/columns/num_convertor.py:14-22,
+    * heterodata_builder.py:170-172). */
+  object NumericConverter extends ColumnConverter {
+    def convert(name: String, cd: ColumnDef, c: Column) = Seq(
+      ("", coalesce(c.cast("double"), lit(0.0)), NumericColumnDef()))
+  }
+
+  /** F13: interval → nanoseconds (ctu_dataset.py:152-154; Spark day-time
+    * intervals are microseconds internally — ×1000 matches the reference's
+    * `.dt.nanoseconds` unit). */
+  object DurationConverter extends ColumnConverter {
+    def convert(name: String, cd: ColumnDef, c: Column) = Seq(
+      ("_nanoseconds", c.cast("long").cast("double") * 1e3, NumericColumnDef()))
+  }
+
+  /** F14: clamp timestamps to the pandas-representable range
+    * (ctu_dataset.py:206-213). */
+  def clampTimestamp(c: Column): Column =
+    least(greatest(c, lit("1677-09-23 00:00:00").cast("timestamp")),
+      lit("2262-04-10 00:00:00").cast("timestamp"))
+
+  /** Omit: contributes nothing. */
+  object OmitConverter extends ColumnConverter {
+    def convert(name: String, cd: ColumnDef, c: Column) = Nil
+  }
+
+  /** F18: one-hot over a 0-based code column of known cardinality. */
+  def oneHot(code: Column, card: Int): Column =
+    transform(sequence(lit(0), lit(card - 1)),
+      i => when(code === i, 1.0).otherwise(0.0))
+}
+
+/** W4/F17: categorical value → code dictionary and application.
+  *
+  * Codes follow the reference's contract (cat_converter.py:26-42): distinct
+  * values in order of FIRST APPEARANCE (under the engine's documented total
+  * order — the PK — where pandas used file order), with NULL forced to
+  * code 0 when present.
+  */
+object CategoricalCodes {
+
+  /** Build the (value, code) dictionary. The dictionary is small (≤ declared
+    * cardinality ≤ 1000), so the final unpartitioned window is over ≤1000
+    * rows — the scan and groupBy stay fully distributed. */
+  def dictionary(df: DataFrame, valueCol: Column, orderCols: Seq[Column]): DataFrame = {
+    val rn = row_number().over(Window.orderBy(orderCols: _*))
+    val first = df.select(valueCol.as("value"), rn.as("__rn"))
+      .groupBy(col("value")).agg(min(col("__rn")).as("__first"))
+    // NULL (if present) sorts to the front => code 0 (cat_converter.py:33-38)
+    val sortKey = when(col("value").isNull, lit(0L)).otherwise(col("__first") + 1L)
+    first.select(col("value"),
+      (row_number().over(Window.orderBy(sortKey)) - 1).cast("long").as("code"))
+  }
+
+  /** Apply a dictionary: join (broadcast — dictionaries are tiny). */
+  def encode(df: DataFrame, valueColName: String, dict: DataFrame,
+      outName: String): DataFrame = {
+    val d = broadcast(dict.withColumnRenamed("value", valueColName)
+      .withColumnRenamed("code", outName))
+    df.join(d, df(valueColName) <=> d(valueColName), "left")
+      .drop(d(valueColName))
+  }
+
+  /** The mapper-guessing loop (cat_converter.py:44-78): try the 12 string
+    * normalizers in declaration order until one's NULL-inclusive distinct
+    * count equals the declared cardinality; error with the full report
+    * otherwise. One aggregation pass computes all 12 candidate counts. */
+  def guessMapper(df: DataFrame, c: Column, declaredCard: Int): String = {
+    val aggs = Normalizers.orderedNames.map { n =>
+      (count_distinct(Normalizers(n)(c)) +
+        max(when(c.isNull, 1L).otherwise(0L))).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val counts = Normalizers.orderedNames.map(n => n -> row.getAs[Long](n))
+    counts.collectFirst { case (n, cnt) if cnt == declaredCard => n }.getOrElse {
+      val report = counts.map { case (n, cnt) => s" ->    $n (cardinality $cnt)" }
+      throw new RuntimeException(
+        s"Expected $declaredCard unique values, but the following operations on values " +
+          "provided the following cardinalities instead:\n" + report.mkString("\n"))
+    }
+  }
+}
+
+/** A10: `skip_if_allsame` — drop a derived feature if all non-null values
+  * are identical (pandas_converter.py:36-39; nulls excluded, matching the
+  * reference's `notna()` guard). Evaluated for ALL candidate columns in one
+  * aggregation pass. */
+object AllSamePruner {
+  def constantColumns(df: DataFrame, cols: Seq[String]): Set[String] = {
+    if (cols.isEmpty) return Set.empty
+    val aggs = cols.map(c => (count_distinct(col(c)) <= 1).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.filter(c => row.getAs[Boolean](c)).toSet
+  }
+}
+
+/** Whole-table converter honoring the schema — the reference's
+  * `DataFrameConverter` (data/converter/dataframe_converter.py:11-102):
+  * dispatches per ColumnDef (first match wins, per_type_converter.py:16-39),
+  * names outputs `<col><suffix>` deduplicating collisions with numeric
+  * suffixes (converter_list.py:26-43), drops non-schema columns (P2), and
+  * optionally pops the target column (P3).
+  */
+class TableConverter(
+    dispatch: PartialFunction[ColumnDef, ColumnConverter] = TableConverter.defaults,
+    skipAllSame: Boolean = false) extends Serializable {
+
+  def convertTable(df: DataFrame, ts: TableSchema,
+      target: Option[String] = None): (DataFrame, Map[String, ColumnDef]) = {
+    val used = scala.collection.mutable.Set.empty[String]
+    def uniqueName(base: String): String = {
+      val n = if (!used.contains(base)) base
+      else Iterator.from(2).map(i => s"$base$i").find(!used.contains(_)).get
+      used += n
+      n
+    }
+    val planned: Seq[(String, Column, ColumnDef)] = ts.columns.toSeq.flatMap {
+      case (name, cd) if target.contains(name) => Nil // P3: popped separately
+      case (name, cd) =>
+        val conv = dispatch.applyOrElse(cd, (_: ColumnDef) => Converters.OmitConverter)
+        conv.convert(name, cd, col(name)).map { case (suffix, e, ocd) =>
+          (uniqueName(s"$name$suffix"), e, ocd)
+        }
+    }
+    val out = df.select(planned.map { case (n, e, _) => e.as(n) }: _*)
+    val defs = planned.map { case (n, _, ocd) => n -> ocd }.toMap
+    if (!skipAllSame) (out, defs)
+    else {
+      val drop = AllSamePruner.constantColumns(out, planned.map(_._1))
+      (out.drop(drop.toSeq: _*), defs -- drop)
+    }
+  }
+}
+
+object TableConverter {
+  /** Default per-type dispatch (wired like heterodata_builder.py:75-120). */
+  val defaults: PartialFunction[ColumnDef, ColumnConverter] = {
+    case _: NumericColumnDef  => Converters.NumericConverter
+    case _: DateColumnDef     => Converters.DateConverter
+    case _: DateTimeColumnDef => Converters.DateTimeConverter
+    case _: TimeColumnDef     => Converters.TimeConverter
+    case _: DurationColumnDef => Converters.DurationConverter
+    case _: OmitColumnDef     => Converters.OmitConverter
+    // Categorical handled at DataFrame level via CategoricalCodes (needs data)
+  }
+}

@@ -1,0 +1,207 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  * (Net-new vs the reference, which has no dedup; its only set-dedup is the
+  * BFS row accumulator, data/strategy/bfs.py:46-47.)
+  *
+  * Scale design notes:
+  *  - exact dedup is a single hash-aggregate on the normalized fingerprint
+  *    (shuffle of (hash, id) pairs only, never full documents);
+  *  - MinHash signatures are computed map-side (explode shingles → one
+  *    groupBy(id) with k min() partial aggregates), LSH banding turns the
+  *    O(n²) pair search into an equi-join on (band, bucket);
+  *  - candidate verification re-checks exact Jaccard so LSH false positives
+  *    never survive to the output.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup groups: one row per distinct normalized text with the
+    * representative (minimum) id and the duplicate count. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(lower(trim(col(textCol))).as("__norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact dedup: keep the minimum-id row per distinct text. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    docs.join(keep, idCol) // keep is small relative to docs; Catalyst broadcasts when it fits
+  }
+
+  // ------------------------------------------------------------ shingles
+
+  /** Word n-gram shingles of a text column (distinct), as an array column.
+    * Pure expressions: tokenize, then slide a window via `sequence` +
+    * `transform` + `slice`. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val count = size(toks) - (n - 1)
+    array_distinct(
+      when(count <= 0, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), count), i =>
+          concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** Deterministic universal-hash parameters (a, b) for k MinHash
+    * functions: h_i(x) = ((a_i * x + b_i) mod p), p = 2^61 - 1. */
+  private[dedup] def hashParams(k: Int, seed: Long): Array[(Long, Long)] =
+    Array.tabulate(k) { i =>
+      var z = seed + 0x9e3779b97f4a7c15L * (i + 1L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      val a = (z ^ (z >>> 27)).abs % MersennePrime match { case 0 => 1L; case x => x }
+      var w = z * 0x94d049bb133111ebL
+      w = (w ^ (w >>> 31))
+      (a, w.abs % MersennePrime)
+    }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** MinHash signature per document: k minima over the shingle set.
+    * One explode + one groupBy(id) with k partial-aggregable min()s —
+    * signatures never materialize the shingle set twice. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+    val params = hashParams(k, seed)
+    val exploded = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__sh"))
+      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(MersennePrime)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature: bands of r rows each; documents
+    * agreeing on any whole band become candidate pairs (id1 < id2). */
+  def minhashCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*).as("bucket")).as(s"__b$b")
+    }
+    val banded = sigs.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b => col(s"__b$b")): _*)).as("__band"))
+    val l = banded.select(col("__band"), col(idCol).as("id1"))
+    val r2 = banded.select(col("__band"), col(idCol).as("id2"))
+    l.join(r2, "__band").filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs (kills LSH false
+    * positives): joins each side's distinct-shingle set back in and
+    * computes |A∩B| / |A∪B| via array ops. */
+  def verifyJaccard(docs: DataFrame, candidates: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
+    val withSets = candidates
+      .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("__set", "__s1"), "id1")
+      .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("__set", "__s2"), "id2")
+    val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("double")
+    val union = (size(col("__s1")) + size(col("__s2"))).cast("double") - inter
+    withSets.withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → signature → band →
+    * bucket-join → exact-Jaccard verify. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN, seed)
+    val cands = minhashCandidates(sigs, idCol, k, bands)
+    verifyJaccard(docs, cands, idCol, textCol, shingleN, threshold)
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token multiset: per bit, majority vote of token
+    * hashes. Expressed as explode → one groupBy(id) with 64 conditional
+    * sums (all partial-aggregable); the bit-pack is a final projection. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val packed = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** Hamming-distance near-dup pairs over SimHashes, banded by 16-bit
+    * chunks (pairs agreeing on any chunk are candidates — guarantees recall
+    * for distance ≤ 3 on 4 chunks), then exact popcount verify. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunks = (0 until 4).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL).as("val")).as(s"__c$i")
+    }
+    val banded = sh.select(col(idCol), col("simhash"),
+        explode(array(chunks: _*)).as("__chunk"))
+    val l = banded.select(col("__chunk"), col(idCol).as("id1"), col("simhash").as("sh1"))
+    val r = banded.select(col("__chunk"), col(idCol).as("id2"), col("simhash").as("sh2"))
+    l.join(r, "__chunk").filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  // ------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact n-gram Jaccard similarity for all pairs above a threshold,
+    * via inverted index: explode distinct shingles, self-join on shingle
+    * (the inverted-index join — never a cross join), count intersections,
+    * derive union from per-doc set sizes. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol), wordShingles(col(textCol), n).as("__set"))
+    val sizes = sets.select(col(idCol), size(col("__set")).as("__sz"))
+    val inv = sets.select(col(idCol), explode(col("__set")).as("__sh"))
+    val pairs = inv.select(col("__sh"), col(idCol).as("id1"))
+      .join(inv.select(col("__sh"), col(idCol).as("id2")), "__sh")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__inter"))
+    pairs
+      .join(sizes.select(col(idCol).as("id1"), col("__sz").as("__sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("__sz").as("__sz2")), "id2")
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("__sz1") + col("__sz2") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  // ------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup pairs: LSH-bucketed (same hyperplane
+    * signature) then exact cosine verify — the embedding analogue of
+    * MinHash+verify. */
+  def embeddingNearDups(data: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val sig = data.select(col(idCol), col(vecCol),
+      Similarity.lshSignature(col(vecCol), nPlanes, dim, seed).as("__bucket"))
+    val l = sig.select(col("__bucket"), col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val r = sig.select(col("__bucket"), col(idCol).as("id2"), col(vecCol).as("__v2"))
+    l.join(r, "__bucket").filter(col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosine(col("__v1"), col("__v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sample
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.schema.Schema
+
+/** Batched BFS subgraph sampling — the reference's `BFSStrategy`
+  * (db_transformer/data/strategy/bfs.py:11-84) re-expressed as iterative
+  * frontier semi-joins (J3) instead of one SQL roundtrip per
+  * (depth, table) per sample.
+  *
+  * Reproduced semantics (bfs.py):
+  *  - seed row = LIMIT 1 OFFSET idx of the target table (:38) — our engine
+  *    contract pins the order to the primary key (pandas/SQL relied on
+  *    implicit DB order);
+  *  - frontier expansion follows FKs forward (child values -> parent PK,
+  *    :52-60) and reverse (other tables' FK columns -> current table's
+  *    FIRST column, :62-82, reproducing the reference's first-column
+  *    assumption);
+  *  - single-column keys only (reference TODO at :54);
+  *  - tables queued forward in a step are not re-queued reverse in that
+  *    step (`processed_foreigns`, :61), and the immediate parent is never
+  *    re-visited (:69-71);
+  *  - a node popped at depth >= maxDepth stops the walk; depth+1 == maxDepth
+  *    nodes are collected but not expanded (:28-29, :49-50);
+  *  - per-table row accumulation is a dedup union (:46-47).
+  *
+  * Scale design: each expansion is `table.join(broadcast(keys.distinct),
+  * "left_semi")` — the frontier key set is small relative to the table, the
+  * scan stays partition-parallel, and accumulated rows are unioned lazily
+  * with one final `distinct` per table.
+  */
+class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {
+
+  private case class QueueItem(table: String, depth: Int, parent: Option[String],
+      key: Option[String], keys: Option[DataFrame])
+
+  /** Expand from row `idx` (0-based, PK order) of `targetTable`.
+    * @return accumulated distinct rows per visited table */
+  def sample(targetTable: String, idx: Int): Map[String, DataFrame] = {
+    val queue = mutable.Queue(QueueItem(targetTable, 0, None, None, None))
+    val acc = mutable.Map.empty[String, DataFrame]
+
+    while (queue.nonEmpty) {
+      val QueueItem(tableName, depth, parent, key, keys) = queue.dequeue()
+      if (depth >= maxDepth) return acc.toMap.map { case (t, df) => t -> df.distinct() }
+
+      val full = tables(tableName)
+      val batch = if (depth == 0) {
+        val order = schema(tableName).primaryKey match {
+          case Nil => full.columns.toSeq
+          case pk  => pk
+        }
+        full.orderBy(order.map(col): _*).offset(idx).limit(1)
+      } else {
+        val k = keys.get.distinct()
+        full.join(broadcast(k), full(key.get) === k(k.columns.head), "left_semi")
+      }
+      acc(tableName) = acc.get(tableName).fold(batch)(_.unionAll(batch))
+
+      if (depth + 1 != maxDepth) {
+        val collected = acc(tableName)
+        val processedForeign = mutable.Set.empty[String]
+        // forward: FK values of collected rows -> parent ref column (:52-60)
+        schema(tableName).foreignKeys.foreach { fk =>
+          val fkeys = collected.select(col(fk.columns.head).as("__k"))
+          queue.enqueue(QueueItem(fk.refTable, depth + 1, Some(tableName),
+            Some(fk.refColumns.head), Some(fkeys)))
+          processedForeign += fk.refTable
+        }
+        // reverse: tables referencing this one, probed by this table's
+        // FIRST column (:62-82)
+        val pkeys = collected.select(col(collected.columns.head).as("__k"))
+        schema.tables.foreach { case (nextTable, nextSchema) =>
+          val skip = processedForeign.contains(nextTable) || parent.contains(nextTable)
+          if (!skip) {
+            nextSchema.foreignKeys.filter(_.refTable == tableName).foreach { fk =>
+              queue.enqueue(QueueItem(nextTable, depth + 1, Some(tableName),
+                Some(fk.columns.head), Some(pkeys)))
+            }
+          }
+        }
+      }
+    }
+    acc.toMap.map { case (t, df) => t -> df.distinct() }
+  }
+
+  /** Per-table row counts of a sample, as one DataFrame (table_name, n). */
+  def sampleStats(targetTable: String, idx: Int): DataFrame = {
+    val dfs = sample(targetTable, idx).toSeq.sortBy(_._1).map { case (t, df) =>
+      df.agg(count(lit(1)).as("n")).select(lit(t).as("table_name"), col("n"))
+    }
+    dfs.reduce(_.unionAll(_))
+  }
+}

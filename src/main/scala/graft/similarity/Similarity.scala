@@ -1,0 +1,114 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives + approximate-nearest-neighbor search over
+  * an embedding column (`array<float>`), a first-class training-data-
+  * pipeline operator (no counterpart in the reference — its only vector use
+  * is GloVe text embeddings, ctu_dataset.py:43-52).
+  *
+  * Dot products use a deterministic left-fold (`aggregate` higher-order
+  * function) over explicit double casts, so the result is bit-identical to
+  * any engine that folds the list sequentially — which makes the cosine
+  * oracle-comparable against DuckDB.
+  */
+object Similarity {
+
+  /** Deterministic sequential-fold dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query row against the whole corpus.
+    * The query side is broadcast (it is the small side by construction);
+    * the corpus streams partition-parallel, so at 100 TB this is one
+    * map-side pass over the corpus + a per-query-key top-k shuffle.
+    *
+    * @param queries  (idCol, vecCol) rows to search for
+    * @param corpus   (idCol, vecCol) rows to search in
+    * @param k        neighbors per query
+    * @return (query_id, neighbor_id, cos) — excludes self-matches,
+    *         ties broken by neighbor id for determinism
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, roundDigits: Int = -1): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val rawCos = cosine(col("__qv"), col("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", if (roundDigits >= 0) round(rawCos, roundDigits) else rawCos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for LSH: plane p, component i
+    * derives from a splitmix64-style integer mix of (seed, p, i), mapped to
+    * [-1, 1). Generated driver-side as literals — h×dim doubles, trivially
+    * broadcastable. */
+  private[similarity] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 65537L + i + 1L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · plane_p), packed into
+    * a long. Cosine-similar vectors collide with high probability. */
+  def lshSignature(vecCol: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    require(nPlanes <= 63, "signature packs into one long")
+    val planes = hyperplanes(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vecCol, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN (the scale path): vectors sharing an exact nPlanes-bit
+    * signature land in one bucket; search within buckets only. Recall is
+    * tunable via nPlanes (fewer planes → bigger buckets → higher recall,
+    * more compute). A full multiprobe/IVF variant can layer on the same
+    * bucket column.
+    *
+    * @return (query_id, neighbor_id, cos) top-k within each query's bucket
+    */
+  def lshTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val sig = data.select(col(idCol), col(vecCol),
+      lshSignature(col(vecCol), nPlanes, dim, seed).as("__bucket"))
+    val l = sig.select(col("__bucket"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val r = sig.select(col("__bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    l.join(r, "__bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** F21: softmax over an array column (exp-normalize, numerically stable)
+    * and argmax position (0-based), matching
+    * `torch.softmax(x, dim=1)` / `argmax` (nn/models/transformer.py:113). */
+  def softmaxArray(c: Column): Column = {
+    val mx = array_max(c)
+    val exps = transform(c, x => exp(x.cast("double") - mx))
+    val s = aggregate(exps, lit(0.0), (acc, v) => acc + v)
+    transform(exps, x => x / s)
+  }
+
+  def argmaxArray(c: Column): Column = array_position(c, array_max(c)) - 1
+}

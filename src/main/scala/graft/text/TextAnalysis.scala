@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs) so
+  * they stay inside whole-stage codegen on a 100 TB corpus scan.
+  *
+  * (No counterpart in the reference — its only text handling is embedding
+  * text columns, ctu_dataset.py:43-52; these are the net-new LLM-pipeline
+  * operators.)
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank strings count 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+      .cast("int")
+
+  /** BPE-ish subword proxy count: letter runs, digit runs, and isolated
+    * non-space symbols — the usual pre-tokenizer split, a cheap stand-in
+    * for a real BPE vocab. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("int")
+
+  private val punctChars = ".,!?;:'\"()-"
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val total = length(c)
+    val noPunct = length(translate(c, punctChars, ""))
+    when(total === 0, lit(0.0)).otherwise((total - noPunct).cast("double") / total)
+  }
+
+  /** Mean word length over whitespace tokens (0 for blank). */
+  def meanWordLen(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(length(trim(c)) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** English stopword ratio among whitespace tokens — a standard
+    * quality-scoring feature (Gopher/C4-style heuristics). */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "that", "this", "it", "as", "be", "at", "by")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val sw = array(englishStopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(sw, t)))
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(nStop.cast("double") / size(toks))
+  }
+
+  /** Composite quality features as a struct-per-document projection. */
+  def qualityFeatures(c: Column): Seq[(String, Column)] = Seq(
+    "n_chars_q"   -> length(c).cast("bigint"),
+    "n_tokens"    -> tokenCount(c).cast("bigint"),
+    "mean_wlen"   -> round(meanWordLen(c), 4),
+    "punct_ratio" -> round(punctRatio(c), 4),
+    "stopword_ratio" -> round(stopwordRatio(c), 4))
+
+  /** Language-ID profiles: small high-frequency stopword sets per language
+    * (n-gram-heuristic style). A text votes for the language whose profile
+    * words it contains most of; ties break alphabetically. CJK-range
+    * characters short-circuit to "zh". */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "avec"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "una", "con", "para", "por"))
+
+  /** Heuristic language-ID over whitespace-tokenized lowercase text. */
+  def langId(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val prof = array(words.map(lit): _*)
+      lang -> size(array_intersect(toks, prof))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Document fingerprint: 128-bit content hash of the normalized text
+    * (rolling-hash-class dedup key). `md5` keeps it oracle-comparable;
+    * [[fingerprint64]] is the cheap engine-side variant. */
+  def fingerprint(c: Column): Column = md5(lower(trim(c)))
+  def fingerprint64(c: Column): Column = xxhash64(lower(trim(c)))
+
+  /** Project a documents DataFrame to per-document analysis columns. */
+  def analyze(docs: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val withQ = qualityFeatures(c).foldLeft(docs) { case (df, (n, e)) => df.withColumn(n, e) }
+    withQ
+      .withColumn("lang_pred", langId(c))
+      .withColumn("fingerprint", fingerprint(c))
+  }
+}

@@ -134,4 +134,19 @@ final class ParquetCatalog(
   /** Ordered map of every table's DataFrame (lazy plans). */
   def allTables(): ListMap[String, DataFrame] =
     ListMap(listTables().map(t => t -> table(t)): _*)
+
+  /** Structural schema derived purely from the constraint registry: every
+    * column becomes Omit with `key` flagging PK membership — enough for
+    * graph building / BFS (which need only PKs + FKs), no data statistics.
+    * The full semantic schema comes from
+    * [[graft.analyze.SchemaAnalyzer.guessSchema]]. */
+  def constraintSchema(): graft.schema.Schema = {
+    import graft.schema.{OmitColumnDef, Schema => GSchema, TableSchema}
+    GSchema(ListMap(listTables().map { t =>
+      val pk = primaryKey(t).toSet
+      val cols = ListMap(columns(t).fieldNames.map(c =>
+        c -> (OmitColumnDef(key = pk.contains(c)): graft.schema.ColumnDef)): _*)
+      t -> TableSchema(cols, foreignKeys(t))
+    }: _*))
+  }
 }

@@ -43,14 +43,16 @@ object Converters {
   }
 
   /** F10: time-of-day string "HH:mm:ss" → seconds-since-midnight, null-safe
-    * (default_datetime_converters.py:50-63). */
+    * (default_datetime_converters.py:50-63). `try_cast` (not `cast`) so a
+    * malformed value degrades to NULL→0.0 like the reference's lenient
+    * pandas path instead of throwing under Spark 4's default ANSI mode. */
   object TimeConverter extends ColumnConverter {
     def convert(name: String, cd: ColumnDef, c: Column) = Seq(
       ("_seconds_since_midnight",
         coalesce(
-          (split(c, ":").getItem(0).cast("double") * 3600 +
-            split(c, ":").getItem(1).cast("double") * 60 +
-            split(c, ":").getItem(2).cast("double")),
+          (split(c, ":").getItem(0).try_cast("double") * 3600 +
+            split(c, ":").getItem(1).try_cast("double") * 60 +
+            split(c, ":").getItem(2).try_cast("double")),
           lit(0.0)),
         NumericColumnDef()))
   }
@@ -71,12 +73,22 @@ object Converters {
       ("", coalesce(c.cast("double"), lit(0.0)), NumericColumnDef()))
   }
 
-  /** F13: interval → nanoseconds (ctu_dataset.py:152-154; Spark day-time
-    * intervals are microseconds internally — ×1000 matches the reference's
-    * `.dt.nanoseconds` unit). */
+  /** F13: interval → total nanoseconds (ctu_dataset.py:152-154). The
+    * reference calls pandas `.dt.nanoseconds`, which is the sub-microsecond
+    * COMPONENT (0-999) — always 0 for database-resolution data, an apparent
+    * reference bug; the engine semantic is the useful one: the TOTAL
+    * interval in nanoseconds. Computed by field extraction (extract SECOND
+    * yields fractional seconds), NOT by a numeric cast — casting a day-time
+    * interval to long returns end-field units (seconds for DAY TO SECOND),
+    * not internal microseconds. */
   object DurationConverter extends ColumnConverter {
     def convert(name: String, cd: ColumnDef, c: Column) = Seq(
-      ("_nanoseconds", c.cast("long").cast("double") * 1e3, NumericColumnDef()))
+      ("_nanoseconds",
+        ((date_part(lit("DAY"), c).cast("double") * 86400.0 +
+          date_part(lit("HOUR"), c).cast("double") * 3600.0 +
+          date_part(lit("MINUTE"), c).cast("double") * 60.0 +
+          date_part(lit("SECOND"), c).cast("double")) * 1e9),
+        NumericColumnDef()))
   }
 
   /** F14: clamp timestamps to the pandas-representable range
@@ -105,17 +117,19 @@ object Converters {
   */
 object CategoricalCodes {
 
-  /** Build the (value, code) dictionary. The dictionary is small (≤ declared
-    * cardinality ≤ 1000), so the final unpartitioned window is over ≤1000
-    * rows — the scan and groupBy stay fully distributed. */
+  /** Build the (value, code) dictionary. First-appearance order is computed
+    * DISTRIBUTED: `groupBy(value).agg(min(struct(orderCols)))` — a map-side-
+    * partial hash aggregate, never a global window over the input (which
+    * would collapse to one task at scale). Only the final ranking of the
+    * dictionary itself (≤ declared cardinality ≤ 1000 rows) uses an
+    * unpartitioned window. */
   def dictionary(df: DataFrame, valueCol: Column, orderCols: Seq[Column]): DataFrame = {
-    val rn = row_number().over(Window.orderBy(orderCols: _*))
-    val first = df.select(valueCol.as("value"), rn.as("__rn"))
-      .groupBy(col("value")).agg(min(col("__rn")).as("__first"))
+    val first = df.select(valueCol.as("value"), struct(orderCols: _*).as("__ord"))
+      .groupBy(col("value")).agg(min(col("__ord")).as("__first"))
     // NULL (if present) sorts to the front => code 0 (cat_converter.py:33-38)
-    val sortKey = when(col("value").isNull, lit(0L)).otherwise(col("__first") + 1L)
     first.select(col("value"),
-      (row_number().over(Window.orderBy(sortKey)) - 1).cast("long").as("code"))
+      (row_number().over(Window.orderBy(col("value").isNotNull, col("__first"))) - 1)
+        .cast("long").as("code"))
   }
 
   /** Apply a dictionary: join (broadcast — dictionaries are tiny). */
@@ -147,16 +161,24 @@ object CategoricalCodes {
   }
 }
 
-/** A10: `skip_if_allsame` — drop a derived feature if all non-null values
-  * are identical (pandas_converter.py:36-39; nulls excluded, matching the
-  * reference's `notna()` guard). Evaluated for ALL candidate columns in one
-  * aggregation pass. */
+/** A10: `skip_if_allsame` — drop a derived feature if all values where the
+  * ORIGINAL column is non-null are identical (pandas_converter.py:36-39
+  * masks by `series.notna()` before `nunique`). The mask matters: a
+  * converter that coalesces NULL→0.0 would otherwise make a
+  * constant-except-null column look non-constant. Evaluated for ALL
+  * candidate (derivedExpr, originalColumn) pairs in one aggregation pass
+  * over the source DataFrame. */
 object AllSamePruner {
-  def constantColumns(df: DataFrame, cols: Seq[String]): Set[String] = {
-    if (cols.isEmpty) return Set.empty
-    val aggs = cols.map(c => (count_distinct(col(c)) <= 1).as(c))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cols.filter(c => row.getAs[Boolean](c)).toSet
+  /** @param candidates (outputName, derivedExpr, originalCol) triples,
+    *                   evaluated against `src` (which still has originals) */
+  def constantColumns(src: DataFrame,
+      candidates: Seq[(String, Column, Column)]): Set[String] = {
+    if (candidates.isEmpty) return Set.empty
+    val aggs = candidates.map { case (n, e, orig) =>
+      (count_distinct(when(orig.isNotNull, e)) <= 1).as(n)
+    }
+    val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    candidates.map(_._1).filter(n => row.getAs[Boolean](n)).toSet
   }
 }
 
@@ -169,7 +191,9 @@ object AllSamePruner {
   */
 class TableConverter(
     dispatch: PartialFunction[ColumnDef, ColumnConverter] = TableConverter.defaults,
-    skipAllSame: Boolean = false) extends Serializable {
+    skipAllSame: Boolean = true) extends Serializable {
+  // skipAllSame default matches the reference's skip_if_allsame=True
+  // (pandas_converter.py:12-14).
 
   def convertTable(df: DataFrame, ts: TableSchema,
       target: Option[String] = None): (DataFrame, Map[String, ColumnDef]) = {
@@ -180,21 +204,25 @@ class TableConverter(
       used += n
       n
     }
-    val planned: Seq[(String, Column, ColumnDef)] = ts.columns.toSeq.flatMap {
+    val planned: Seq[(String, Column, ColumnDef, String)] = ts.columns.toSeq.flatMap {
       case (name, cd) if target.contains(name) => Nil // P3: popped separately
       case (name, cd) =>
         val conv = dispatch.applyOrElse(cd, (_: ColumnDef) => Converters.OmitConverter)
         conv.convert(name, cd, col(name)).map { case (suffix, e, ocd) =>
-          (uniqueName(s"$name$suffix"), e, ocd)
+          (uniqueName(s"$name$suffix"), e, ocd, name)
         }
     }
-    val out = df.select(planned.map { case (n, e, _) => e.as(n) }: _*)
-    val defs = planned.map { case (n, _, ocd) => n -> ocd }.toMap
-    if (!skipAllSame) (out, defs)
-    else {
-      val drop = AllSamePruner.constantColumns(out, planned.map(_._1))
-      (out.drop(drop.toSeq: _*), defs -- drop)
-    }
+    val kept =
+      if (!skipAllSame) planned
+      else {
+        // A10 pruning over the SOURCE df (original columns still present for
+        // the notna() mask), one aggregation pass for all candidates.
+        val drop = AllSamePruner.constantColumns(df,
+          planned.map { case (n, e, _, orig) => (n, e, col(orig)) })
+        planned.filterNot { case (n, _, _, _) => drop(n) }
+      }
+    val out = df.select(kept.map { case (n, e, _, _) => e.as(n) }: _*)
+    (out, kept.map { case (n, _, ocd, _) => n -> ocd }.toMap)
   }
 }
 

@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private def docs = Seq(
+    (1L, base),
+    (2L, base + " extra"),                       // near-dup of 1
+    (3L, base),                                  // exact dup of 1
+    (4L, "completely different words about spark sql catalyst optimizer engines"),
+    (5L, "another unrelated document mentioning parquet shuffles and joins")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id with duplicate count") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) == 2L && g(2L) == 1L && g(4L) == 1L && g(5L) == 1L)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("wordShingles produces distinct n-grams; short text falls back to whole string") {
+    val out = Seq("a b c d", "x").toDF("t")
+      .select(Dedup.wordShingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(out(0).toSet == Set("a b c", "b c d"))
+    assert(out(1) == Seq("x"))
+  }
+
+  test("minhash+LSH finds planted near-dups and exact dups, verified by true jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 3L)))                       // exact dup always collides
+    assert(pairs.filter(p => (p._1, p._2) == ((1L, 3L))).head._3 == 1.0)
+    assert(!ids.exists(p => p._2 == 4L || p._1 == 4L))   // unrelated docs never verified in
+  }
+
+  test("simhash distance 0 for identical docs, large for unrelated") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(3L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 10)
+    val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.contains((1L, 3L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard over an inverted index") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 3L)) == 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("embeddingNearDups buckets then verifies exact cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "v")
+    val out = Dedup.embeddingNearDups(vecs, "id", "v", dim = 3, threshold = 0.9, nPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // (1,2) are near-identical; whether LSH buckets them together depends on
+    // the deterministic planes — but (1,3)/(2,3) (orthogonal) must never pass
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+}

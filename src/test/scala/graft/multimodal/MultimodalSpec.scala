@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("id", "payload")
+    Multimodal.asMedia(df, "id", "payload", "text/plain")
+  }
+
+  test("asMedia produces the canonical media schema") {
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "data", "meta"))
+    assert(media.schema("data").dataType.typeName == "binary")
+    val m = media.orderBy("media_id").collect()(0)
+    assert(new String(m.getAs[Array[Byte]]("data")) == "hello")
+    assert(m.getStruct(2).getAs[String]("format") == "text/plain")
+  }
+
+  test("byteStats: length and content hash without decoding") {
+    val out = Multimodal.byteStats(media).orderBy("media_id")
+      .select("n_bytes").as[Long].collect()
+    assert(out.toSeq == Seq(5L, 0L))
+  }
+
+  test("stubDecodeFeatures emits deterministic fixed-dim vectors in [-1,1]") {
+    val f1 = Multimodal.stubDecodeFeatures(media, dim = 4).orderBy("media_id")
+      .select("features").as[Seq[Double]].collect()
+    val f2 = Multimodal.stubDecodeFeatures(media, dim = 4).orderBy("media_id")
+      .select("features").as[Seq[Double]].collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(v => v.length == 4 && v.forall(x => x >= -1.0 && x <= 1.0)))
+    assert(f1(0) != f1(1)) // different payloads -> different features
+  }
+
+  test("frameOffsets samples every N ms over the recorded duration") {
+    val withDur = media.withColumn("meta",
+      struct(col("meta.format"), col("meta.width"), col("meta.height"),
+        when(col("media_id") === 1L, 2500L).otherwise(0L).as("duration_ms")))
+    val out = Multimodal.frameOffsets(withDur, everyMs = 1000L).orderBy("media_id")
+      .select("frame_offsets_ms").as[Seq[Long]].collect()
+    assert(out(0) == Seq(0L, 1000L, 2000L))
+    assert(out(1) == Seq())
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sample
+
+import scala.collection.immutable.ListMap
+
+import graft.SparkSpec
+import graft.schema._
+
+class BfsSamplerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // star: child -> parent; sibling -> parent (reverse direction from parent)
+  private def schema = Schema(ListMap(
+    "parent" -> TableSchema(ListMap("pid" -> OmitColumnDef(key = true))),
+    "child" -> TableSchema(ListMap(
+      "cid" -> OmitColumnDef(key = true), "pid" -> OmitColumnDef()),
+      Seq(ForeignKeyDef(Seq("pid"), "parent", Seq("pid")))),
+    "sibling" -> TableSchema(ListMap(
+      "sid" -> OmitColumnDef(key = true), "pid" -> OmitColumnDef()),
+      Seq(ForeignKeyDef(Seq("pid"), "parent", Seq("pid"))))))
+
+  private def tables = Map(
+    "parent" -> Seq(Tuple1(1), Tuple1(2)).toDF("pid"),
+    "child" -> Seq((10, 1), (11, 1), (12, 2)).toDF("cid", "pid"),
+    "sibling" -> Seq((20, 1), (21, 2)).toDF("sid", "pid"))
+
+  test("depth-2 walk from a child row reaches parent but not siblings") {
+    val s = new BfsSampler(schema, tables, maxDepth = 2)
+    val out = s.sample("child", 0) // cid=10 -> parent pid=1
+    assert(out("child").count() == 1)
+    assert(out("parent").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(!out.contains("sibling")) // depth 2 nodes collected, not expanded
+  }
+
+  test("depth-3 walk expands parent reverse edges to siblings and all its children") {
+    val s = new BfsSampler(schema, tables, maxDepth = 3)
+    val out = s.sample("child", 0)
+    // parent(1) expands: reverse to sibling (pid=1) and child is its parent -> skipped
+    assert(out("sibling").collect().map(_.getInt(0)).toSeq == Seq(20))
+    // child not re-expanded from parent (immediate parent suppression)
+    assert(out("child").count() == 1)
+  }
+
+  test("seed row is selected by PK-ordered offset") {
+    val s = new BfsSampler(schema, tables, maxDepth = 1)
+    val out = s.sample("child", 2) // third child by cid order = cid 12
+    assert(out("child").collect().map(_.getInt(0)).toSeq == Seq(12))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.norm(col("a")).as("n"),
+      Similarity.cosine(col("a"), col("a")).as("self")).collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-15)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-15)
+  }
+
+  test("bruteForceTopK returns k best non-self neighbors with deterministic ties") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("id", "v")
+    val out = Similarity.bruteForceTopK(vecs.filter(col("id") === 1L), vecs, "id", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L))) // cos: 2≈1.0 > 3=0.0 > 4=-1.0
+  }
+
+  test("lshSignature: identical vectors collide, opposite vectors differ") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Array(-1.0f, -2.0f, -3.0f, -4.0f))).toDF("id", "v")
+    val sig = vecs.select(col("id"), Similarity.lshSignature(col("v"), 8, 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L)) // all 8 plane signs flip
+    assert((sig(1L) ^ sig(3L)) == 0xffL)
+  }
+
+  test("softmaxArray sums to 1 and argmaxArray is 0-based") {
+    val df = Seq(Array(0.1, 2.0, 0.5)).toDF("v")
+    val r = df.select(
+      aggregate(Similarity.softmaxArray(col("v")), lit(0.0), (a, x) => a + x).as("s"),
+      Similarity.argmaxArray(col("v")).as("am")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == 1L)
+  }
+}

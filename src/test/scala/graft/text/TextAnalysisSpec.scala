@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: blank strings count zero") {
+    val out = Seq("one two  three", "", "   ", "solo").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n")).as[Int].collect()
+    assert(out.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("bpeish token count splits letter/digit/symbol runs") {
+    val out = Seq("abc12 def!", "x-y").toDF("t")
+      .select(TextAnalysis.bpeishTokenCount(col("t")).as("n")).as[Int].collect()
+    assert(out.toSeq == Seq(4, 3)) // abc,12,def,! | x,-,y
+  }
+
+  test("punctRatio and meanWordLen handle empties") {
+    val r = Seq("ab, cd!", "").toDF("t").select(
+      TextAnalysis.punctRatio(col("t")).as("p"),
+      TextAnalysis.meanWordLen(col("t")).as("m")).collect()
+    assert(math.abs(r(0).getDouble(0) - 2.0 / 7.0) < 1e-12)
+    assert(r(0).getDouble(1) == 3.0) // ("ab,"=3 + "cd!"=3) / 2
+    assert(r(1).getDouble(0) == 0.0 && r(1).getDouble(1) == 0.0)
+  }
+
+  test("stopwordRatio counts occurrences, not distinct") {
+    val out = Seq("the cat and the dog").toDF("t")
+      .select(TextAnalysis.stopwordRatio(col("t")).as("r")).as[Double].collect()
+    assert(math.abs(out(0) - 3.0 / 5.0) < 1e-12) // the, and, the
+  }
+
+  test("langId picks profile with most distinct hits; CJK short-circuits; und on no hits") {
+    val out = Seq(
+      "the cat is in that house and it was big",
+      "der hund ist nicht mit der katze und das haus",
+      "le chat est dans la maison pour le chien avec",
+      "el perro es una casa con los gatos para el",
+      "борщ свёкла картошка",
+      "这是中文文本").toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "fr", "es", "und", "zh"))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val out = Seq("Hello World ", "  hello world").toDF("t")
+      .select(TextAnalysis.fingerprint(lower(trim(col("t")))).as("f")).as[String].collect()
+    assert(out(0) == out(1))
+  }
+}

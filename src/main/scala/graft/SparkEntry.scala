@@ -127,8 +127,9 @@ object SparkEntry {
 
   private val qFkEdges = Q("j1_fk_edges",
     (s, d) => {
-      val o = RelGraph.withRowId(t(s, d, "orders"), Seq("o_orderkey"))
-      val c = RelGraph.withRowId(t(s, d, "customer"), Seq("c_custkey"))
+      val o = RelGraph.withRowId(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        Seq("o_orderkey"))
+      val c = RelGraph.withRowId(t(s, d, "customer").select("c_custkey"), Seq("c_custkey"))
       RelGraph.fkEdges(o, c, ForeignKeyDef(Seq("o_custkey"), "customer", Seq("c_custkey")))
         .orderBy("src_id", "dst_id")
     },
@@ -150,7 +151,25 @@ object SparkEntry {
     * edge type, forward and reversed. */
   private def graphStats(s: SparkSession, d: String): DataFrame = {
     val cat = catalog(s, d)
-    RelGraph.build(cat.constraintSchema(), cat.allTables().toMap)
+    val schema = cat.constraintSchema()
+    // graph stats only need keys: project each table to PK ∪ FK ∪ referenced
+    // columns before the row-id pass (row counts and edge joins are invariant
+    // to the projection, and zipWithIndex width is pure cost)
+    val keyCols: Map[String, Seq[String]] = schema.tables.map { case (tn, ts) =>
+      val own = ts.primaryKey ++ ts.foreignKeys.flatMap(_.columns)
+      val referenced = schema.tables.values.flatMap(_.foreignKeys)
+        .filter(_.refTable == tn).flatMap(_.refColumns)
+      tn -> (own ++ referenced).distinct
+    }.toMap
+    val tables = cat.allTables().map { case (tn, df) =>
+      val cols = keyCols(tn) match { case Nil => df.columns.take(1).toSeq; case c => c }
+      tn -> df.select(cols.map(col): _*)
+    }
+    // restrict the sidecar schema to the projected columns so PK-order holds
+    val slim = Schema(schema.tables.map { case (tn, ts) =>
+      tn -> ts.copy(columns = ts.columns.filter { case (c, _) => tables(tn).columns.contains(c) })
+    })
+    RelGraph.build(slim, tables.toMap)
       .withReverseEdges
       .stats(s)
       .orderBy("entity", "kind")
@@ -224,8 +243,13 @@ object SparkEntry {
     * them are not — they land exactly on .xxx5.) */
   private def propagateQuery(aggr: String, intFeatures: Boolean)(
       s: SparkSession, d: String): DataFrame = {
-    val ord = RelGraph.withRowId(t(s, d, "orders"), Seq("o_orderkey"))
-    val li = RelGraph.withRowId(t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+    // project to the needed columns BEFORE row-id assignment: zipWithIndex
+    // serializes rows through an RDD, so width there is pure cost
+    val ord = RelGraph.withRowId(t(s, d, "orders").select("o_orderkey"), Seq("o_orderkey"))
+    val li = RelGraph.withRowId(
+      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount"),
+      Seq("l_orderkey", "l_linenumber"))
     val edges = RelGraph.fkEdges(li, ord, ForeignKeyDef(Seq("l_orderkey"), "orders", Seq("o_orderkey")))
     val feat =
       if (intFeatures) array(col("l_quantity"), col("l_linenumber").cast("double"),
@@ -477,13 +501,20 @@ object SparkEntry {
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
       GROUP BY lower(trim(text)) ORDER BY keep_id"""))
 
+  /** Exact n-gram Jaccard with n=3: unigram jaccard is degenerate on a
+    * 31-word vocabulary (74% of ALL pairs exceed 0.5 — a quadratic OUTPUT),
+    * while shared 3-gram shingles only occur for genuinely duplicated text,
+    * so the inverted-index join stays selective at any scale. */
   private val qNgramJaccard = Q("d3_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 1, threshold = 0.5)
+        n = 3, threshold = 0.5)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id1", "id2"),
-    Some("""WITH s AS (SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
-        FROM documents),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
       sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
       inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
       pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter

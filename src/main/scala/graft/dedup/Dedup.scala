@@ -195,12 +195,16 @@ object Dedup {
     * MinHash+verify. */
   def embeddingNearDups(data: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    // normalize each vector once; per-pair cosine is then a single dot fold
     val sig = data.select(col(idCol), col(vecCol),
-      Similarity.lshSignature(col(vecCol), nPlanes, dim, seed).as("__bucket"))
-    val l = sig.select(col("__bucket"), col(idCol).as("id1"), col(vecCol).as("__v1"))
-    val r = sig.select(col("__bucket"), col(idCol).as("id2"), col(vecCol).as("__v2"))
+        Similarity.lshSignature(col(vecCol), nPlanes, dim, seed).as("__bucket"),
+        Similarity.norm(col(vecCol)).as("__n"))
+      .select(col(idCol), col("__bucket"),
+        Similarity.unit(col(vecCol), col("__n")).as("__u"))
+    val l = sig.select(col("__bucket"), col(idCol).as("id1"), col("__u").as("__v1"))
+    val r = sig.select(col("__bucket"), col(idCol).as("id2"), col("__u").as("__v2"))
     l.join(r, "__bucket").filter(col("id1") < col("id2"))
-      .withColumn("cos", Similarity.cosine(col("__v1"), col("__v2")))
+      .withColumn("cos", Similarity.dot(col("__v1"), col("__v2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }

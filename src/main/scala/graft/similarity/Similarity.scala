@@ -26,6 +26,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalize a vector column given its precomputed norm column.
+    * Pair-wise loops should normalize each side ONCE and use [[dot]] as the
+    * cosine: 1 array-fold per pair instead of 3 (dot + two norms) — the
+    * difference between O(pairs·dim) and O(3·pairs·dim) in the hot loop,
+    * and norms are computed O(n) not O(pairs). */
+  def unit(vec: Column, nrm: Column): Column =
+    transform(vec, x => x.cast("double") / nrm)
+
   /** Brute-force cosine top-k: every query row against the whole corpus.
     * The query side is broadcast (it is the small side by construction);
     * the corpus streams partition-parallel, so at 100 TB this is one
@@ -87,14 +95,16 @@ object Similarity {
   def lshTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int, dim: Int, seed: Long = 42L): DataFrame = {
     val sig = data.select(col(idCol), col(vecCol),
-      lshSignature(col(vecCol), nPlanes, dim, seed).as("__bucket"))
-    val l = sig.select(col("__bucket"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val r = sig.select(col("__bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        lshSignature(col(vecCol), nPlanes, dim, seed).as("__bucket"),
+        norm(col(vecCol)).as("__n"))
+      .select(col(idCol), col("__bucket"), unit(col(vecCol), col("__n")).as("__u"))
+    val l = sig.select(col("__bucket"), col(idCol).as("query_id"), col("__u").as("__qv"))
+    val r = sig.select(col("__bucket"), col(idCol).as("neighbor_id"), col("__u").as("__cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     l.join(r, "__bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", dot(col("__qv"), col("__cv")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"))

@@ -199,6 +199,84 @@ object SparkEntry {
     })
 
   // ====================================================================
+  // §2.4 A5: statistics-driven schema autodetection — the reference's core
+  // operator. The oracle SQL is GENERATED from the same decision tree:
+  // per-column stats (non-null count, NULL-inclusive distinct) computed by
+  // DuckDB from the data, thresholds inline, and the name heuristics
+  // (ID-regex / numeric-name / plural) evaluated here through the very same
+  // Scala regexes and embedded as literals (they depend only on the column
+  // name, not the data).
+  // ====================================================================
+
+  /** Physical kind of each testdata column as SPARK sees it (events.ts is
+    * LongType under the nanos-as-long conf). Static fixture knowledge, like
+    * the table names in every other oracle. */
+  private val physicalKinds: Map[String, Seq[(String, String)]] = Map(
+    "customer" -> Seq("c_custkey" -> "int", "c_name" -> "str", "c_nationkey" -> "int",
+      "c_acctbal" -> "num", "c_mktsegment" -> "str"),
+    "documents" -> Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "int"),
+    "embeddings" -> Seq("vec_id" -> "int", "embedding" -> "other", "label" -> "int"),
+    "events" -> Seq("event_id" -> "int", "ts" -> "int", "user_id" -> "int",
+      "event_type" -> "str", "value" -> "num", "props" -> "str"),
+    "lineitem" -> Seq("l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+      "l_linenumber" -> "int", "l_quantity" -> "num", "l_extendedprice" -> "num",
+      "l_discount" -> "num", "l_tax" -> "num", "l_returnflag" -> "str",
+      "l_linestatus" -> "str", "l_shipdate" -> "datetime"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "str", "n_regionkey" -> "int"),
+    "orders" -> Seq("o_orderkey" -> "int", "o_custkey" -> "int", "o_orderstatus" -> "str",
+      "o_totalprice" -> "num", "o_orderdate" -> "datetime", "o_orderpriority" -> "str"),
+    "part" -> Seq("p_partkey" -> "int", "p_name" -> "str", "p_brand" -> "str",
+      "p_type" -> "str", "p_size" -> "int", "p_retailprice" -> "num"),
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "str"),
+    "supplier" -> Seq("s_suppkey" -> "int", "s_name" -> "str", "s_nationkey" -> "int",
+      "s_acctbal" -> "num"))
+
+  private def analyzerOracleSql: String = {
+    import graft.analyze.{SchemaAnalyzer => SA}
+    val reg = ConstraintRegistry.testdata
+    val parts = physicalKinds.toSeq.sortBy(_._1).flatMap { case (tn, cols) =>
+      val pk = reg.primaryKey(tn)
+      val fkCols = reg.fks(tn).filter(_.columns.length == 1).flatMap(_.columns).toSet
+      cols.map { case (cn, kind) =>
+        val key = pk.contains(cn)
+        def fixed(cd: String) =
+          s"SELECT '$tn' AS table_name, '$cn' AS column_name, '$cd' AS coldef, " +
+            s"$key AS is_key, CAST(-1 AS BIGINT) AS cardinality"
+        if (pk == Seq(cn)) fixed("omit")            // single-column PK
+        else if (fkCols.contains(cn)) fixed("omit") // non-composite FK member
+        else kind match {
+          case "num"      => fixed("numeric")
+          case "datetime" => fixed("datetime")
+          case "other"    => fixed("omit")          // no heuristic applies
+          case intOrStr =>
+            val idName = SA.IdNameRegex.findFirstIn(cn).isDefined
+            val hi = if (idName) "omit" else if (intOrStr == "int") "numeric" else "text"
+            val lo =
+              if (intOrStr == "int" &&
+                (SA.CommonNumericNameRegex.findFirstIn(cn).isDefined || SA.isPluralName(cn)))
+                "numeric"
+              else "categorical"
+            s"""SELECT '$tn' AS table_name, '$cn' AS column_name,
+               CASE WHEN nn = 0 THEN 'omit'
+                    WHEN card::DOUBLE / nn > ${SA.IgnoreThreshold} OR card > ${SA.MaxCardinality} THEN '$hi'
+                    ELSE '$lo' END AS coldef,
+               $key AS is_key,
+               CASE WHEN coldef = 'categorical' THEN card ELSE CAST(-1 AS BIGINT) END AS cardinality
+               FROM (SELECT count("$cn") AS nn,
+                 (SELECT count(*) FROM (SELECT DISTINCT "$cn" FROM $tn)) AS card FROM $tn)"""
+        }
+      }
+    }
+    parts.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  private val qAnalyze = Q("a5_schema_analyze",
+    (s, d) => new graft.analyze.SchemaAnalyzer(catalog(s, d)).guessSchemaDF()
+      .orderBy("table_name", "column_name"),
+    Some(analyzerOracleSql))
+
+  // ====================================================================
   // §2.4 aggregations
   // ====================================================================
 
@@ -672,6 +750,7 @@ object SparkEntry {
     qScan, qCounts, qAgg1,
     qProject, qNotNull, qInList, qOffset,
     qRowId, qFkEdges, qSemi, qGraphStats,
+    qAnalyze,
     qDistinctNullInc, qDistinctNorm, qCatStats, qNumStats,
     qPropSum, qPropMean, qPropMax, qAttn, qImpute,
     qFactorize, qEncode, qTopK, qSplit,

@@ -291,9 +291,12 @@ object SparkEntry {
   private val qDistinctNorm = Q("a3_distinct_normalized",
     (s, d) => t(s, d, "part").agg(
       count_distinct(Normalizers("strip_ci")(col("p_type"))).as("dc_type_strip_ci"),
-      count_distinct(Normalizers("noop")(col("p_type"))).as("dc_type_noop")),
+      count_distinct(Normalizers("noop")(col("p_type"))).as("dc_type_noop"),
+      // F5: collation-forced distinct (no value rewriting)
+      count_distinct(Normalizers.collated(col("p_type"), "UTF8_LCASE")).as("dc_type_lcase")),
     Some("""SELECT count(DISTINCT lower(trim(p_type))) AS dc_type_strip_ci,
-      count(DISTINCT p_type) AS dc_type_noop FROM part"""))
+      count(DISTINCT p_type) AS dc_type_noop,
+      count(DISTINCT lower(p_type)) AS dc_type_lcase FROM part"""))
 
   private val qCatStats = Q("a6_stats_categorical",
     (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
@@ -510,6 +513,68 @@ object SparkEntry {
       coalesce(3600*hour(o_orderdate) + 60*minute(o_orderdate)
         + floor(second(o_orderdate)), 0.0)::DOUBLE AS o_orderdate_seconds_since_midnight
       FROM orders ORDER BY o_orderkey"""))
+
+  private val qLegacyDates = Q("f16_legacy_date_segments",
+    (s, d) => {
+      val str = date_format(col("o_orderdate"), "yyyy-MM-dd")
+      val parts = Converters.LegacyDateConverter
+        .convert("o_orderdate", DateColumnDef(), str)
+      t(s, d, "orders").select(
+        col("o_orderkey") +: parts.map { case (sfx, e, _) => e.as(s"d$sfx") }: _*)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      year(o_orderdate)::DOUBLE AS d_year,
+      month(o_orderdate)::DOUBLE AS d_month,
+      dayofmonth(o_orderdate)::DOUBLE AS d_day,
+      ((o_orderdate::DATE - DATE '0001-01-01') + 1)::DOUBLE AS d_ordinal,
+      epoch(o_orderdate::DATE::TIMESTAMP)::DOUBLE AS d_timestamp
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Blueprint forward pass (§2.9): one mean-aggregation round over the
+    * lineitem→orders edge type with the default (self+msg)/2 combine, then
+    * a linear decode. Feature = order total and line quantity — the mean of
+    * integer-valued quantities is summation-order-exact, so the whole pass
+    * is SQL-restatable. */
+  private val qBlueprint = Q("bp1_blueprint_forward",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      import graft.graph.EdgeType
+      val ord = RelGraph.withRowId(t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"))
+      val li = RelGraph.withRowId(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey", "l_linenumber"))
+      val edges = RelGraph.fkEdges(li, ord,
+        ForeignKeyDef(Seq("l_orderkey"), "orders", Seq("o_orderkey")))
+      val nodes = Map(
+        "orders" -> ord.select(col(RelGraph.RowId).as("id"),
+          array(col("o_totalprice")).as("feat")),
+        "lineitem" -> li.select(col(RelGraph.RowId).as("id"),
+          array(col("l_quantity")).as("feat")))
+      val out = Blueprint.forward(nodes,
+        Map(EdgeType("lineitem", "l_orderkey", "orders") -> edges),
+        Blueprint.Config(layers = 1, aggr = "mean"))
+      Blueprint.decodeLinear(out("orders"), Array(1.0), bias = 0.0)
+        .select(col("id"), round(col("score"), 4).as("score"))
+        .orderBy("id")
+    },
+    Some("""WITH ord AS (SELECT o_orderkey, o_totalprice,
+        row_number() OVER (ORDER BY o_orderkey)-1 AS id FROM orders),
+      msg AS (SELECT o_orderkey, avg(l_quantity) AS m FROM lineitem
+        JOIN ord ON l_orderkey = o_orderkey GROUP BY o_orderkey)
+      SELECT id, round(CASE WHEN m IS NULL THEN o_totalprice
+        ELSE (o_totalprice + m) / 2.0 END, 4) AS score
+      FROM ord LEFT JOIN msg USING (o_orderkey) ORDER BY id"""))
+
+  /** F20: embedding stub is hash-defined — rows-only check; the combinator
+    * semantics are spec-tested. */
+  private val qEmbedStub = Q("t4_text_embed_stub",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        round(element_at(TextAnalysis.embedTextStub(col("text"), 8), 1), 6).as("e0"))
+      .orderBy("doc_id"),
+    None)
 
   private val qSoftmax = Q("f21_softmax_argmax",
     (s, d) => {
@@ -756,6 +821,7 @@ object SparkEntry {
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
+    qLegacyDates, qBlueprint, qEmbedStub,
     qBfs,
     qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
     qBruteTopK, qLshTopK,

@@ -91,6 +91,25 @@ object Converters {
         NumericColumnDef()))
   }
 
+  /** F16: legacy date-segment converter — parses `%Y-%m-%d` strings and
+    * extracts (year, month, day, ordinal, epoch) like the reference's older
+    * `DateConvertor` (data/convertor/columns/datetime_convertors.py:75-96);
+    * ordinal = proleptic-Gregorian day number (datediff from 0001-01-01,
+    * 1-based). Kept beside F8's (year, dayofyear) form because the two
+    * pipelines disagree in the reference (SURVEY §7.4 risk 7). */
+  object LegacyDateConverter extends ColumnConverter {
+    def convert(name: String, cd: ColumnDef, c: Column) = {
+      val d = to_date(c, "yyyy-MM-dd")
+      Seq(
+        ("_year", year(d).cast("double"), NumericColumnDef()),
+        ("_month", month(d).cast("double"), NumericColumnDef()),
+        ("_day", dayofmonth(d).cast("double"), NumericColumnDef()),
+        ("_ordinal", (datediff(d, lit("0001-01-01").cast("date")) + 1).cast("double"),
+          NumericColumnDef()),
+        ("_timestamp", unix_timestamp(d.cast("timestamp")).cast("double"), NumericColumnDef()))
+    }
+  }
+
   /** F14: clamp timestamps to the pandas-representable range
     * (ctu_dataset.py:206-213). */
   def clampTimestamp(c: Column): Column =

@@ -51,4 +51,10 @@ object Normalizers {
 
   def apply(name: String): Column => Column =
     all.getOrElse(name, sys.error(s"Unknown normalizer '$name'; known: ${orderedNames.mkString(", ")}"))
+
+  /** F5: COLLATE forcing (distinct_cnt_retrieval.py:43-46) — Spark 4 has
+    * first-class collations; `collate(c, "UTF8_LCASE")` makes comparisons /
+    * distinct case-insensitive without rewriting values (the ci mapper is
+    * the value-rewriting emulation). */
+  def collated(c: Column, collation: String): Column = collate(c, collation)
 }

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.agg.VectorAgg
+import graft.graph.{EdgeType, RelGraph}
+import graft.similarity.Similarity
+
+/** Blueprint-style composition of message-passing pipelines over a
+  * [[RelGraph]] — the engine's restatement of the reference's
+  * `BlueprintModel` assembly surface (nn/models/blueprint.py:24-214): the
+  * user supplies per-stage transforms (`pre_combination`, per-edge-type
+  * `table_combination`, `post_combination`, `decoder_aggregation`,
+  * `decoder`) and the runner wires K rounds of hetero message passing.
+  *
+  * Everything is a lazy DataFrame plan: one round = (per edge type: edge
+  * join + per-destination vector reduce) + a cross-edge-type sum + an
+  * elementwise combine — shuffles only on edge keys, partial aggregation
+  * map-side, no driver-side loops over rows. Learned parameters live in
+  * literal weight arrays (or broadcastable weight DataFrames), so a forward
+  * pass is runnable on any cluster size.
+  */
+object Blueprint {
+
+  /** Per-node-type transform on (id, feat) DataFrames. */
+  type NodeTransform = DataFrame => DataFrame
+
+  final case class Config(
+      layers: Int = 1,
+      aggr: String = "mean",                 // sum | mean | min | max (A7)
+      pre: NodeTransform = identity,         // pre_combination
+      post: NodeTransform = identity,        // post_combination
+      /** combine(self, neighborAgg) -> new features; default: mean of the
+        * two vectors (MeanAddConv-like, nn/conv/mean_add.py:8-20). */
+      combine: (Column, Column) => Column =
+        (self, agg) => zip_with(self, agg, (a, b) => (a + b) / 2.0))
+
+  /** Run K rounds of heterogeneous message passing.
+    *
+    * @param nodes per table: (id, feat: array<double>) — id is the graph
+    *              row id ([[RelGraph.RowId]] based)
+    * @param edges (src_id, dst_id) per edge type (include reverse edge
+    *              types for undirected flow, RelGraph.withReverseEdges)
+    * @return per-table node features after K rounds
+    */
+  def forward(
+      nodes: Map[String, DataFrame],
+      edges: Map[EdgeType, DataFrame],
+      cfg: Config = Config()): Map[String, DataFrame] = {
+
+    var state = nodes.map { case (t, df) => t -> cfg.pre(df) }
+    (1 to cfg.layers).foreach { _ =>
+      // per edge type: reduce messages per destination (A7)
+      val perType: Seq[(String, DataFrame)] = edges.toSeq.map { case (et, e) =>
+        et.dst -> VectorAgg.propagate(state(et.src), e, "id", "feat", cfg.aggr)
+          .withColumnRenamed("dst_id", "id")
+      }
+      // cross-edge-type reduce per destination table (HeteroConv sum)
+      val incoming: Map[String, DataFrame] = perType.groupBy(_._1).map { case (t, dfs) =>
+        t -> dfs.map(_._2).reduce(_.unionAll(_))
+          .groupBy("id").agg(VectorAgg.vecSum(col("feat")).as("feat"))
+      }
+      state = state.map { case (t, self) =>
+        t -> (incoming.get(t) match {
+          case None => self
+          case Some(msgs) =>
+            val m = msgs.withColumnRenamed("feat", "__msg")
+            // nodes with no incoming edges keep their own features
+            self.join(m, Seq("id"), "left")
+              .select(col("id"),
+                when(col("__msg").isNull, col("feat"))
+                  .otherwise(cfg.combine(col("feat"), col("__msg"))).as("feat"))
+        })
+      }
+      state = state.map { case (t, df) => t -> cfg.post(df) }
+    }
+    state
+  }
+
+  /** Decoder: linear readout over the target table's features —
+    * score = feat · weights + bias (nn/models/blueprint.py decoder stage).
+    * Weights as literals → broadcast-free, codegen-friendly. */
+  def decodeLinear(target: DataFrame, weights: Array[Double], bias: Double): DataFrame =
+    target.select(col("id"),
+      (Similarity.dot(col("feat"), array(weights.map(lit): _*)) + bias).as("score"))
+
+  /** F21-style classification readout: per-class scores → softmax + argmax. */
+  def decodeClasses(target: DataFrame, classWeights: Seq[Array[Double]]): DataFrame = {
+    val scores = array(classWeights.map(w =>
+      Similarity.dot(col("feat"), array(w.map(lit): _*))): _*)
+    target.select(col("id"), scores.as("scores"))
+      .withColumn("probs", Similarity.softmaxArray(col("scores")))
+      .withColumn("pred", Similarity.argmaxArray(col("scores")))
+  }
+
+  /** W7: the reference's batch-size heuristic
+    * (experiments/blueprint_mlflow.py:115-117):
+    * `max(16, 2^round(log2(n/500))) * 2^scale`, capped at 16384. */
+  def batchSizeHeuristic(n: Long, scaleExp: Int = 0): Int = {
+    require(n > 0, "table must be non-empty")
+    val base = math.max(16.0, math.pow(2, math.round(math.log(n / 500.0) / math.log(2.0)).toDouble))
+    math.min(16384.0, base * math.pow(2, scaleExp.toDouble)).toInt
+  }
+}
+
+/** F21/F22: evaluation metrics as single-row DataFrames
+  * (nn/lightning/lightning_wrapper.py:44-58). */
+object Metrics {
+  /** Classification accuracy: mean(pred == y). */
+  def accuracy(df: DataFrame, predCol: String, yCol: String): DataFrame =
+    df.agg(avg(when(col(predCol) === col(yCol), 1.0).otherwise(0.0)).as("accuracy"))
+
+  /** MAE, MSE, NRMSE = sqrt(MSE)/mean(y). */
+  def regression(df: DataFrame, predCol: String, yCol: String): DataFrame = {
+    val err = col(predCol) - col(yCol)
+    df.agg(
+      avg(abs(err)).as("mae"),
+      avg(pow(err, 2)).as("mse"),
+      (sqrt(avg(pow(err, 2))) / avg(col(yCol))).as("nrmse"))
+  }
+}

@@ -94,6 +94,27 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = md5(lower(trim(c)))
   def fingerprint64(c: Column): Column = xxhash64(lower(trim(c)))
 
+  /** F20 (stubbed): text → fixed-dim embedding. The reference embeds text
+    * columns with GloVe sentence vectors (ctu_dataset.py:43-52); a real
+    * deployment broadcasts an embedding table and joins it per token. Here
+    * the per-token vector is a deterministic hash-derived stand-in (no
+    * embedding weights ship in this container) and the SENTENCE COMBINATOR
+    * — tokenize, embed per token, elementwise-average — is the real,
+    * tested Spark plumbing: swap `tokenVec` for a broadcast-table lookup
+    * and nothing else changes. */
+  def embedTextStub(c: Column, dim: Int): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val tokenVec = (t: Column) => transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(t, i), lit(1000L)).cast("double") / 500.0) - 1.0)
+    val sum = aggregate(toks,
+      transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)),
+      (acc, t) => zip_with(acc, tokenVec(t), (a, b) => a + b))
+    // split("") yields [""], so blank-guard on the trimmed length like
+    // tokenCount, not on size(toks)
+    when(length(trim(c)) === 0, transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)))
+      .otherwise(transform(sum, x => x / size(toks)))
+  }
+
   /** Project a documents DataFrame to per-document analysis columns. */
   def analyze(docs: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

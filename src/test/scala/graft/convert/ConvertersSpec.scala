@@ -101,6 +101,18 @@ class ConvertersSpec extends SparkSpec {
     assert(defs.keySet == Set("id", "d_year", "d_dayofyear"))
   }
 
+  test("LegacyDateConverter: year/month/day/ordinal/epoch from %Y-%m-%d strings") {
+    val df = Seq("2024-03-01", "not-a-date").toDF("d")
+    val parts = Converters.LegacyDateConverter.convert("d", DateColumnDef(), col("d"))
+    assert(parts.map(_._1) == Seq("_year", "_month", "_day", "_ordinal", "_timestamp"))
+    val out = df.select(parts.map { case (sfx, e, _) => e.as(sfx) }: _*).collect()
+    assert(out(0).getDouble(0) == 2024.0 && out(0).getDouble(1) == 3.0 && out(0).getDouble(2) == 1.0)
+    // proleptic ordinal of 2024-03-01 (python date.toordinal) = 738946
+    assert(out(0).getDouble(3) == 738946.0)
+    assert(out(0).getDouble(4) == 1709251200.0)
+    assert(out(1).isNullAt(0)) // unparseable -> null through (lenient cast)
+  }
+
   test("clampTimestamp bounds extreme dates") {
     val df = Seq("0001-01-01 00:00:00", "9999-01-01 00:00:00", "2020-06-15 12:00:00")
       .toDF("s").select(col("s").cast("timestamp").as("ts"))

@@ -30,6 +30,13 @@ class NormalizersSpec extends SparkSpec {
     assert(out.getString(4) == "casq")
   }
 
+  test("F5: UTF8_LCASE collation makes distinct case-insensitive without rewriting values") {
+    val df = Seq("Apple", "APPLE", "pear").toDF("s")
+    val n = df.select(Normalizers.collated(col("s"), "UTF8_LCASE").as("c"))
+      .distinct().count()
+    assert(n == 2)
+  }
+
   test("unknown mapper errors with known list") {
     val e = intercept[RuntimeException](Normalizers("bogus"))
     assert(e.getMessage.contains("Unknown normalizer"))

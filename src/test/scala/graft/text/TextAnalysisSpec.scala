@@ -46,6 +46,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "fr", "es", "und", "zh"))
   }
 
+  test("embedTextStub: deterministic fixed-dim sentence vectors, word-order invariant mean") {
+    val df = Seq("hello world", "world hello", "hello there", "").toDF("t")
+    val out = df.select(TextAnalysis.embedTextStub(col("t"), 4).as("v")).as[Seq[Double]].collect()
+    assert(out.forall(_.length == 4))
+    assert(out(0) == out(1))         // mean of token vectors: order-invariant
+    assert(out(0) != out(2))         // different tokens -> different embedding
+    assert(out(3) == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
   test("fingerprint is normalization-invariant") {
     val out = Seq("Hello World ", "  hello world").toDF("t")
       .select(TextAnalysis.fingerprint(lower(trim(col("t")))).as("f")).as[String].collect()

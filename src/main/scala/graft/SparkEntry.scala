@@ -373,6 +373,17 @@ object SparkEntry {
       SELECT l_orderkey, round(sum(w * l_quantity),4) AS q_attn FROM s2
       GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  /** Skew-safe two-phase aggregation — semantically identical to the plain
+    * groupBy (which IS the oracle), but a hot key spreads over 32 salt
+    * buckets before the final reduce. */
+  private val qSalted = Q("sk1_salted_aggregate",
+    (s, d) => graft.agg.Skew.saltedSumCount(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", buckets = 32)
+      .select(col("l_returnflag"), round(col("sum_l_quantity"), 4).as("sum_q"), col("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, round(sum(l_quantity),4) AS sum_q, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val qImpute = Q("a11_impute_stats",
     (s, d) => {
       val c = t(s, d, "customer")
@@ -817,7 +828,7 @@ object SparkEntry {
     qRowId, qFkEdges, qSemi, qGraphStats,
     qAnalyze,
     qDistinctNullInc, qDistinctNorm, qCatStats, qNumStats,
-    qPropSum, qPropMean, qPropMax, qAttn, qImpute,
+    qPropSum, qPropMean, qPropMax, qAttn, qImpute, qSalted,
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,

@@ -1,0 +1,58 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation primitives for hot keys at cluster scale.
+  *
+  * AQE (`spark.sql.adaptive.skewJoin`) already splits skewed SHUFFLE
+  * partitions at runtime; these helpers cover the two cases AQE cannot:
+  * a single aggregation key so hot one task owns it, and a broadcast-
+  * ineligible join against a skewed build side.
+  *
+  * (No counterpart in the reference — it has no shuffle concept; this is
+  * part of the 100 TB design surface this engine adds.)
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy (key, salt) first — splitting a
+    * hot key across `buckets` reducers — then reduce the partials. Works
+    * for any algebraic aggregate you can express as (partial, merge):
+    * sum/count/min/max and anything built from them.
+    *
+    * @param partials aggregates for phase 1 (over raw rows)
+    * @param merges   aggregates for phase 2 (over phase-1 partials)
+    */
+  def saltedAggregate(df: DataFrame, keyCols: Seq[String], buckets: Int,
+      partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    require(buckets > 0)
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val phase1 = salted.groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1.groupBy(keyCols.map(col): _*).agg(merges.head, merges.tail: _*)
+  }
+
+  /** Convenience: salted sum/count of one value column — the common
+    * hot-key case (e.g. per-domain counts where one domain is 30% of the
+    * corpus). */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      buckets: Int = 32): DataFrame =
+    saltedAggregate(df, keyCols, buckets,
+      partials = Seq(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt")),
+      merges = Seq(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).cast("long").as("n")))
+
+  /** Salted join for a skewed LEFT side against a non-broadcastable right
+    * side: left rows get a random salt in [0, buckets); right rows are
+    * REPLICATED once per salt value, so the join key becomes
+    * (key, salt) and a hot key spreads over `buckets` tasks. Output
+    * equals the plain inner join.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int = 8): DataFrame = {
+    val l = left.withColumn("__salt", (rand(42) * buckets).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+}

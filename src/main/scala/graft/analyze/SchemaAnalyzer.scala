@@ -43,8 +43,19 @@ object DistinctCounter {
       case _ => DbDistinct.expr(c, dt)
     }
   }
+  /** Sketch-based variant for the 100 TB path: HLL++ approximate distinct
+    * (+ exact null-presence flag). The analyzer only compares the count
+    * against RATIO thresholds (0.05 / 0.2 / card 1000), so a small rsd is
+    * decision-equivalent except within epsilon of a threshold — trade
+    * exactness for a single streaming pass with O(1) state per column. */
+  final case class Approx(rsd: Double = 0.01) extends DistinctCounter {
+    def expr(c: Column, dt: DataType): Column =
+      (approx_count_distinct(c, rsd) + max(when(c.isNull, 1L).otherwise(0L))).cast(LongType)
+  }
+
   def apply(name: String): DistinctCounter = name match {
     case "db_distinct" => DbDistinct
+    case "approx"      => Approx()
     case s if s.startsWith("fetchall_") => FetchAllNormalized(s.stripPrefix("fetchall_"))
     case other => sys.error(s"Unknown distinct counter '$other'")
   }

@@ -16,8 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic sequential-fold dot product of two array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Deterministic sequential-fold dot product of two array columns —
+    * a native codegen Catalyst expression ([[graft.functions.DotProduct]]:
+    * tight primitive loop, no per-element lambda dispatch or intermediate
+    * zipped array). [[dotHof]] is the pure-builtin equivalent; both fold
+    * left-to-right, so results are bit-identical. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
+
+  /** Higher-order-function form of [[dot]] (kept for cross-checking the
+    * native expression and for environments that forbid custom
+    * expressions). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

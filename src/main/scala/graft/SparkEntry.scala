@@ -811,6 +811,27 @@ object SparkEntry {
   // Streaming-shaped transforms (batch-checked)
   // ====================================================================
 
+  /** Batched mapPartitions decode — codec is the deterministic stub
+    * (hash-defined ⇒ rows-only); the batch plumbing is what's exercised. */
+  private val qDecode = Q("mm2_decode_batched",
+    (s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
+      Multimodal.decodeBatched(media, dim = 4, batchSize = 32)
+        .select(col("media_id"), round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("media_id")
+    },
+    None)
+
+  /** Stateful running totals (mapGroupsWithState) — on a bounded input the
+    * final state per key equals the plain aggregate, which IS the oracle. */
+  private val qRunningTotals = Q("st2_running_totals",
+    (s, d) => EventStream.runningTotals(events(s, d), "event_type", "value")
+      .toDF()
+      .select(col("key"), col("n"), round(col("total"), 4).as("total"))
+      .orderBy("key"),
+    Some("""SELECT event_type AS key, count(*) AS n, round(sum(value),4) AS total
+      FROM events GROUP BY event_type ORDER BY key"""))
+
   private val qHourly = Q("st1_hourly_events",
     (s, d) => EventStream.hourlyStats(events(s, d))
       .orderBy("wstart", "event_type"),
@@ -837,7 +858,7 @@ object SparkEntry {
     qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
     qBruteTopK, qLshTopK,
     qTextQuality, qLangId, qFingerprint,
-    qMedia, qHourly)
+    qMedia, qDecode, qHourly, qRunningTotals)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

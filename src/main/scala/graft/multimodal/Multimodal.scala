@@ -55,6 +55,48 @@ object Multimodal {
     df.withColumn("features", feats)
   }
 
+  /** Batched partition-parallel decode — the Scala shape of a
+    * `mapInPandas` media pipeline: each task pulls rows, groups them into
+    * decode batches (bounding peak memory to batchSize payloads), hands
+    * the batch to the codec, and emits (media_id, features) rows. The
+    * codec callback is the ONLY stub; the iterator/batch/schema plumbing
+    * is exactly what a JNI/ONNX decoder plugs into.
+    *
+    * @param decode batch codec: N payloads in, N fixed-dim feature vectors
+    *               out (defaults to the deterministic hash stub)
+    */
+  def decodeBatched(df: DataFrame, dim: Int = 8, batchSize: Int = 64,
+      decode: Seq[Array[Byte]] => Seq[Array[Float]] = null): DataFrame = {
+    val codec: Seq[Array[Byte]] => Seq[Array[Float]] =
+      if (decode != null) decode else stubBatchCodec(dim)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val feats = codec(batch.map(_._2))
+          require(feats.length == batch.length,
+            s"codec returned ${feats.length} results for ${batch.length} inputs")
+          batch.map(_._1).zip(feats)
+        }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** ??? STUB ??? — JVM-side deterministic batch codec (FNV-1a over bytes,
+    * per-feature remix); replace with a real image/audio decoder keeping
+    * the same Seq-in/Seq-out batch signature. */
+  def stubBatchCodec(dim: Int)(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map { bytes =>
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      Array.tabulate(dim) { i =>
+        val z = (h ^ (i * 0x9e3779b97f4a7c15L))
+        (((z % 1000L + 1000L) % 1000L).toFloat / 500.0f) - 1.0f
+      }
+    }
+
   /** Frame-sampling plan for video/audio payloads: offsets (ms) of `fps`
     * frames over the recorded duration — the sampling schedule is real
     * engine work (the per-offset decode is the stub). */

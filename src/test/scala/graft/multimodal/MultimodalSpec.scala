@@ -36,6 +36,26 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0) != f1(1)) // different payloads -> different features
   }
 
+  test("decodeBatched: batch iterator shape with a pluggable codec") {
+    val many = Multimodal.asMedia(
+      (1L to 100L).map(i => (i, s"payload-$i")).toDF("id", "payload"),
+      "id", "payload", "text/plain")
+    // custom codec records batch sizes via the feature value
+    val out = Multimodal.decodeBatched(many, dim = 2, batchSize = 16,
+      decode = batch => batch.map(b => Array(b.length.toFloat, batch.length.toFloat)))
+      .orderBy("media_id").as[(Long, Seq[Float])].collect()
+    assert(out.length == 100)
+    assert(out.forall { case (_, f) => f.length == 2 })
+    // batches are bounded by batchSize (per-partition remainder batches allowed)
+    assert(out.forall { case (_, f) => f(1) <= 16.0f })
+    // default stub codec is deterministic
+    val a = Multimodal.decodeBatched(many, dim = 4).orderBy("media_id")
+      .as[(Long, Seq[Float])].collect()
+    val b = Multimodal.decodeBatched(many, dim = 4).orderBy("media_id")
+      .as[(Long, Seq[Float])].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("frameOffsets samples every N ms over the recorded duration") {
     val withDur = media.withColumn("meta",
       struct(col("meta.format"), col("meta.width"), col("meta.height"),

@@ -25,6 +25,33 @@ class EventStreamSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("runningTotals accumulates custom state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val src = mem.toDF().toDF("k", "v")
+    val q = EventStream.runningTotals(src, "k", "v").writeStream
+      .format("memory").queryName("totals").outputMode("update").start()
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      mem.addData(("a", 4.0))   // second micro-batch must see prior state
+      q.processAllAvailable()
+      val last = spark.table("totals").groupBy("key")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"),
+          org.apache.spark.sql.functions.max("total").as("total"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(last("a") == ((3L, 7.0)))   // state carried: 2 events + 1 event
+      assert(last("b") == ((1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("runningTotals also runs on a plain batch Dataset") {
+    val df = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")
+    val out = EventStream.runningTotals(df, "k", "v")
+      .collect().map(t => t.key -> ((t.n, t.total))).toMap
+    assert(out == Map("a" -> ((2L, 6.0)), "b" -> ((1L, 2.0))))
+  }
+
   test("the same transform runs as a real stream with watermarked state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

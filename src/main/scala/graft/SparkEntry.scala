@@ -13,7 +13,7 @@ import graft.graph.RelGraph
 import graft.multimodal.Multimodal
 import graft.sample.BfsSampler
 import graft.schema._
-import graft.similarity.Similarity
+import graft.similarity.{Ivf, Similarity}
 import graft.streaming.EventStream
 import graft.text.TextAnalysis
 
@@ -726,6 +726,20 @@ object SparkEntry {
       SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 3
       ORDER BY query_id, neighbor_id"""))
 
+  /** IVF with nProbe = nCells degenerates to exhaustive search, so the
+    * brute-force SQL oracle checks the whole quantize→probe→rank pipeline;
+    * nProbe < nCells is the production approximate path (spec-tested for
+    * cluster recall). */
+  private val qIvfTopK = Q("sim3_ivf_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+      Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, cents, nProbe = 8, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    qBruteTopK.oracle)
+
   private val qLshTopK = Q("sim2_lsh_topk",
     (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 3, nPlanes = 6, dim = 64)
@@ -856,7 +870,7 @@ object SparkEntry {
     qLegacyDates, qBlueprint, qEmbedStub,
     qBfs,
     qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
-    qBruteTopK, qLshTopK,
+    qBruteTopK, qLshTopK, qIvfTopK,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qHourly, qRunningTotals)
 

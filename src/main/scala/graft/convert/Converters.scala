@@ -240,8 +240,13 @@ class TableConverter(
           planned.map { case (n, e, _, orig) => (n, e, col(orig)) })
         planned.filterNot { case (n, _, _, _) => drop(n) }
       }
-    val out = df.select(kept.map { case (n, e, _, _) => e.as(n) }: _*)
-    (out, kept.map { case (n, _, ocd, _) => n -> ocd }.toMap)
+    // featureless table => constant filler column, so downstream feature
+    // matrices are never zero-width (ctu_dataset.py:175-179)
+    val withFiller =
+      if (kept.nonEmpty) kept
+      else Seq((uniqueName("__filler"), lit(1.0), NumericColumnDef(), ""))
+    val out = df.select(withFiller.map { case (n, e, _, _) => e.as(n) }: _*)
+    (out, withFiller.map { case (n, _, ocd, _) => n -> ocd }.toMap)
   }
 }
 

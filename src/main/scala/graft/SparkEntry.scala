@@ -180,6 +180,7 @@ object SparkEntry {
     ("customer", "c_nationkey", "nation", "n_nationkey"),
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
     ("orders", "o_custkey", "customer", "c_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
     ("lineitem", "l_suppkey", "supplier", "s_suppkey"))

@@ -59,6 +59,8 @@ object ConstraintRegistry {
       "customer" -> Seq(ForeignKeyDef(Seq("c_nationkey"), "nation", Seq("n_nationkey"))),
       "supplier" -> Seq(ForeignKeyDef(Seq("s_nationkey"), "nation", Seq("n_nationkey"))),
       "orders"   -> Seq(ForeignKeyDef(Seq("o_custkey"), "customer", Seq("c_custkey"))),
+      // streaming-shaped entity key (FIXTURES.md F-A: events join the graph)
+      "events"   -> Seq(ForeignKeyDef(Seq("user_id"), "customer", Seq("c_custkey"))),
       "lineitem" -> Seq(
         ForeignKeyDef(Seq("l_orderkey"), "orders", Seq("o_orderkey")),
         ForeignKeyDef(Seq("l_partkey"), "part", Seq("p_partkey")),

@@ -171,16 +171,17 @@ object Dedup {
     * derive union from per-doc set sizes. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol), wordShingles(col(textCol), n).as("__set"))
-    val sizes = sets.select(col(idCol), size(col("__set")).as("__sz"))
-    val inv = sets.select(col(idCol), explode(col("__set")).as("__sh"))
-    val pairs = inv.select(col("__sh"), col(idCol).as("id1"))
-      .join(inv.select(col("__sh"), col(idCol).as("id2")), "__sh")
+    // one shingle computation; set sizes travel denormalized on the
+    // exploded rows, so no size re-join and no repeated HOF evaluation
+    val inv = docs.select(col(idCol), wordShingles(col(textCol), n).as("__set"))
+      .select(col(idCol), size(col("__set")).as("__sz"), explode(col("__set")).as("__sh"))
+    val l = inv.select(col("__sh"), col(idCol).as("id1"), col("__sz").as("__sz1"))
+    val r = inv.select(col("__sh"), col(idCol).as("id2"), col("__sz").as("__sz2"))
+    l.join(r, "__sh")
       .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__inter"))
-    pairs
-      .join(sizes.select(col(idCol).as("id1"), col("__sz").as("__sz1")), "id1")
-      .join(sizes.select(col(idCol).as("id2"), col("__sz").as("__sz2")), "id2")
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("__inter"),
+        first(col("__sz1")).as("__sz1"), first(col("__sz2")).as("__sz2"))
       .withColumn("jaccard",
         col("__inter").cast("double") /
           (col("__sz1") + col("__sz2") - col("__inter")).cast("double"))

@@ -89,6 +89,37 @@ object SparkEntry {
       round(avg(l_extendedprice),4) AS avg_price, count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** TPC-H Q5-shaped multi-join analytic: 6-table star join with selective
+    * filters — Catalyst broadcasts every dimension (region/nation/customer/
+    * supplier), the two fact-side joins shuffle on their keys, and the
+    * revenue aggregate combines map-side. The showcase "would this plan
+    * survive 100×" query. */
+  private val qQ5 = Q("q5_local_supplier_revenue",
+    (s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
   // ====================================================================
   // §2.2 projections / filters / predicates
   // ====================================================================
@@ -859,7 +890,7 @@ object SparkEntry {
   // ====================================================================
 
   private val all: Seq[Q] = Seq(
-    qScan, qCounts, qAgg1,
+    qScan, qCounts, qAgg1, qQ5,
     qProject, qNotNull, qInList, qOffset,
     qRowId, qFkEdges, qSemi, qGraphStats,
     qAnalyze,

@@ -54,7 +54,7 @@ object Dedup {
 
   /** Deterministic universal-hash parameters (a, b) for k MinHash
     * functions: h_i(x) = ((a_i * x + b_i) mod p), p = 2^61 - 1. */
-  private[dedup] def hashParams(k: Int, seed: Long): Array[(Long, Long)] =
+  private[graft] def hashParams(k: Int, seed: Long): Array[(Long, Long)] =
     Array.tabulate(k) { i =>
       var z = seed + 0x9e3779b97f4a7c15L * (i + 1L)
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -73,7 +73,7 @@ object Similarity {
     * derives from a splitmix64-style integer mix of (seed, p, i), mapped to
     * [-1, 1). Generated driver-side as literals — h×dim doubles, trivially
     * broadcastable. */
-  private[similarity] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim) { (p, i) =>
       var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 65537L + i + 1L)
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

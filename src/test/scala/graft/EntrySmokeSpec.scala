@@ -1,0 +1,33 @@
+package graft
+
+class EntrySmokeSpec extends SparkSpec {
+
+  test("entry() runs under the driver's conditions, including ANSI mode") {
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    val prevNanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    // simulate a driver-created session: Spark 4 ANSI default, no nanos conf
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try {
+      val rows = SparkEntry.entry(spark).collect()
+      // 10 node types + 8 forward + 8 reverse FK edge types
+      assert(rows.length == 26)
+      assert(rows.forall(_.getLong(2) >= 0))
+      val kinds = rows.map(_.getString(1)).toSet
+      assert(kinds == Set("node_rows", "edges"))
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prevNanos)
+    }
+  }
+
+  test("every registered query has either an oracle or a documented rows-only reason") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // hash-/seed-defined pipelines only — keep this list in sync when adding
+    assert(rowsOnly == Set("w6_random_split", "d2_minhash_neardups",
+      "d4_simhash_neardups", "d5_embedding_neardups", "sim2_lsh_topk",
+      "t4_text_embed_stub", "mm2_decode_batched"))
+    // and no oracle exists without a query
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}

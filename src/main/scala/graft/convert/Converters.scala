@@ -214,8 +214,12 @@ class TableConverter(
   // skipAllSame default matches the reference's skip_if_allsame=True
   // (pandas_converter.py:12-14).
 
+  /** @param keep columns passed through unchanged (e.g. a row-id the graph
+    *             layer joins on) — not converted, not pruned, not in the
+    *             returned ColumnDefs */
   def convertTable(df: DataFrame, ts: TableSchema,
-      target: Option[String] = None): (DataFrame, Map[String, ColumnDef]) = {
+      target: Option[String] = None,
+      keep: Seq[String] = Nil): (DataFrame, Map[String, ColumnDef]) = {
     val used = scala.collection.mutable.Set.empty[String]
     def uniqueName(base: String): String = {
       val n = if (!used.contains(base)) base
@@ -245,7 +249,8 @@ class TableConverter(
     val withFiller =
       if (kept.nonEmpty) kept
       else Seq((uniqueName("__filler"), lit(1.0), NumericColumnDef(), ""))
-    val out = df.select(withFiller.map { case (n, e, _, _) => e.as(n) }: _*)
+    val out = df.select(
+      keep.map(col) ++ withFiller.map { case (n, e, _, _) => e.as(n) }: _*)
     (out, withFiller.map { case (n, _, ocd, _) => n -> ocd }.toMap)
   }
 }

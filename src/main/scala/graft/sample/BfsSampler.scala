@@ -33,6 +33,29 @@ import graft.schema.Schema
   * scan stays partition-parallel, and accumulated rows are unioned lazily
   * with one final `distinct` per table.
   */
+object Sampling {
+  import org.apache.spark.sql.expressions.Window
+
+  /** W5: neighbor-sampling cap — at most k edges per destination node,
+    * chosen by seeded random order (the reference's HGTLoader/NeighborLoader
+    * `num_samples` cap, experiments/blueprint_mlflow.py:53,119-133). One
+    * windowed rank on the edge list; deterministic for a fixed seed and
+    * partitioning. */
+  def capNeighbors(edges: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col("dst_id")).orderBy(rand(seed), col("src_id"))
+    edges.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** W6: train/validation boolean masks by seeded random threshold
+    * (`T.RandomNodeSplit('train_rest')`, main.py:220-221). */
+  def withSplitMasks(nodes: DataFrame, valFraction: Double, seed: Long = 42L): DataFrame = {
+    val r = rand(seed)
+    nodes.withColumn("val_mask", r < valFraction)
+      .withColumn("train_mask", !(r < valFraction))
+  }
+}
+
 class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {
 
   private case class QueueItem(table: String, depth: Int, parent: Option[String],

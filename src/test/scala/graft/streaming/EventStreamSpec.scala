@@ -25,6 +25,29 @@ class EventStreamSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("hourlyStats runs as a FILE stream over the real events parquet") {
+    // the driver's events table read as a parquet file stream (nanos ts ->
+    // long under the legacy conf, normalized to a timestamp column)
+    // file streams need a directory: stage the single-file table into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batchDf = spark.read.parquet(dir)
+    val src = spark.readStream.schema(batchDf.schema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val agg = EventStream.windowedAgg(src, "ts", "event_type", "1 hour",
+      watermark = Some("1 hour"))
+    val q = agg.writeStream.format("memory").queryName("file_evt")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_evt")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(streamed == batchDf.count()) // every event landed in a window
+    } finally q.stop()
+  }
+
   test("runningTotals accumulates custom state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]

@@ -97,6 +97,20 @@ object Multimodal {
       }
     }
 
+  /** ??? STUB ??? — image resize: updates the metadata struct to the target
+    * dimensions and derives a deterministic fake payload of plausible size
+    * (payload scales with pixel count). The metadata bookkeeping, payload
+    * re-emission, and schema preservation are the real plumbing; swap the
+    * byte transform for an actual resampler. */
+  def stubResize(df: DataFrame, width: Int, height: Int): DataFrame = {
+    val fakeBytes = sha2(concat(col("data").cast("string"),
+      lit(s"${width}x$height")), 256).cast("binary")
+    df.withColumn("data", fakeBytes)
+      .withColumn("meta", struct(
+        col("meta.format"), lit(width).as("width"), lit(height).as("height"),
+        col("meta.duration_ms")))
+  }
+
   /** Frame-sampling plan for video/audio payloads: offsets (ms) of `fps`
     * frames over the recorded duration — the sampling schedule is real
     * engine work (the per-offset decode is the stub). */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analyze.{DistinctCounter, SchemaAnalyzer}
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
-import graft.convert.TableConverter
+import graft.convert.{CategoricalCodes, TableConverter}
 import graft.graph.{EdgeType, RelGraph}
 import graft.schema._
 
@@ -114,6 +114,43 @@ class FixturesSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("__filler"))
     assert(defs == Map("__filler" -> NumericColumnDef()))
     assert(out.select("__filler").distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
+
+  test("F-D: financial shape — NULL-heavy categorical encodes NULL as code 0; " +
+      "loan columns hit the name heuristics; dates decompose") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("graft-fin").toString
+    // enough rows that the NULL-inclusive distinct / non-null ratio stays
+    // under the 0.2 categorical threshold (as in the real dataset)
+    (1 to 30).map { i =>
+      val sym = i % 3 match { case 0 => None; case 1 => Some("SIPO"); case 2 => Some("UVER") }
+      (i, f"199${i % 3 + 6}-03-${i % 28 + 1}%02d 00:00:00", 500.0 * i, 6 * (i % 4 + 1), sym)
+    }.toDF("loan_key", "date", "amount", "payments", "k_symbol")
+      .select(col("loan_key"), col("date").cast("timestamp").as("date"),
+        col("amount"), col("payments"), col("k_symbol"))
+      .write.mode("overwrite").parquet(s"$fdir/loan.parquet")
+    val fcat = new ParquetCatalog(spark, fdir,
+      ConstraintRegistry(primaryKeys = Map("loan" -> Seq("loan_key"))))
+    val a = new SchemaAnalyzer(fcat)
+    // common-name regex: 'payments' (plural + 'pay'...): actually plural rule
+    assert(a.guessColumnType("loan", "payments") == NumericColumnDef())
+    assert(a.guessColumnType("loan", "amount") == NumericColumnDef())     // determined double
+    assert(a.guessColumnType("loan", "date") == DateTimeColumnDef())      // determined ts
+    // k_symbol: 2 distinct non-null + NULL => null-inclusive card 3,
+    // ratio 3/20 under the 0.2 threshold => categorical
+    assert(a.guessColumnType("loan", "k_symbol") == CategoricalColumnDef(3))
+    // NULL-as-category: dictionary forces NULL to code 0
+    val loan = fcat.table("loan")
+    val dict = CategoricalCodes.dictionary(loan, col("k_symbol"), Seq(col("loan_key")))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(dict(None) == 0L)
+    assert(dict(Some("SIPO")) == 1L && dict(Some("UVER")) == 2L) // first appearance
+    // date decomposition through the TableConverter
+    val ts = a.guessSchema()("loan")
+    val (out, defs) = new TableConverter().convertTable(loan, ts, keep = Seq("loan_key"))
+    assert(defs.keySet.contains("date_year") && defs.keySet.contains("date_dayofyear"))
+    val y = out.filter(col("loan_key") === 1).select("date_year").collect()(0).getDouble(0)
+    assert(y == 1997.0) // loan 1: 1 % 3 + 6 = 7 -> 1997
   }
 
   test("F-E: the 12 mappers give the golden distinct counts on diacritic variants") {

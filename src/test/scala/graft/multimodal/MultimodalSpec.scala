@@ -56,6 +56,18 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("stubResize rewrites dimensions and re-emits a payload, schema intact") {
+    val out = Multimodal.stubResize(media, 224, 224)
+    assert(out.schema == media.schema)
+    val m = out.orderBy("media_id").collect()(0)
+    assert(m.getStruct(2).getAs[Int]("width") == 224)
+    assert(m.getStruct(2).getAs[Int]("height") == 224)
+    assert(m.getAs[Array[Byte]]("data").nonEmpty)
+    // deterministic and input-dependent
+    val again = Multimodal.stubResize(media, 224, 224).orderBy("media_id").collect()(0)
+    assert(java.util.Arrays.equals(m.getAs[Array[Byte]]("data"), again.getAs[Array[Byte]]("data")))
+  }
+
   test("frameOffsets samples every N ms over the recorded duration") {
     val withDur = media.withColumn("meta",
       struct(col("meta.format"), col("meta.width"), col("meta.height"),

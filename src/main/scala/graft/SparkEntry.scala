@@ -878,6 +878,22 @@ object SparkEntry {
     Some("""SELECT event_type AS key, count(*) AS n, round(sum(value),4) AS total
       FROM events GROUP BY event_type ORDER BY key"""))
 
+  private val qSessions = Q("st3_sessionize",
+    (s, d) => EventStream.sessionizeBatch(events(s, d), "user_id", "ts",
+        gapSeconds = 1800)
+      .orderBy("user_id", "session_id"),
+    // floor(epoch(...)) everywhere: Spark's unix_timestamp truncates
+    // sub-second parts, so the oracle's gap test and bounds must too
+    Some("""WITH e AS (SELECT user_id, ts,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+      s AS (SELECT user_id, ts, CASE WHEN prev IS NULL
+          OR floor(epoch(ts)) - floor(epoch(prev)) > 1800 THEN 1 ELSE 0 END AS new_s FROM e),
+      c AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+      SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+        floor(epoch(min(ts)))::BIGINT AS start_s, floor(epoch(max(ts)))::BIGINT AS end_s
+      FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
   private val qHourly = Q("st1_hourly_events",
     (s, d) => EventStream.hourlyStats(events(s, d))
       .orderBy("wstart", "event_type"),
@@ -904,7 +920,7 @@ object SparkEntry {
     qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,
     qTextQuality, qLangId, qFingerprint,
-    qMedia, qDecode, qHourly, qRunningTotals)
+    qMedia, qDecode, qHourly, qRunningTotals, qSessions)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

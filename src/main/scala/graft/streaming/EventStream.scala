@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming-ready event transforms. The reference is batch-only
   * (SURVEY §2.8) — its only temporal hook is an unused per-dataset
@@ -51,6 +52,64 @@ object EventStream {
       }
   }
 
+  /** Batch sessionization: per-key sessions split where the gap between
+    * consecutive events exceeds `gapSeconds`. Classic lag + running-sum
+    * windows — two window passes over ONE partitioning (Catalyst plans a
+    * single exchange), then a session aggregate. */
+  def sessionizeBatch(events: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(byKey)
+    val isNew = when(prev.isNull ||
+      (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > gapSeconds, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_id",
+        sum(col("__new")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(min(col(tsCol))).as("start_s"),
+        unix_timestamp(max(col(tsCol))).as("end_s"))
+  }
+
+  /** Streaming sessionization: `flatMapGroupsWithState` with event-time
+    * timeout — state per key is the open session (start, last, count);
+    * a session is EMITTED when the watermark passes last+gap (timeout) or
+    * when an in-batch event arrives after the gap. The batch form above is
+    * the oracle for bounded input. */
+  final case class SessionOut(key: String, n_events: Long, start_s: Long, end_s: Long)
+  // public: the state encoder's generated code must construct it
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("string"), unix_timestamp(col(tsCol)).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { t =>
+            cur match {
+              case Some(s) if t - s.last <= gapSeconds =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(key, s.n, s.start, s.last)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
   /** Oracle-friendly projection: epoch-second window start, rounded sums. */
   def hourlyStats(events: DataFrame): DataFrame =
     windowedAgg(events, "ts", "event_type", "1 hour")

@@ -68,6 +68,33 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream emits closed sessions across micro-batches; batch form agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = mem.toDF().toDF("user", "ts")
+    val q = EventStream.sessionizeStream(src, "user", "ts", gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(("u1", t("2024-01-01 10:00:00")), ("u1", t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      mem.addData(("u1", t("2024-01-01 12:00:00"))) // gap > 30min closes it
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(closed == Seq(("u1", 2L))) // first session: 2 events
+    } finally q.stop()
+
+    // batch form on the equivalent bounded input: 2 sessions for u1
+    import spark.implicits._
+    val batch = Seq(("u1", t("2024-01-01 10:00:00")), ("u1", t("2024-01-01 10:10:00")),
+      ("u1", t("2024-01-01 12:00:00"))).toDF("user", "ts")
+    val sessions = EventStream.sessionizeBatch(batch, "user", "ts", 1800)
+      .orderBy("session_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sessions.toSeq == Seq((1L, 2L), (2L, 1L))) // (session_id, n_events)
+  }
+
   test("runningTotals also runs on a plain batch Dataset") {
     val df = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")
     val out = EventStream.runningTotals(df, "k", "v")

@@ -79,15 +79,36 @@ object SparkEntry {
     Some(allTables.map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")
       .mkString("", " UNION ALL ", " ORDER BY table_name")))
 
+  /** Full TPC-H Q1 shape: the classic pricing-summary aggregate battery —
+    * one scan, map-side partial aggregation, 3-column read schema. */
   private val qAgg1 = Q("q1_agg",
-    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
-      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        count(lit(1)).as("n"))
-      .orderBy("l_returnflag"),
-    Some("""SELECT l_returnflag, round(sum(l_quantity),4) AS sum_qty,
-      round(avg(l_extendedprice),4) AS avg_price, count(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+    (s, d) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(disc), 2).as("sum_disc_price"),
+          round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity),4) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_base_price,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      round(avg(l_quantity),4) AS avg_qty,
+      round(avg(l_extendedprice),4) AS avg_price,
+      round(avg(l_discount),6) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
 
   /** TPC-H Q5-shaped multi-join analytic: 6-table star join with selective
     * filters — Catalyst broadcasts every dimension (region/nation/customer/

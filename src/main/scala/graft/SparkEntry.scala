@@ -640,6 +640,25 @@ object SparkEntry {
       .orderBy("doc_id"),
     None)
 
+  /** F13 on a DERIVED interval (testdata has no interval column):
+    * timestamp subtraction yields a DayTimeIntervalType, converted to total
+    * nanoseconds by field extraction. Reported in seconds at 6 decimals:
+    * the true value has exactly micro precision, and both engines' double
+    * error (≤1e-7) is well inside the 5e-7 rounding boundary. */
+  private val qDuration = Q("f13_duration_nanos",
+    (s, d) => {
+      val interval = col("l_shipdate") - lit("1995-01-01 00:00:00").cast("timestamp")
+      val Seq((_, nanos, _)) = Converters.DurationConverter
+        .convert("dur", DurationColumnDef(), interval)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(nanos / 1e9, 6).as("dur_s"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      round((epoch(l_shipdate) - epoch(TIMESTAMP '1995-01-01')) * 1e9 / 1e9, 6) AS dur_s
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
   private val qSoftmax = Q("f21_softmax_argmax",
     (s, d) => {
       val e = col("embedding")
@@ -936,7 +955,7 @@ object SparkEntry {
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
-    qLegacyDates, qBlueprint, qEmbedStub,
+    qLegacyDates, qBlueprint, qEmbedStub, qDuration,
     qBfs,
     qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,

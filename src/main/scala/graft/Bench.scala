@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":"total",...,"queries":{...}}.
+  *
+  * Hygiene: the cache is cleared between queries (several operators persist
+  * intermediates — row-id'd graph nodes, per-edge-type counts — and letting
+  * them accumulate across a 55-query sweep distorts the later timings), and
+  * a failing query is recorded in a separate "failed" map rather than as a
+  * fake fast timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +22,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
+      spark.catalog.clearCache()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,9 @@ object SparkEntry {
     * timestamp column (microsecond floor). */
   private def nanosOk(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // oracle parity: DuckDB's epoch()/hour() are TZ-naive; pin the session
+    // zone so unix_timestamp/hour/window agree on any driver-provided session
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s
   }
 
@@ -47,7 +50,9 @@ object SparkEntry {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integral `div`, not `/`: ns-epoch longs exceed 2^53, so double
+        // division can shift the resulting microsecond by 1
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
@@ -221,9 +226,12 @@ object SparkEntry {
     val slim = Schema(schema.tables.map { case (tn, ts) =>
       tn -> ts.copy(columns = ts.columns.filter { case (c, _) => tables(tn).columns.contains(c) })
     })
+    // cached nodes: each table's row-id lineage executes once across the
+    // 10 node-count branches + 8 edge joins; reverse-edge counts are derived
+    // from forward counts inside stats (transpose preserves cardinality)
     RelGraph.build(slim, tables.toMap)
-      .withReverseEdges
-      .stats(s)
+      .withCachedNodes
+      .stats(s, includeReverse = true)
       .orderBy("entity", "kind")
   }
 

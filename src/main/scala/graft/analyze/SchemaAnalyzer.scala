@@ -31,7 +31,8 @@ object DistinctCounter {
     * the reference's per-column roundtrips, schema_autodetect.py:261-310). */
   case object DbDistinct extends DistinctCounter {
     def expr(c: Column, dt: DataType): Column =
-      (count_distinct(c) + max(when(c.isNull, 1L).otherwise(0L))).cast(LongType)
+      (count_distinct(c) +
+        coalesce(max(when(c.isNull, 1L).otherwise(0L)), lit(0L))).cast(LongType)
   }
   /** Distinct count after string normalization (applies to string columns
     * only; others fall back to DbDistinct). */
@@ -39,7 +40,10 @@ object DistinctCounter {
     private val f = Normalizers(mapper)
     def expr(c: Column, dt: DataType): Column = dt match {
       case StringType =>
-        (count_distinct(f(c)) + max(when(c.isNull, 1L).otherwise(0L))).cast(LongType)
+        // coalesce: max over zero rows is NULL, and NULL would poison the
+        // sum on an empty table (DbDistinct returns 0 there)
+        (count_distinct(f(c)) +
+          coalesce(max(when(c.isNull, 1L).otherwise(0L)), lit(0L))).cast(LongType)
       case _ => DbDistinct.expr(c, dt)
     }
   }
@@ -50,7 +54,8 @@ object DistinctCounter {
     * exactness for a single streaming pass with O(1) state per column. */
   final case class Approx(rsd: Double = 0.01) extends DistinctCounter {
     def expr(c: Column, dt: DataType): Column =
-      (approx_count_distinct(c, rsd) + max(when(c.isNull, 1L).otherwise(0L))).cast(LongType)
+      (approx_count_distinct(c, rsd) +
+        coalesce(max(when(c.isNull, 1L).otherwise(0L)), lit(0L))).cast(LongType)
   }
 
   def apply(name: String): DistinctCounter = name match {

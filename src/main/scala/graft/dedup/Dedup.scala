@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.similarity.Similarity
@@ -98,12 +99,34 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
+  /** Per-document shingle sets, persisted: the shingle expression (regex
+    * split + sliding concat) is the single most expensive scalar computation
+    * in the dedup family, and every pipeline consumes it from several plan
+    * branches (inverted index, document frequencies, verification join).
+    * Persisting the one-row-per-doc set materializes it exactly once.
+    * Callers own the cache lifecycle (session `clearCache`). */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sets = docs.select(col(idCol), wordShingles(col(textCol), n).as("__set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize eagerly: the consuming pipelines read the sets from
+    // several INDEPENDENT stages that Spark may launch concurrently — a
+    // lazily-populated cache would be computed once per racing stage
+    sets.count()
+    sets
+  }
+
   /** Exact Jaccard verification of candidate pairs (kills LSH false
     * positives): joins each side's distinct-shingle set back in and
     * computes |A∩B| / |A∪B| via array ops. */
   def verifyJaccard(docs: DataFrame, candidates: DataFrame, idCol: String,
-      textCol: String, shingleN: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set"))
+      textCol: String, shingleN: Int, threshold: Double): DataFrame =
+    verifyJaccardSets(shingleSets(docs, idCol, textCol, shingleN),
+      candidates, idCol, threshold)
+
+  /** Verification against precomputed `(idCol, __set)` shingle sets. */
+  private def verifyJaccardSets(sets: DataFrame, candidates: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val withSets = candidates
       .join(sets.withColumnRenamed(idCol, "id1").withColumnRenamed("__set", "__s1"), "id1")
       .join(sets.withColumnRenamed(idCol, "id2").withColumnRenamed("__set", "__s2"), "id2")
@@ -119,9 +142,17 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleN, seed)
+    // shingle once: signatures and the verify join both read the cached sets
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val params = hashParams(k, seed)
+    val exploded = sets.select(col(idCol), explode(col("__set")).as("__sh"))
+      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(MersennePrime)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
+    }
+    val sigs = exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     val cands = minhashCandidates(sigs, idCol, k, bands)
-    verifyJaccard(docs, cands, idCol, textCol, shingleN, threshold)
+    verifyJaccardSets(sets, cands, idCol, threshold)
   }
 
   // ------------------------------------------------------------- simhash
@@ -143,15 +174,27 @@ object Dedup {
     voted.select(col(idCol), packed.as("simhash"))
   }
 
-  /** Hamming-distance near-dup pairs over SimHashes, banded by 16-bit
-    * chunks (pairs agreeing on any chunk are candidates — guarantees recall
-    * for distance ≤ 3 on 4 chunks), then exact popcount verify. */
+  /** Hamming-distance near-dup pairs over SimHashes, banded into
+    * `maxDistance + 1` bit-chunks: a pair within Hamming distance d differs
+    * in at most d bits, so by pigeonhole at least one of d+1 chunks is
+    * identical — the chunk equi-join has FULL recall at the requested
+    * distance (no recall cliff), then exact popcount verifies. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance=$maxDistance must be in [0, 63] for 64-bit SimHash banding")
     val sh = simhash(docs, idCol, textCol)
-    val chunks = (0 until 4).map { i =>
+    val nChunks = maxDistance + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    // chunk i gets base (+1 for the first rem) bits; offsets are cumulative
+    val bounds = (0 until nChunks).scanLeft(0)((off, i) => off + base + (if (i < rem) 1 else 0))
+    val chunks = (0 until nChunks).map { i =>
+      val off = bounds(i)
+      val w = bounds(i + 1) - off
+      val mask = if (w == 64) -1L else (1L << w) - 1L
       struct(lit(i).as("chunk"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL).as("val")).as(s"__c$i")
+        shiftright(col("simhash"), off).bitwiseAND(mask).as("val")).as(s"__c$i")
     }
     val banded = sh.select(col(idCol), col("simhash"),
         explode(array(chunks: _*)).as("__chunk"))
@@ -165,28 +208,46 @@ object Dedup {
 
   // ------------------------------------------- n-gram Jaccard (exact)
 
-  /** Exact n-gram Jaccard similarity for all pairs above a threshold,
-    * via inverted index: explode distinct shingles, self-join on shingle
-    * (the inverted-index join — never a cross join), count intersections,
-    * derive union from per-doc set sizes. */
+  /** Exact n-gram Jaccard similarity for all pairs above a threshold, via
+    * PPJoin-style prefix filtering (exactness-preserving):
+    *
+    *  1. one groupBy computes each shingle's document frequency (df);
+    *  2. each document indexes only its `|s| - ceil(t*|s|) + 1`
+    *     globally-rarest shingles (order by (df, shingle) — any total order
+    *     works; rarest-first minimizes candidates). The prefix-filtering
+    *     lemma guarantees every pair with J >= t shares at least one shingle
+    *     inside BOTH prefixes, so the prefix equi-join yields a superset of
+    *     the true result;
+    *  3. a length filter (`min_size >= t * max_size`, a necessary condition
+    *     for J >= t) prunes further;
+    *  4. exact set-Jaccard verification restores exactness.
+    *
+    * Unlike a naive inverted-index self-join (cost Σ df(shingle)², quadratic
+    * in any boilerplate shingle shared corpus-wide), candidate cost here is
+    * bounded by the df of each document's rarest shingles — the 100 TB-safe
+    * shape. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // one shingle computation; set sizes travel denormalized on the
-    // exploded rows, so no size re-join and no repeated HOF evaluation
-    val inv = docs.select(col(idCol), wordShingles(col(textCol), n).as("__set"))
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val inv = sets
       .select(col(idCol), size(col("__set")).as("__sz"), explode(col("__set")).as("__sh"))
-    val l = inv.select(col("__sh"), col(idCol).as("id1"), col("__sz").as("__sz1"))
-    val r = inv.select(col("__sh"), col(idCol).as("id2"), col("__sz").as("__sz2"))
-    l.join(r, "__sh")
+    val dfreq = inv.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    // prefix length |s| - ceil(t*|s|) + 1; the 1e-9 slack only ever LENGTHENS
+    // the prefix when t*|s| float-lands a hair above an exact integer, so the
+    // candidate superset property is preserved under rounding
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__sh"))
+    val prefix = inv.join(dfreq, "__sh")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+      .select(col("__sh"), col(idCol), col("__sz"))
+    val l = prefix.select(col("__sh"), col(idCol).as("id1"), col("__sz").as("__sz1"))
+    val r = prefix.select(col("__sh"), col(idCol).as("id2"), col("__sz").as("__sz2"))
+    val cands = l.join(r, "__sh")
       .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("__inter"),
-        first(col("__sz1")).as("__sz1"), first(col("__sz2")).as("__sz2"))
-      .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (col("__sz1") + col("__sz2") - col("__inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .filter(least(col("__sz1"), col("__sz2")).cast("double") >=
+        greatest(col("__sz1"), col("__sz2")) * lit(threshold) - lit(1e-9))
+      .select(col("id1"), col("id2")).distinct()
+    verifyJaccardSets(sets, cands, idCol, threshold)
   }
 
   // ------------------------------------------- embedding near-dup

@@ -54,14 +54,58 @@ final case class RelGraph(
       edges.filter { case (et, _) => keep(et.src) && keep(et.dst) })
   }
 
+  /** Persist every node DataFrame so multi-action consumers (stats,
+    * multi-edge joins, propagation rounds) pay each table's row-id
+    * sort+zipWithIndex lineage ONCE. Spark's cache substitution is
+    * plan-based, so edge plans built from these nodes pick up the cached
+    * relation too. Callers own the lifecycle (`unpersistNodes` / session
+    * `clearCache`). */
+  def withCachedNodes: RelGraph = {
+    nodes.values.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    this
+  }
+
+  def unpersistNodes(): RelGraph = {
+    nodes.values.foreach(_.unpersist())
+    this
+  }
+
   /** A12: dataset statistics (scripts/dataset_info.py:18-66) as one
-    * DataFrame `(entity, kind, n)`. */
-  def stats(spark: SparkSession): DataFrame = {
+    * DataFrame `(entity, kind, n)`.
+    *
+    * Scale design: all edge counts come from ONE union+groupBy job over
+    * entity-tagged edges (each edge join executes exactly once, map-side
+    * partial counts shuffle only (entity, n)); with `includeReverse`,
+    * reverse-edge rows are DERIVED from the forward counts (a transpose
+    * preserves cardinality) instead of re-executing transposed joins. The
+    * tiny per-edge-type count result is persisted and materialized so the
+    * forward/reverse branches share one computation. */
+  def stats(spark: SparkSession, includeReverse: Boolean = false): DataFrame = {
     val n = nodes.map { case (t, df) =>
       df.agg(count(lit(1)).as("n")).select(lit(t).as("entity"), lit("node_rows").as("kind"), col("n"))
     }
-    val e = edges.map { case (et, df) =>
-      df.agg(count(lit(1)).as("n")).select(lit(et.toString).as("entity"), lit("edges").as("kind"), col("n"))
+    val tagged = edges.map { case (et, df) => df.select(lit(et.toString).as("__et")) }
+    val e: Seq[DataFrame] = tagged.reduceOption(_.unionAll(_)) match {
+      case None => Seq.empty
+      case Some(all) =>
+        import spark.implicits._
+        // left-join against the literal edge-type list so empty edge types
+        // still report n=0 (a bare groupBy would drop them)
+        val names = edges.keys.map(_.toString).toSeq.toDF("__et")
+        val ec = names
+          .join(all.groupBy(col("__et")).agg(count(lit(1)).as("__n")), Seq("__et"), "left")
+          .select(col("__et"), coalesce(col("__n"), lit(0L)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ec.count() // materialize once: |edge types| rows
+        val fwd = ec.select(col("__et").as("entity"), lit("edges").as("kind"), col("n"))
+        if (!includeReverse) Seq(fwd)
+        else {
+          val p = split(col("__et"), "->")
+          val rev = ec.select(
+            concat(p(2), lit("->rev_"), p(1), lit("->"), p(0)).as("entity"),
+            lit("edges").as("kind"), col("n"))
+          Seq(fwd, rev)
+        }
     }
     (n ++ e).reduceOption(_.unionAll(_)).getOrElse(spark.emptyDataFrame)
   }

@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Fresh-JVM per-query timer: `runMain graft.tools.TimeQ <query>...` —
+  * isolates a query's cost from the 55-query sweep's heap/GC pressure. */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- args) {
+      val t0 = System.nanoTime()
+      val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[time] $n rows=$c ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -78,4 +78,16 @@ class SchemaAnalyzerSpec extends SparkSpec {
     val expected = cat.tableColumnPairs().size
     assert(df.count() == expected)
   }
+
+  test("all distinct counters return 0 (not NULL) on an empty table") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StringType
+    val empty = Seq.empty[String].toDF("c")
+    for (dc <- Seq(DistinctCounter.DbDistinct,
+        DistinctCounter.FetchAllNormalized("ci"),
+        DistinctCounter.Approx())) {
+      val r = empty.agg(dc.expr(org.apache.spark.sql.functions.col("c"), StringType)).collect()(0)
+      assert(!r.isNullAt(0) && r.getLong(0) == 0L, s"counter $dc")
+    }
+  }
 }

@@ -57,6 +57,52 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("ngramJaccardPairs prefix filtering matches brute-force exactly") {
+    // corpus with heavy shingle overlap (the hazard case for the inverted
+    // index): prefix filtering must still return the EXACT brute-force set
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "alpha beta gamma delta theta iota"),
+      (4L, "alpha beta kappa lambda mu nu"),
+      (5L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (6L, "xi omicron pi rho sigma tau"),
+      (7L, "alpha beta gamma delta epsilon"),
+      (8L, "upsilon phi chi psi omega alpha"))
+    val df = corpus.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = corpus.map { case (id, txt) =>
+        val w = txt.split("\\s+")
+        id -> (if (w.length < 2) Set(txt) else w.sliding(2).map(_.mkString(" ")).toSet)
+      }.toMap
+      val want = (for {
+        (i, si) <- sets; (j, sj) <- sets if i < j
+        inter = (si & sj).size.toDouble
+        jac = inter / (si.size + sj.size - inter) if jac >= t
+      } yield (i, j) -> jac).toMap
+      assert(got == want, s"threshold $t: got ${got.keySet} want ${want.keySet}")
+    }
+  }
+
+  test("simhashNearDups banding has full recall at the requested distance") {
+    // brute-force ground truth over all pairs: banding into maxDistance+1
+    // chunks must surface EVERY pair within the distance (pigeonhole), and
+    // the popcount verify kills everything beyond it
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (d <- Seq(0, 3, 10, 25)) {
+      val want = (for {
+        (i, hi) <- sh.toSeq; (j, hj) <- sh.toSeq
+        if i < j && java.lang.Long.bitCount(hi ^ hj) <= d
+      } yield (i, j)).toSet
+      val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxDistance = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"maxDistance $d: got $got want $want")
+    }
+  }
+
   test("embeddingNearDups buckets then verifies exact cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -58,6 +58,31 @@ class RelGraphSpec extends SparkSpec {
     assert(g.edges.keySet == Set(EdgeType("child", "pid", "parent")))
   }
 
+  test("stats derives reverse counts from forward counts and keeps empty edge types") {
+    val schema = Schema(ListMap(
+      "parent" -> TableSchema(ListMap(
+        "pid" -> OmitColumnDef(key = true), "pval" -> NumericColumnDef())),
+      "child" -> TableSchema(ListMap(
+        "cid" -> OmitColumnDef(key = true), "pid" -> OmitColumnDef()),
+        Seq(ForeignKeyDef(Seq("pid"), "parent", Seq("pid")))),
+      "orphan" -> TableSchema(ListMap(
+        "oid" -> OmitColumnDef(key = true), "pid" -> OmitColumnDef()),
+        Seq(ForeignKeyDef(Seq("pid"), "parent", Seq("pid"))))))
+    val tables = Map(
+      "parent" -> tinyTables("parent"),
+      "child" -> tinyTables("child"),
+      "orphan" -> Seq((1, 777)).toDF("oid", "pid")) // FK never matches → 0 edges
+    val g = RelGraph.build(schema, tables)
+    val out = g.stats(spark, includeReverse = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("parent", "node_rows")) == 2L && out(("child", "node_rows")) == 4L)
+    assert(out(("child->pid->parent", "edges")) == 3L)
+    assert(out(("parent->rev_pid->child", "edges")) == 3L)
+    assert(out(("orphan->pid->parent", "edges")) == 0L)
+    assert(out(("parent->rev_pid->orphan", "edges")) == 0L)
+    assert(out.size == 3 + 2 * 2)
+  }
+
   test("composite FK joins on all key columns") {
     val p = Seq((1, "x", 100.0), (1, "y", 200.0)).toDF("a", "b", "v")
     val c = Seq((7, 1, "y")).toDF("cid", "fa", "fb")

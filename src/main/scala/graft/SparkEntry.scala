@@ -434,6 +434,27 @@ object SparkEntry {
       SELECT l_orderkey, round(sum(w * l_quantity),4) AS q_attn FROM s2
       GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  /** A9 vector form: softmax-weighted aggregation of whole message VECTORS
+    * per group (nn/aggr/attention.py:10-41). Integer-valued vector
+    * components (quantity / linenumber) keep the weighted sums
+    * summation-order-stable at 4-decimal rounding, like a8. */
+  private val qVecAttn = Q("a9b_vector_attention",
+    (s, d) => VectorAgg.softmaxAggregateVec(
+        t(s, d, "lineitem").withColumn("vec",
+          array(col("l_quantity"), col("l_linenumber").cast("double"))),
+        "l_orderkey", "l_discount", "vec")
+      .select(col("l_orderkey"),
+        round(element_at(col("vec_attn"), 1), 4).as("a0"),
+        round(element_at(col("vec_attn"), 2), 4).as("a1"))
+      .orderBy("l_orderkey"),
+    Some("""WITH s1 AS (SELECT l_orderkey, l_quantity, l_linenumber,
+        exp(l_discount - max(l_discount) OVER (PARTITION BY l_orderkey)) AS e FROM lineitem),
+      s2 AS (SELECT l_orderkey, l_quantity, l_linenumber,
+        e / sum(e) OVER (PARTITION BY l_orderkey) AS w FROM s1)
+      SELECT l_orderkey, round(sum(w * l_quantity),4) AS a0,
+        round(sum(w * l_linenumber),4) AS a1
+      FROM s2 GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
   /** Skew-safe two-phase aggregation — semantically identical to the plain
     * groupBy (which IS the oracle), but a hot key spreads over 32 salt
     * buckets before the final reduce. */
@@ -638,6 +659,52 @@ object SparkEntry {
       SELECT id, round(CASE WHEN m IS NULL THEN o_totalprice
         ELSE (o_totalprice + m) / 2.0 END, 4) AS score
       FROM ord LEFT JOIN msg USING (o_orderkey) ORDER BY id"""))
+
+  /** Closed-form ridge fit of the Blueprint linear decoder (the reference's
+    * train-a-readout capability, main.py:307-323) — normal equations as one
+    * distributed aggregation pass + a 3×3 driver solve; the oracle restates
+    * the same system via Cramer's rule over the same DuckDB-side sums.
+    *
+    * Oracle-parity design: features (quantity, linenumber) and the label
+    * floor(extendedprice) are all INTEGER-valued, so every normal-equation
+    * sum is an exact integer in double (< 2^53) regardless of partial-agg
+    * merge order — both engines solve from bit-identical inputs, and the
+    * two solve algorithms (partial-pivot Gaussian here, Cramer in SQL)
+    * agree to ~1e-13 relative, far inside 4-decimal rounding. floor(), not
+    * round(): Spark's round canonicalizes doubles through BigDecimal
+    * string form while DuckDB rounds the raw double — floor agrees on the
+    * raw double in both. */
+  private val qFitDecoder = Q("bp2_fit_decoder",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        floor(col("l_extendedprice")).as("y"))
+      val (w, b) = Blueprint.fitLinearDecoder(li, "feat", "y", dim = 2, lambda = 1.0)
+      import s.implicits._
+      Seq((w(0), w(1), b)).toDF("__w0", "__w1", "__b")
+        .select(round(col("__w0"), 4).as("w_quantity"),
+          round(col("__w1"), 4).as("w_linenumber"),
+          round(col("__b"), 4).as("bias"))
+    },
+    Some("""WITH s AS (SELECT
+        sum(l_quantity*l_quantity)::DOUBLE + 1.0 AS a,
+        sum(l_quantity*l_linenumber)::DOUBLE AS b,
+        sum(l_quantity)::DOUBLE AS c,
+        sum(l_linenumber*l_linenumber)::DOUBLE + 1.0 AS e,
+        sum(l_linenumber)::DOUBLE AS f,
+        count(*)::DOUBLE AS i,
+        sum(l_quantity*floor(l_extendedprice))::DOUBLE AS r1,
+        sum(l_linenumber*floor(l_extendedprice))::DOUBLE AS r2,
+        sum(floor(l_extendedprice))::DOUBLE AS r3
+      FROM lineitem),
+      m AS (SELECT a, b, c, b AS d, e, f, c AS g, f AS h, i, r1, r2, r3,
+        a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c) AS det FROM s)
+      SELECT
+        round((r1*(e*i - f*h) - b*(r2*i - f*r3) + c*(r2*h - e*r3)) / det, 4) AS w_quantity,
+        round((a*(r2*i - f*r3) - r1*(d*i - f*g) + c*(d*r3 - r2*g)) / det, 4) AS w_linenumber,
+        round((a*(e*r3 - r2*h) - b*(d*r3 - r2*g) + r1*(d*h - e*g)) / det, 4) AS bias
+      FROM m"""))
 
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
@@ -959,11 +1026,11 @@ object SparkEntry {
     qRowId, qFkEdges, qSemi, qGraphStats,
     qAnalyze,
     qDistinctNullInc, qDistinctNorm, qCatStats, qNumStats,
-    qPropSum, qPropMean, qPropMax, qAttn, qImpute, qSalted,
+    qPropSum, qPropMean, qPropMax, qAttn, qVecAttn, qImpute, qSalted,
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
-    qLegacyDates, qBlueprint, qEmbedStub, qDuration,
+    qLegacyDates, qBlueprint, qFitDecoder, qEmbedStub, qDuration,
     qBfs,
     qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,

@@ -137,6 +137,45 @@ object VectorAgg {
       .agg(sum(col("__w") * col(valueCol)).as(s"${valueCol}_attn"))
   }
 
+  /** A9 vector form: softmax-weighted aggregation of an ARRAY-valued
+    * message column per group — the vector-message semantics of the
+    * reference's `AttentionAggregation` (nn/aggr/attention.py:10-41) /
+    * `CrossAttentionConv` (nn/conv/cross_attention.py:11-33), which weight
+    * whole message vectors by per-group softmax scores.
+    *
+    * Same numerically-stable two-pass shape as [[softmaxAggregate]] (both
+    * windows share one partitioning → a single exchange + sort), then the
+    * weighted vectors reduce through the partial-aggregating [[vecSum]]
+    * UDAF — a group with 10^6 messages ships one buffer per map partition.
+    */
+  def softmaxAggregateVec(df: DataFrame, groupCol: String, scoreCol: String,
+      vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val stable = exp(col(scoreCol) - max(col(scoreCol)).over(w))
+    val weight = stable / sum(stable).over(w)
+    df.withColumn("__w", weight)
+      .withColumn("__wv", transform(col(vecCol), x => x.cast("double") * col("__w")))
+      .groupBy(col(groupCol))
+      .agg(vecSum(col("__wv")).as(s"${vecCol}_attn"))
+  }
+
+  /** Cross-attention message passing (nn/conv/cross_attention.py:11-33):
+    * queries are the DESTINATION features, keys/values the source features;
+    * score = (q · k) / √d per edge, messages reduced per destination by
+    * [[softmaxAggregateVec]]. Returns (dst_id, featCol) like [[propagate]],
+    * so it slots into the same Blueprint round. */
+  def propagateAttention(srcNodes: DataFrame, dstNodes: DataFrame, edges: DataFrame,
+      idCol: String, featCol: String): DataFrame = {
+    val msgs = edges
+      .join(srcNodes.select(col(idCol).as("src_id"), col(featCol).as("__msg")), "src_id")
+      .join(dstNodes.select(col(idCol).as("dst_id"), col(featCol).as("__q")), "dst_id")
+      .withColumn("__score",
+        graft.similarity.Similarity.dot(col("__q"), col("__msg")) / sqrt(size(col("__msg"))))
+    softmaxAggregateVec(msgs.select(col("dst_id"), col("__score"), col("__msg")),
+        "dst_id", "__score", "__msg")
+      .withColumnRenamed("__msg_attn", featCol)
+  }
+
   /** A6/A11: per-column imputation statistics — mean for numerics and the
     * deterministic mode (most frequent, ties broken by value) for
     * categoricals (nn/embedder/db_embedder.py:99-106). */

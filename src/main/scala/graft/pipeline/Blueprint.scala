@@ -28,7 +28,7 @@ object Blueprint {
 
   final case class Config(
       layers: Int = 1,
-      aggr: String = "mean",                 // sum | mean | min | max (A7)
+      aggr: String = "mean",                 // sum | mean | min | max (A7) | attn (A9 vector)
       pre: NodeTransform = identity,         // pre_combination
       post: NodeTransform = identity,        // post_combination
       /** combine(self, neighborAgg) -> new features; default: mean of the
@@ -51,10 +51,14 @@ object Blueprint {
 
     var state = nodes.map { case (t, df) => t -> cfg.pre(df) }
     (1 to cfg.layers).foreach { _ =>
-      // per edge type: reduce messages per destination (A7)
+      // per edge type: reduce messages per destination (A7; attn = A9
+      // cross-attention with the destination features as queries)
       val perType: Seq[(String, DataFrame)] = edges.toSeq.map { case (et, e) =>
-        et.dst -> VectorAgg.propagate(state(et.src), e, "id", "feat", cfg.aggr)
-          .withColumnRenamed("dst_id", "id")
+        val reduced =
+          if (cfg.aggr == "attn")
+            VectorAgg.propagateAttention(state(et.src), state(et.dst), e, "id", "feat")
+          else VectorAgg.propagate(state(et.src), e, "id", "feat", cfg.aggr)
+        et.dst -> reduced.withColumnRenamed("dst_id", "id")
       }
       // cross-edge-type reduce per destination table (HeteroConv sum)
       val incoming: Map[String, DataFrame] = perType.groupBy(_._1).map { case (t, dfs) =>
@@ -92,6 +96,77 @@ object Blueprint {
     target.select(col("id"), scores.as("scores"))
       .withColumn("probs", Similarity.softmaxArray(col("scores")))
       .withColumn("pred", Similarity.argmaxArray(col("scores")))
+  }
+
+  /** Closed-form ridge/OLS fit of the [[decodeLinear]] weights — the
+    * train-a-readout capability of the reference's Lightning fit stage
+    * (main.py:307-323) re-expressed as pure aggregation: the normal
+    * equations `(X'X + λI) w = X'y` need only the sums Σ xᵢxⱼ, Σ xᵢ,
+    * Σ xᵢy, Σ y and n, all computed in ONE distributed pass with map-side
+    * partial aggregation (shuffles a single (k+2)(k+1)/2-value row), then a
+    * (k+1)×(k+1) solve on the driver — k is the feature dimension, so the
+    * driver work is trivially small at any data scale.
+    *
+    * The intercept is an implicit all-ones column and is NOT penalized by
+    * `lambda` (standard ridge convention).
+    *
+    * @param df      rows with a feature vector column and a label column
+    * @param featCol array<double> feature column, fixed width `dim`
+    * @param yCol    numeric label column
+    * @param lambda  L2 penalty; 0 = OLS
+    * @return (weights, bias) for [[decodeLinear]]
+    */
+  def fitLinearDecoder(df: DataFrame, featCol: String, yCol: String, dim: Int,
+      lambda: Double = 0.0): (Array[Double], Double) = {
+    require(dim >= 1, "need at least one feature")
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    val sums: Seq[Column] =
+      (for { i <- 0 until dim; j <- i until dim }
+        yield sum(x(i) * x(j)).as(s"s_${i}_$j")) ++
+      (0 until dim).map(i => sum(x(i)).as(s"s1_$i")) ++
+      (0 until dim).map(i => sum(x(i) * y).as(s"sy_$i")) ++
+      Seq(sum(y).as("sy"), count(lit(1)).cast("double").as("n"))
+    val row = df.agg(sums.head, sums.tail: _*).collect()(0)
+    def g(name: String): Double = row.getDouble(row.fieldIndex(name))
+    val k = dim + 1
+    val a = Array.ofDim[Double](k, k)
+    val b = new Array[Double](k)
+    for (i <- 0 until dim; j <- i until dim) { a(i)(j) = g(s"s_${i}_$j"); a(j)(i) = a(i)(j) }
+    for (i <- 0 until dim) { a(i)(dim) = g(s"s1_$i"); a(dim)(i) = a(i)(dim); a(i)(i) += lambda }
+    a(dim)(dim) = g("n")
+    for (i <- 0 until dim) b(i) = g(s"sy_$i")
+    b(dim) = g("sy")
+    val w = solveLinearSystem(a, b)
+    (w.take(dim), w(dim))
+  }
+
+  /** Gaussian elimination with partial pivoting on the tiny (k+1)×(k+1)
+    * normal matrix — driver-side scalar math, like the reference's other
+    * driver-side formulas (W7). Mutates its arguments. */
+  private def solveLinearSystem(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    for (p <- 0 until n) {
+      var best = p
+      for (r <- p + 1 until n) if (math.abs(a(r)(p)) > math.abs(a(best)(p))) best = r
+      if (best != p) {
+        val tmp = a(p); a(p) = a(best); a(best) = tmp
+        val tb = b(p); b(p) = b(best); b(best) = tb
+      }
+      require(a(p)(p) != 0.0, "singular normal matrix (add ridge lambda or drop collinear features)")
+      for (r <- p + 1 until n) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p until n) a(r)(c) -= f * a(p)(c)
+        b(r) -= f * b(p)
+      }
+    }
+    val w = new Array[Double](n)
+    for (i <- n - 1 to 0 by -1) {
+      var s = b(i)
+      for (j <- i + 1 until n) s -= a(i)(j) * w(j)
+      w(i) = s / a(i)(i)
+    }
+    w
   }
 
   /** W7: the reference's batch-size heuristic

@@ -60,6 +60,44 @@ class BlueprintSpec extends SparkSpec {
     assert(cls.toSeq == Seq(1L, 1L, 0L)) // feat(1)>feat(0) for children 0,1; tie->first for child 2
   }
 
+  test("fitLinearDecoder: OLS recovers an exact linear relationship") {
+    // y = 2*x1 - 3*x2 + 5 exactly -> zero-residual OLS solution
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (2.0, 3.0), (4.0, 1.0))
+    val df = pts.map { case (x1, x2) => (Array(x1, x2), 2 * x1 - 3 * x2 + 5) }
+      .toDF("feat", "y")
+    val (w, b) = Blueprint.fitLinearDecoder(df, "feat", "y", dim = 2, lambda = 0.0)
+    assert(math.abs(w(0) - 2.0) < 1e-9 && math.abs(w(1) + 3.0) < 1e-9)
+    assert(math.abs(b - 5.0) < 1e-9)
+    // fitted weights drive decodeLinear to reproduce y
+    val scored = Blueprint.decodeLinear(
+        df.withColumn("id", monotonically_increasing_id()), w, b)
+      .select("score").as[Double].collect().sorted
+    val ys = pts.map { case (x1, x2) => 2 * x1 - 3 * x2 + 5 }.sorted
+    scored.zip(ys).foreach { case (a, e) => assert(math.abs(a - e) < 1e-9) }
+  }
+
+  test("fitLinearDecoder: ridge shrinks weights but not the intercept path") {
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (2.0, 3.0), (4.0, 1.0))
+    val df = pts.map { case (x1, x2) => (Array(x1, x2), 2 * x1 - 3 * x2 + 5) }
+      .toDF("feat", "y")
+    val (w, _) = Blueprint.fitLinearDecoder(df, "feat", "y", dim = 2, lambda = 100.0)
+    assert(math.abs(w(0)) < 2.0 && math.abs(w(1)) < 3.0) // shrunk toward 0
+  }
+
+  test("attn aggregation: attention round matches scatter-mean for zero queries") {
+    // parents have zero feature vectors -> all edge scores 0 -> uniform
+    // softmax -> the attention reduce equals the mean reduce
+    val mean = Blueprint.forward(nodes, edges, Blueprint.Config(layers = 1, aggr = "mean"))
+    val attn = Blueprint.forward(nodes, edges, Blueprint.Config(layers = 1, aggr = "attn"))
+    val m = mean("parent").orderBy("id").as[(Long, Seq[Double])].collect()
+    val a = attn("parent").orderBy("id").as[(Long, Seq[Double])].collect()
+    // parent 0 has feat (0,0): scores are 0 -> attention == mean
+    assert(a(0) == m(0))
+    // parent 1 has feat (10,10) and a single neighbor: softmax over one
+    // message is weight 1 -> same as mean of one
+    assert(a(1) == m(1))
+  }
+
   test("batch-size heuristic matches the reference formula") {
     assert(Blueprint.batchSizeHeuristic(500) == 16)    // 2^0 < 16 floor
     assert(Blueprint.batchSizeHeuristic(64000) == 128) // 2^round(log2(128))

@@ -72,42 +72,67 @@ object EventStream {
         unix_timestamp(max(col(tsCol))).as("end_s"))
   }
 
-  /** Streaming sessionization: `flatMapGroupsWithState` with event-time
-    * timeout — state per key is the open session (start, last, count);
-    * a session is EMITTED when the watermark passes last+gap (timeout) or
-    * when an in-batch event arrives after the gap. The batch form above is
-    * the oracle for bounded input. */
+  /** Streaming sessionization: `flatMapGroupsWithState` with EVENT-TIME
+    * timeout — state per key is the open session (start, last, count).
+    * A session is emitted when an in-batch event arrives after the gap, OR
+    * when the watermark passes last+gap with no new events (the timeout
+    * path): an idle key's final session is emitted on watermark advance
+    * alone and its state evicted, so state stays bounded on a real stream.
+    * The batch form above is the oracle for bounded input.
+    *
+    * Requires `withWatermark`-able event time, which this function sets on
+    * `tsCol` with `watermarkDelay` before grouping. */
   final case class SessionOut(key: String, n_events: Long, start_s: Long, end_s: Long)
   // public: the state encoder's generated code must construct it
   final case class SessionState(start: Long, last: Long, n: Long)
 
   def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
-      gapSeconds: Long): Dataset[SessionOut] = {
+      gapSeconds: Long, watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col(keyCol).cast("string"), unix_timestamp(col(tsCol)).cast("long"))
-      .as[(String, Long)]
+      .withWatermark(tsCol, watermarkDelay)
+      // no cast on the ts column: a cast would mint a new attribute and
+      // strip the event-time watermark tag the timeout needs
+      .select(col(keyCol).cast("string").as("_1"), col(tsCol).as("_2"))
+      .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { t =>
-            cur match {
-              case Some(s) if t - s.last <= gapSeconds =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(key, s.n, s.start, s.last)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key, s.n, s.start, s.last))
+          } else {
+            // epoch-second floor, matching sessionizeBatch's unix_timestamp
+            val sorted = rows.map(r => Math.floorDiv(r._2.getTime, 1000L)).toSeq.sorted
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(key, s.n, s.start, s.last)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the watermark passes last+gap; clamp above the
+              // current watermark (required by Spark for late-arriving keys)
+              val target = (s.last + gapSeconds) * 1000L + 1L
+              val wm =
+                try state.getCurrentWatermarkMs()
+                catch { case _: UnsupportedOperationException => Long.MinValue }
+              state.setTimeoutTimestamp(math.max(target, wm + 1L))
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }
   }
   /** Oracle-friendly projection: epoch-second window start, rounded sums. */

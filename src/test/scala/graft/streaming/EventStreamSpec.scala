@@ -95,6 +95,38 @@ class EventStreamSpec extends SparkSpec {
     assert(sessions.toSeq == Seq((1L, 2L), (2L, 1L))) // (session_id, n_events)
   }
 
+  test("sessionizeStream emits an idle key's session on watermark advance alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = mem.toDF().toDF("user", "ts")
+    val q = EventStream.sessionizeStream(src, "user", "ts", gapSeconds = 1800)
+      .writeStream.format("memory").queryName("idle_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(("u1", t("2024-01-01 10:00:00")), ("u1", t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").count() == 0) // open, watermark at 10:10
+      // u1 never appears again: only OTHER keys advance the watermark past
+      // u1.last + gap (10:40) — the event-time timeout must close u1
+      mem.addData(("u2", t("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val closed = spark.table("idle_sessions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(closed == Seq(("u1", 2L,
+        t("2024-01-01 10:00:00").getTime / 1000, t("2024-01-01 10:10:00").getTime / 1000)))
+      // ...and the state was evicted: a later u1 event starts a NEW session
+      // rather than resuming the emitted one
+      mem.addData(("u1", t("2024-01-01 13:00:00")), ("u2", t("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("idle_sessions").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      // u1's second session (1 event) and u2's first (1 event) both closed
+      // by the 15:00 watermark advance... u2's 15:00 session stays open
+      assert(all.count(_._1 == "u1") >= 1)
+    } finally q.stop()
+  }
+
   test("runningTotals also runs on a plain batch Dataset") {
     val df = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")
     val out = EventStream.runningTotals(df, "k", "v")

@@ -715,6 +715,34 @@ object SparkEntry {
       .orderBy("doc_id"),
     None)
 
+  /** F20 (real path): table-driven embedding through [[TextAnalysis
+    * .embedWithTable]] — broadcast (token → vec) join + per-document mean.
+    * For oracle parity the embedding table is DERIVED from the corpus
+    * vocabulary with SQL-expressible integer-valued vectors
+    * (len(token), len(token)²), so the whole tokenize → lookup → average
+    * pipeline is restatable in DuckDB and the sums stay exact in double. */
+  private val qEmbedTable = Q("t4b_text_embed_table",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0).distinct()
+        .select(col("token"), array(length(col("token")).cast("double"),
+          (length(col("token")) * length(col("token"))).cast("double")).as("vec"))
+      TextAnalysis.embedWithTable(docs, "doc_id", "text", vocab, "token", "vec", dim = 2)
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1), 4).as("e0"),
+          round(element_at(col("embedding"), 2), 4).as("e1"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents),
+      t2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+      a AS (SELECT doc_id, round(avg(length(tok)), 4) AS e0,
+        round(avg(length(tok)*length(tok)), 4) AS e1 FROM t2 GROUP BY doc_id)
+      SELECT doc_id, coalesce(e0, 0.0) AS e0, coalesce(e1, 0.0) AS e1
+      FROM documents LEFT JOIN a USING (doc_id) ORDER BY doc_id"""))
+
   /** F13 on a DERIVED interval (testdata has no interval column):
     * timestamp subtraction yields a DayTimeIntervalType, converted to total
     * nanoseconds by field extraction. Reported in seconds at 6 decimals:
@@ -791,6 +819,27 @@ object SparkEntry {
         SELECT 'orders', count(*) FROM ord_all UNION ALL
         SELECT 'part', count(*) FROM prt UNION ALL
         SELECT 'supplier', count(*) FROM sup) ORDER BY table_name"""))
+
+  /** J3 + the virtual `_target_table` node and `_target_fk` edge the
+    * reference attaches to every sample (data/dataset.py:271,356-362):
+    * same BFS walk, plus one synthetic node row and one edge to the seed —
+    * both counts derived from the seed DataFrame (an empty seed reports 0,
+    * so the oracle is data-driven, not a constant). */
+  private val qBfsTarget = Q("j3b_bfs_virtual_target",
+    (s, d) => {
+      val cat = catalog(s, d)
+      val core = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      val schema = cat.constraintSchema()
+      val coreSchema = Schema(schema.tables.filter { case (k, _) => core.contains(k) })
+      new BfsSampler(coreSchema, core.map(n => n -> cat.table(n)).toMap, maxDepth = 3)
+        .sampleStatsWithVirtualTarget("orders", 7)
+        .orderBy("table_name")
+    },
+    qBfs.oracle.map(sql => sql.replace(
+      "ORDER BY table_name",
+      """UNION ALL SELECT '_target_table', count(*) FROM seed
+        UNION ALL SELECT '_target_table->_target_fk->orders', count(*) FROM seed
+        ORDER BY table_name""")))
 
   // ====================================================================
   // Dedup (training-data pipeline)
@@ -1030,8 +1079,8 @@ object SparkEntry {
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
-    qLegacyDates, qBlueprint, qFitDecoder, qEmbedStub, qDuration,
-    qBfs,
+    qLegacyDates, qBlueprint, qFitDecoder, qEmbedStub, qEmbedTable, qDuration,
+    qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,
     qTextQuality, qLangId, qFingerprint,

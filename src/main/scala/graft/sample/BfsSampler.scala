@@ -61,6 +61,17 @@ class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) 
   private case class QueueItem(table: String, depth: Int, parent: Option[String],
       key: Option[String], keys: Option[DataFrame])
 
+  /** The seed row: LIMIT 1 OFFSET idx of the target table in PK order
+    * (bfs.py:38; order pinned by the engine contract, see class doc). */
+  private def seedRow(targetTable: String, idx: Int): DataFrame = {
+    val full = tables(targetTable)
+    val order = schema(targetTable).primaryKey match {
+      case Nil => full.columns.toSeq
+      case pk  => pk
+    }
+    full.orderBy(order.map(col): _*).offset(idx).limit(1)
+  }
+
   /** Expand from row `idx` (0-based, PK order) of `targetTable`.
     * @return accumulated distinct rows per visited table */
   def sample(targetTable: String, idx: Int): Map[String, DataFrame] = {
@@ -73,11 +84,7 @@ class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) 
 
       val full = tables(tableName)
       val batch = if (depth == 0) {
-        val order = schema(tableName).primaryKey match {
-          case Nil => full.columns.toSeq
-          case pk  => pk
-        }
-        full.orderBy(order.map(col): _*).offset(idx).limit(1)
+        seedRow(tableName, idx)
       } else {
         val k = keys.get.distinct()
         full.join(broadcast(k), full(key.get) === k(k.columns.head), "left_semi")
@@ -118,4 +125,45 @@ class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) 
     }
     dfs.reduce(_.unionAll(_))
   }
+
+  /** Virtual `_target_table` node + edge to the seed row — the reference
+    * attaches a synthetic single-node table and one `(_target_table,
+    * _target_fk, target)` edge per sample so the model can read the
+    * prediction target off a fixed node type
+    * (data/dataset.py:271 `x = ones((1,1))`, :356-362 edge to the seed).
+    *
+    * @return (sampled tables incl. `_target_table` with its 1-feature row,
+    *         virtual edge DataFrame (src_id=0, seed PK value))
+    */
+  def sampleWithVirtualTarget(targetTable: String, idx: Int)
+      : (Map[String, DataFrame], DataFrame) = {
+    val acc = sample(targetTable, idx)
+    val seed = seedRow(targetTable, idx)
+    val pkCol = schema(targetTable).primaryKey match {
+      case Nil => tables(targetTable).columns.head
+      case pk  => pk.head
+    }
+    val virtualNode = seed.select(lit(0L).as("id"), array(lit(1.0)).as("feat"))
+    val virtualEdge = seed.select(lit(0L).as("src_id"), col(pkCol).as("dst_key"))
+    (acc + (BfsSampler.VirtualTargetTable -> virtualNode), virtualEdge)
+  }
+
+  /** [[sampleStats]] over [[sampleWithVirtualTarget]]: the per-table counts
+    * plus the virtual node row and its edge count (both derived from the
+    * seed DataFrame, so an empty seed reports 0). */
+  def sampleStatsWithVirtualTarget(targetTable: String, idx: Int): DataFrame = {
+    val (tablesOut, vEdge) = sampleWithVirtualTarget(targetTable, idx)
+    val rows =
+      tablesOut.toSeq.sortBy(_._1).map { case (t, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(t).as("table_name"), col("n"))
+      } :+ vEdge.agg(count(lit(1)).as("n")).select(
+        lit(s"${BfsSampler.VirtualTargetTable}->_target_fk->$targetTable").as("table_name"),
+        col("n"))
+    rows.reduce(_.unionAll(_))
+  }
+}
+
+object BfsSampler {
+  /** Name of the synthetic target node type (data/dataset.py:271). */
+  val VirtualTargetTable = "_target_table"
 }

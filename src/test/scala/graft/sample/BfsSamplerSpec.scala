@@ -45,4 +45,22 @@ class BfsSamplerSpec extends SparkSpec {
     val out = s.sample("child", 2) // third child by cid order = cid 12
     assert(out("child").collect().map(_.getInt(0)).toSeq == Seq(12))
   }
+
+  test("virtual _target_table node + edge point at the seed row") {
+    val s = new BfsSampler(schema, tables, maxDepth = 2)
+    val (out, edge) = s.sampleWithVirtualTarget("child", 1) // seed cid=11
+    // one synthetic node with the reference's ones((1,1)) feature
+    val vn = out(BfsSampler.VirtualTargetTable).collect()
+    assert(vn.length == 1 && vn(0).getLong(0) == 0L && vn(0).getSeq[Double](1) == Seq(1.0))
+    // one edge from the virtual node to the seed's PK value
+    val e = edge.collect()
+    assert(e.length == 1 && e(0).getLong(0) == 0L && e(0).getInt(1) == 11)
+    // the sampled tables themselves are unchanged by the addition
+    assert(out("child").count() == 1 && out("parent").count() == 1)
+    // stats include both virtual rows
+    val stats = s.sampleStatsWithVirtualTarget("child", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats(BfsSampler.VirtualTargetTable) == 1L)
+    assert(stats(s"${BfsSampler.VirtualTargetTable}->_target_fk->child") == 1L)
+  }
 }

@@ -115,6 +115,35 @@ object TextAnalysis {
       .otherwise(transform(sum, x => x / size(toks)))
   }
 
+  /** F20 (real path): table-driven text embedding — tokenize, look each
+    * token up in a broadcast (token → vec) embedding table, and average the
+    * matched vectors per document, exactly the reference's GloVe sentence
+    * embedding (ctu_dataset.py:43-52: mean of per-token vectors).
+    *
+    * Scale shape: the embedding table (GloVe ≈ 400k rows) broadcasts; the
+    * corpus explodes to (doc, token) pairs map-side, the broadcast-hash
+    * join never shuffles the corpus, and the per-document mean reduces
+    * through the partial-aggregating vector UDAF — one corpus-sized shuffle
+    * of (doc_id, partial-sum) buffers total. Out-of-vocabulary tokens are
+    * skipped (GloVe convention); documents with no matched token get the
+    * zero vector.
+    */
+  def embedWithTable(docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, tokenCol: String, vecCol: String, dim: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0) // split("") yields [""]
+    val table = broadcast(
+      embeddings.select(col(tokenCol).as("__tok"), col(vecCol).as("__vec")))
+    val means = toks.join(table, "__tok")
+      .groupBy(col(idCol))
+      .agg(graft.agg.VectorAgg.vecMean(col("__vec")).as("__e"))
+    val zero = array(Seq.fill(dim)(lit(0.0)): _*)
+    docs.select(col(idCol))
+      .join(means, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__e"), zero).as("embedding"))
+  }
+
   /** Project a documents DataFrame to per-document analysis columns. */
   def analyze(docs: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -55,6 +55,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3) == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("embedWithTable: broadcast lookup + mean, OOV skipped, no-hit -> zero") {
+    val docs = Seq(
+      (1L, "cat dog"),        // both in table: mean((1,10),(2,20)) = (1.5, 15)
+      (2L, "cat cat dog"),    // multiset mean: (4/3, 40/3)
+      (3L, "cat unicorn"),    // OOV skipped: mean of just cat = (1, 10)
+      (4L, "unicorn"),        // no hits -> zero vector
+      (5L, ""))               // blank -> zero vector
+      .toDF("doc_id", "text")
+    val table = Seq(("cat", Array(1.0, 10.0)), ("dog", Array(2.0, 20.0)))
+      .toDF("token", "vec")
+    val out = TextAnalysis.embedWithTable(docs, "doc_id", "text", table, "token", "vec", dim = 2)
+      .orderBy("doc_id").as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(1.5, 15.0))
+    assert(out(2L).zip(Seq(4.0 / 3, 40.0 / 3)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(out(3L) == Seq(1.0, 10.0))
+    assert(out(4L) == Seq(0.0, 0.0))
+    assert(out(5L) == Seq(0.0, 0.0))
+  }
+
   test("fingerprint is normalization-invariant") {
     val out = Seq("Hello World ", "  hello world").toDF("t")
       .select(TextAnalysis.fingerprint(lower(trim(col("t")))).as("f")).as[String].collect()

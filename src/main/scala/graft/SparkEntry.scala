@@ -51,7 +51,10 @@ object SparkEntry {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integral `div`, not `/`: ns-epoch longs exceed 2^53, so double
-        // division can shift the resulting microsecond by 1
+        // division can shift the resulting microsecond by 1. `div`
+        // truncates toward zero, which equals the microsecond floor only
+        // for POST-1970 timestamps — the testdata contract (pre-1970
+        // events would need floor division to match DuckDB)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
@@ -228,11 +231,12 @@ object SparkEntry {
     })
     // cached nodes: each table's row-id lineage executes once across the
     // 10 node-count branches + 8 edge joins; reverse-edge counts are derived
-    // from forward counts inside stats (transpose preserves cardinality)
-    RelGraph.build(slim, tables.toMap)
-      .withCachedNodes
-      .stats(s, includeReverse = true)
-      .orderBy("entity", "kind")
+    // from forward counts inside stats (transpose preserves cardinality).
+    // The 26-row result is eagerly localCheckpoint-ed so the node cache can
+    // be released before returning — the query leaks no cache entries.
+    val g = RelGraph.build(slim, tables.toMap).withCachedNodes
+    try g.stats(s, includeReverse = true).localCheckpoint(true).orderBy("entity", "kind")
+    finally { g.unpersistNodes(); () }
   }
 
   private val graphEdgeJoins = Seq(
@@ -894,9 +898,10 @@ object SparkEntry {
   private val qEmbDedup = Q("d5_embedding_neardups",
     // the synthetic embeddings are near-orthogonal random vectors (max
     // pairwise cos ~0.51), so the "near-dup" bar is set low enough to
-    // exercise the bucket-join + verify path end-to-end
+    // exercise the bucket-join + verify path end-to-end; 3 OR-ed signature
+    // tables exercise the recall-amplified path (DedupSpec measures recall)
     (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.25, nPlanes = 4)
+        dim = 64, threshold = 0.25, nPlanes = 4, nTables = 3)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
       .orderBy("id1", "id2"),
     None)

@@ -67,20 +67,28 @@ object Dedup {
 
   private val MersennePrime = (1L << 61) - 1
 
-  /** MinHash signature per document: k minima over the shingle set.
-    * One explode + one groupBy(id) with k partial-aggregable min()s —
-    * signatures never materialize the shingle set twice. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+  /** MinHash signatures from precomputed `(idCol, __set)` shingle sets —
+    * the single hashing definition shared by [[minhashSignatures]] and
+    * [[minhashNearDups]], so the public signature API and the pipeline
+    * can never drift apart. One explode + one groupBy(id) with k
+    * partial-aggregable min()s. */
+  private[graft] def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
+      k: Int, seed: Long): DataFrame = {
     val params = hashParams(k, seed)
-    val exploded = docs
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("__sh"))
+    val exploded = sets.select(col(idCol), explode(col("__set")).as("__sh"))
       .withColumn("__h", pmod(xxhash64(col("__sh")), lit(MersennePrime)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
     }
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
+
+  /** MinHash signature per document: k minima over the shingle set. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3, seed: Long = 42L): DataFrame =
+    minhashSignaturesFromSets(
+      docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set")),
+      idCol, k, seed)
 
   /** LSH banding over a MinHash signature: bands of r rows each; documents
     * agreeing on any whole band become candidate pairs (id1 < id2). */
@@ -99,30 +107,37 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
-  /** Per-document shingle sets, persisted: the shingle expression (regex
-    * split + sliding concat) is the single most expensive scalar computation
-    * in the dedup family, and every pipeline consumes it from several plan
-    * branches (inverted index, document frequencies, verification join).
-    * Persisting the one-row-per-doc set materializes it exactly once.
-    * Callers own the cache lifecycle (session `clearCache`). */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+  /** Run `pipeline` against persisted per-document shingle sets, then
+    * RELEASE the cache before returning. The shingle expression (regex
+    * split + sliding concat) is the most expensive scalar computation in
+    * the dedup family and every pipeline consumes it from several plan
+    * branches (inverted index, document frequencies, verification join), so
+    * it is persisted and eagerly materialized (independent racing stages
+    * would otherwise each compute a lazily-populated cache). The pipeline
+    * result is then eagerly computed via `localCheckpoint` — result-sized
+    * (the near-dup pairs), lineage-truncated so it no longer references the
+    * cached sets — and the corpus-sized cache is unpersisted before
+    * returning: a library caller leaks nothing, and the checkpoint blocks
+    * themselves are freed by the ContextCleaner when the returned
+    * DataFrame is garbage collected. */
+  private def withShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int)(pipeline: DataFrame => DataFrame): DataFrame = {
     val sets = docs.select(col(idCol), wordShingles(col(textCol), n).as("__set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize eagerly: the consuming pipelines read the sets from
-    // several INDEPENDENT stages that Spark may launch concurrently — a
-    // lazily-populated cache would be computed once per racing stage
-    sets.count()
-    sets
+    try {
+      sets.count()
+      pipeline(sets).localCheckpoint(true)
+    } finally { sets.unpersist(); () }
   }
 
   /** Exact Jaccard verification of candidate pairs (kills LSH false
     * positives): joins each side's distinct-shingle set back in and
-    * computes |A∩B| / |A∪B| via array ops. */
+    * computes |A∩B| / |A∪B| via array ops. Eagerly computed; no cache
+    * entries survive the call. */
   def verifyJaccard(docs: DataFrame, candidates: DataFrame, idCol: String,
       textCol: String, shingleN: Int, threshold: Double): DataFrame =
-    verifyJaccardSets(shingleSets(docs, idCol, textCol, shingleN),
-      candidates, idCol, threshold)
+    withShingleSets(docs, idCol, textCol, shingleN)(sets =>
+      verifyJaccardSets(sets, candidates, idCol, threshold))
 
   /** Verification against precomputed `(idCol, __set)` shingle sets. */
   private def verifyJaccardSets(sets: DataFrame, candidates: DataFrame,
@@ -138,22 +153,16 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → band →
-    * bucket-join → exact-Jaccard verify. */
+    * bucket-join → exact-Jaccard verify. Shingles once (signatures and the
+    * verify join share the cached sets); no cache entries survive. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    // shingle once: signatures and the verify join both read the cached sets
-    val sets = shingleSets(docs, idCol, textCol, shingleN)
-    val params = hashParams(k, seed)
-    val exploded = sets.select(col(idCol), explode(col("__set")).as("__sh"))
-      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(MersennePrime)))
-    val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("__h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame =
+    withShingleSets(docs, idCol, textCol, shingleN) { sets =>
+      val sigs = minhashSignaturesFromSets(sets, idCol, k, seed)
+      val cands = minhashCandidates(sigs, idCol, k, bands)
+      verifyJaccardSets(sets, cands, idCol, threshold)
     }
-    val sigs = exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-    val cands = minhashCandidates(sigs, idCol, k, bands)
-    verifyJaccardSets(sets, cands, idCol, threshold)
-  }
 
   // ------------------------------------------------------------- simhash
 
@@ -174,21 +183,31 @@ object Dedup {
     voted.select(col(idCol), packed.as("simhash"))
   }
 
+  /** Chunk boundaries for pigeonhole banding: `nChunks` contiguous chunks
+    * covering `totalBits`, widths differing by at most one (the first
+    * `totalBits % nChunks` chunks get the extra bit). */
+  private[graft] def chunkBounds(totalBits: Int, nChunks: Int): Seq[Int] = {
+    val base = totalBits / nChunks
+    val rem = totalBits % nChunks
+    (0 until nChunks).scanLeft(0)((off, i) => off + base + (if (i < rem) 1 else 0))
+  }
+
   /** Hamming-distance near-dup pairs over SimHashes, banded into
     * `maxDistance + 1` bit-chunks: a pair within Hamming distance d differs
     * in at most d bits, so by pigeonhole at least one of d+1 chunks is
     * identical — the chunk equi-join has FULL recall at the requested
-    * distance (no recall cliff), then exact popcount verifies. */
+    * distance (no recall cliff), then exact popcount verifies.
+    *
+    * At large maxDistance the 64-bit chunks narrow (d=10 → 11 chunks of
+    * 5-6 bits → 32-64 bucket values → candidate blowup); use
+    * [[simhashNearDups128]] there, which keeps chunks ≥ 11 bits at d=10. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance=$maxDistance must be in [0, 63] for 64-bit SimHash banding")
     val sh = simhash(docs, idCol, textCol)
     val nChunks = maxDistance + 1
-    val base = 64 / nChunks
-    val rem = 64 % nChunks
-    // chunk i gets base (+1 for the first rem) bits; offsets are cumulative
-    val bounds = (0 until nChunks).scanLeft(0)((off, i) => off + base + (if (i < rem) 1 else 0))
+    val bounds = chunkBounds(64, nChunks)
     val chunks = (0 until nChunks).map { i =>
       val off = bounds(i)
       val w = bounds(i + 1) - off
@@ -202,6 +221,68 @@ object Dedup {
     val r = banded.select(col("__chunk"), col(idCol).as("id2"), col("simhash").as("sh2"))
     l.join(r, "__chunk").filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** 128-bit SimHash as two packed longs (lo = bits 0-63, hi = 64-127):
+    * the second word's per-token hash is seeded independently. Same
+    * explode → one groupBy(id) shape as [[simhash]], 128 conditional-sum
+    * votes, all partial-aggregable. */
+  def simhash128(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+      .withColumn("__h0", xxhash64(col("__t")))
+      .withColumn("__h1", xxhash64(col("__t"), lit(0x9e3779b97f4a7c15L)))
+    val votes = (0 until 128).map { b =>
+      val h = if (b < 64) col("__h0") else col("__h1")
+      sum(when(shiftright(h, b % 64).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    def pack(range: Range): Column = range.map { b =>
+      when(col(s"v_$b") > 0, lit(1L << (b % 64))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol),
+      pack(0 until 64).as("simhash_lo"), pack(64 until 128).as("simhash_hi"))
+  }
+
+  /** [[simhashNearDups]] over the 128-bit signature — the honest-at-scale
+    * variant for large maxDistance: full-recall pigeonhole banding keeps
+    * every chunk ≥ ⌊128/(d+1)⌋ bits (≥ 11 at d=10), so bucket value space
+    * stays wide and candidates stay selective where the 64-bit banding
+    * degenerates. Chunks may straddle the lo/hi word boundary; the bit
+    * extraction recombines the two masked parts. */
+  def simhashNearDups128(docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 10): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 128,
+      s"maxDistance=$maxDistance must be in [0, 127] for 128-bit SimHash banding")
+    val sh = simhash128(docs, idCol, textCol)
+    val nChunks = maxDistance + 1
+    val bounds = chunkBounds(128, nChunks)
+    def maskOf(n: Int): Long = if (n >= 64) -1L else (1L << n) - 1L
+    // arithmetic shiftright sign-fill is cut off by the width mask
+    def bitsAt(off: Int, w: Int): Column =
+      if (off + w <= 64) shiftright(col("simhash_lo"), off).bitwiseAND(maskOf(w))
+      else if (off >= 64) shiftright(col("simhash_hi"), off - 64).bitwiseAND(maskOf(w))
+      else { // straddles: low part from lo, high part from hi, disjoint bits
+        val loW = 64 - off
+        shiftright(col("simhash_lo"), off).bitwiseAND(maskOf(loW)) +
+          shiftleft(col("simhash_hi").bitwiseAND(maskOf(w - loW)), loW)
+      }
+    val chunks = (0 until nChunks).map { i =>
+      struct(lit(i).as("chunk"),
+        bitsAt(bounds(i), bounds(i + 1) - bounds(i)).as("val")).as(s"__c$i")
+    }
+    val banded = sh.select(col(idCol), col("simhash_lo"), col("simhash_hi"),
+      explode(array(chunks: _*)).as("__chunk"))
+    val l = banded.select(col("__chunk"), col(idCol).as("id1"),
+      col("simhash_lo").as("lo1"), col("simhash_hi").as("hi1"))
+    val r = banded.select(col("__chunk"), col(idCol).as("id2"),
+      col("simhash_lo").as("lo2"), col("simhash_hi").as("hi2"))
+    l.join(r, "__chunk").filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+          bit_count(col("hi1").bitwiseXOR(col("hi2")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
@@ -227,8 +308,13 @@ object Dedup {
     * bounded by the df of each document's rarest shingles — the 100 TB-safe
     * shape. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+      n: Int, threshold: Double): DataFrame =
+    withShingleSets(docs, idCol, textCol, n) { sets =>
+      ngramJaccardFromSets(sets, idCol, threshold)
+    }
+
+  private def ngramJaccardFromSets(sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val inv = sets
       .select(col(idCol), size(col("__set")).as("__sz"), explode(col("__set")).as("__sh"))
     val dfreq = inv.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
@@ -252,20 +338,41 @@ object Dedup {
 
   // ------------------------------------------- embedding near-dup
 
-  /** Embedding-cosine near-dup pairs: LSH-bucketed (same hyperplane
-    * signature) then exact cosine verify — the embedding analogue of
-    * MinHash+verify. */
+  /** Embedding-cosine near-dup pairs: LSH-bucketed then exact cosine
+    * verify — the embedding analogue of MinHash+verify.
+    *
+    * Recall amplification (`nTables` > 1): one hyperplane signature is an
+    * AND over nPlanes sign bits, so recall at a fixed threshold falls
+    * geometrically with nPlanes and is NOT tunable independently of
+    * precision. Running L independent signature tables and OR-ing their
+    * candidate sets (exactly MinHash's banding trick) makes recall
+    * `1 - (1 - p^nPlanes)^L`, tunable via L, while the exact-cosine verify
+    * keeps precision at 1. Candidates are deduped across tables BEFORE the
+    * verify join so each pair's cosine is computed once. */
   def embeddingNearDups(data: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+      dim: Int, threshold: Double, nPlanes: Int = 12, seed: Long = 42L,
+      nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, "need at least one signature table")
+    // signature per table: distinct seeds derive independent hyperplanes
+    val buckets = (0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        Similarity.lshSignature(col(vecCol), nPlanes, dim, seed + 1000L * t).as("sig"))
+        .as(s"__b$t")
+    }
+    val banded = data.select(col(idCol) +: buckets: _*)
+      .select(col(idCol),
+        explode(array((0 until nTables).map(t => col(s"__b$t")): _*)).as("__bucket"))
+    val l = banded.select(col("__bucket"), col(idCol).as("id1"))
+    val r = banded.select(col("__bucket"), col(idCol).as("id2"))
+    val cands = l.join(r, "__bucket").filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
     // normalize each vector once; per-pair cosine is then a single dot fold
-    val sig = data.select(col(idCol), col(vecCol),
-        Similarity.lshSignature(col(vecCol), nPlanes, dim, seed).as("__bucket"),
-        Similarity.norm(col(vecCol)).as("__n"))
-      .select(col(idCol), col("__bucket"),
-        Similarity.unit(col(vecCol), col("__n")).as("__u"))
-    val l = sig.select(col("__bucket"), col(idCol).as("id1"), col("__u").as("__v1"))
-    val r = sig.select(col("__bucket"), col(idCol).as("id2"), col("__u").as("__v2"))
-    l.join(r, "__bucket").filter(col("id1") < col("id2"))
+    val units = data.select(col(idCol),
+        col(vecCol), Similarity.norm(col(vecCol)).as("__n"))
+      .select(col(idCol), Similarity.unit(col(vecCol), col("__n")).as("__u"))
+    cands
+      .join(units.select(col(idCol).as("id1"), col("__u").as("__v1")), "id1")
+      .join(units.select(col(idCol).as("id2"), col("__u").as("__v2")), "id2")
       .withColumn("cos", Similarity.dot(col("__v1"), col("__v2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))

@@ -78,8 +78,11 @@ final case class RelGraph(
     * partial counts shuffle only (entity, n)); with `includeReverse`,
     * reverse-edge rows are DERIVED from the forward counts (a transpose
     * preserves cardinality) instead of re-executing transposed joins. The
-    * tiny per-edge-type count result is persisted and materialized so the
-    * forward/reverse branches share one computation. */
+    * tiny per-edge-type count result is eagerly localCheckpoint-ed —
+    * |edge types| rows shared by the forward/reverse branches, no cache
+    * entry left behind. Reverse names come from the EdgeType FIELDS (built
+    * driver-side), not from re-parsing the concatenated string, so table or
+    * FK names containing "->" cannot mis-split. */
   def stats(spark: SparkSession, includeReverse: Boolean = false): DataFrame = {
     val n = nodes.map { case (t, df) =>
       df.agg(count(lit(1)).as("n")).select(lit(t).as("entity"), lit("node_rows").as("kind"), col("n"))
@@ -90,22 +93,19 @@ final case class RelGraph(
       case Some(all) =>
         import spark.implicits._
         // left-join against the literal edge-type list so empty edge types
-        // still report n=0 (a bare groupBy would drop them)
-        val names = edges.keys.map(_.toString).toSeq.toDF("__et")
+        // still report n=0 (a bare groupBy would drop them); the reverse
+        // name rides along as a second literal column
+        val names = edges.keys.toSeq.map(et =>
+          (et.toString, EdgeType(et.dst, s"rev_${et.rel}", et.src).toString))
+          .toDF("__et", "__rev")
         val ec = names
           .join(all.groupBy(col("__et")).agg(count(lit(1)).as("__n")), Seq("__et"), "left")
-          .select(col("__et"), coalesce(col("__n"), lit(0L)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ec.count() // materialize once: |edge types| rows
+          .select(col("__et"), col("__rev"), coalesce(col("__n"), lit(0L)).as("n"))
+          .localCheckpoint(true)
         val fwd = ec.select(col("__et").as("entity"), lit("edges").as("kind"), col("n"))
         if (!includeReverse) Seq(fwd)
-        else {
-          val p = split(col("__et"), "->")
-          val rev = ec.select(
-            concat(p(2), lit("->rev_"), p(1), lit("->"), p(0)).as("entity"),
-            lit("edges").as("kind"), col("n"))
-          Seq(fwd, rev)
-        }
+        else Seq(fwd,
+          ec.select(col("__rev").as("entity"), lit("edges").as("kind"), col("n")))
     }
     (n ++ e).reduceOption(_.unionAll(_)).getOrElse(spark.emptyDataFrame)
   }

@@ -103,6 +103,70 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("multi-table embedding LSH measurably amplifies recall at threshold 0.8") {
+    // planted near-dup pairs: base vector + small noise (cos >= 0.8);
+    // deterministic generator so the recall comparison is reproducible
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextGaussian())
+    def jitter(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => x + 0.25 * n / math.sqrt(dim.toDouble) * rnd.nextGaussian())
+    }
+    val planted = (0 until 40).map { i => (i.toLong, vec()) }
+    val pairs = planted.map { case (i, v) => (i + 1000L, jitter(v)) }
+    val noise = (0 until 100).map { i => (i + 2000L, vec()) }
+    val all = planted ++ pairs ++ noise
+    val df = all.toDF("id", "v")
+    // exhaustive ground truth, brute-forced driver-side
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d0 = a.zip(b).map { case (x, y) => x * y }.sum
+      d0 / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truePairs = (for {
+      (i, vi) <- all; (j, vj) <- all
+      if i < j && cos(vi, vj) >= 0.8
+    } yield (i, j)).toSet
+    def recall(nTables: Int): Double = {
+      val got = Dedup.embeddingNearDups(df, "id", "v", dim, threshold = 0.8,
+          nPlanes = 8, seed = 42L, nTables = nTables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(truePairs)) // exact-cosine verify: precision 1
+      if (truePairs.isEmpty) 1.0 else got.size.toDouble / truePairs.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(truePairs.nonEmpty)
+    assert(r4 > r1, s"OR over 4 tables must beat one: $r4 vs $r1")
+    assert(r4 >= 0.8, s"4-table recall should be high, got $r4")
+  }
+
+  test("simhash128 banding: full recall, chunks stay wide at large distance") {
+    // chunk widths: 128 bits over d+1 chunks keeps >= floor(128/(d+1)) bits
+    val b128 = Dedup.chunkBounds(128, 11)
+    assert(b128.head == 0 && b128.last == 128)
+    val w128 = b128.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(w128.min >= 11 && w128.max - w128.min <= 1)
+    val w64 = Dedup.chunkBounds(64, 11).sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(w64.min == 5) // the 64-bit degeneration the 128-bit variant fixes
+    // recall vs brute force over the 128-bit signature, like the 64-bit test
+    val sh = Dedup.simhash128(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    for (d <- Seq(0, 10, 30)) {
+      val want = (for {
+        (i, hi) <- sh.toSeq; (j, hj) <- sh.toSeq
+        if i < j && ham(hi, hj) <= d
+      } yield (i, j)).toSet
+      val got = Dedup.simhashNearDups128(docs, "doc_id", "text", maxDistance = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"maxDistance $d: got $got want $want")
+    }
+    // identical docs agree on both words
+    assert(sh(1L) == sh(3L))
+  }
+
   test("embeddingNearDups buckets then verifies exact cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -31,13 +31,13 @@ object Bench {
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       spark.catalog.clearCache()
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fs = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    import JsonEscape.q
+    val qs = timings.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()

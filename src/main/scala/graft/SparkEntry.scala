@@ -710,6 +710,55 @@ object SparkEntry {
         round((a*(e*r3 - r2*h) - b*(d*r3 - r2*g) + r1*(d*h - e*g)) / det, 4) AS bias
       FROM m"""))
 
+  /** One-vs-rest ridge-classifier fit (bp2's multi-target form): all three
+    * l_returnflag classes share ONE X'X pass; the oracle repeats the
+    * Cramer's-rule solve per class over indicator-label sums (integers →
+    * exact in double, same parity argument as bp2). */
+  private def fitClassifierOracle: String = {
+    val classes = Seq("A", "N", "R")
+    val classSums = classes.map { k =>
+      s"""sum(CASE WHEN l_returnflag='$k' THEN l_quantity ELSE 0 END)::DOUBLE AS r1_$k,
+        sum(CASE WHEN l_returnflag='$k' THEN l_linenumber ELSE 0 END)::DOUBLE AS r2_$k,
+        sum(CASE WHEN l_returnflag='$k' THEN 1 ELSE 0 END)::DOUBLE AS r3_$k"""
+    }.mkString(",\n      ")
+    val blocks = classes.map { k =>
+      s"""SELECT '$k' AS class,
+        round((r1_$k*(e*i - f*h) - b*(r2_$k*i - f*r3_$k) + c*(r2_$k*h - e*r3_$k)) / det, 4) AS w_quantity,
+        round((a*(r2_$k*i - f*r3_$k) - r1_$k*(d*i - f*g) + c*(d*r3_$k - r2_$k*g)) / det, 4) AS w_linenumber,
+        round((a*(e*r3_$k - r2_$k*h) - b*(d*r3_$k - r2_$k*g) + r1_$k*(d*h - e*g)) / det, 4) AS bias
+        FROM m"""
+    }.mkString(" UNION ALL ")
+    s"""WITH s AS (SELECT
+        sum(l_quantity*l_quantity)::DOUBLE + 1.0 AS a,
+        sum(l_quantity*l_linenumber)::DOUBLE AS b,
+        sum(l_quantity)::DOUBLE AS c,
+        sum(l_linenumber*l_linenumber)::DOUBLE + 1.0 AS e,
+        sum(l_linenumber)::DOUBLE AS f,
+        count(*)::DOUBLE AS i,
+        $classSums
+      FROM lineitem),
+      m AS (SELECT *, b AS d, c AS g, f AS h,
+        a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c) AS det FROM s)
+      SELECT * FROM ($blocks) ORDER BY class"""
+  }
+
+  private val qFitClassifier = Q("bp3_fit_classifier",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        col("l_returnflag").as("y"))
+      val classes = Seq("A", "N", "R")
+      val fits = Blueprint.fitClassDecoders(li, "feat", "y", dim = 2, classes, lambda = 1.0)
+      import s.implicits._
+      classes.zip(fits).map { case (k, (w, b)) => (k, w(0), w(1), b) }
+        .toDF("class", "__w0", "__w1", "__b")
+        .select(col("class"), round(col("__w0"), 4).as("w_quantity"),
+          round(col("__w1"), 4).as("w_linenumber"), round(col("__b"), 4).as("bias"))
+        .orderBy("class")
+    },
+    Some(fitClassifierOracle))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private val qEmbedStub = Q("t4_text_embed_stub",
@@ -1084,7 +1133,7 @@ object SparkEntry {
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
-    qLegacyDates, qBlueprint, qFitDecoder, qEmbedStub, qEmbedTable, qDuration,
+    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,

@@ -90,9 +90,17 @@ object Blueprint {
       (Similarity.dot(col("feat"), array(weights.map(lit): _*)) + bias).as("score"))
 
   /** F21-style classification readout: per-class scores → softmax + argmax. */
-  def decodeClasses(target: DataFrame, classWeights: Seq[Array[Double]]): DataFrame = {
-    val scores = array(classWeights.map(w =>
-      Similarity.dot(col("feat"), array(w.map(lit): _*))): _*)
+  def decodeClasses(target: DataFrame, classWeights: Seq[Array[Double]]): DataFrame =
+    decodeClasses(target, classWeights, Seq.fill(classWeights.length)(0.0))
+
+  /** [[decodeClasses]] with per-class biases — the readout for
+    * [[fitClassDecoders]]' (weights, bias) pairs. */
+  def decodeClasses(target: DataFrame, classWeights: Seq[Array[Double]],
+      biases: Seq[Double]): DataFrame = {
+    require(classWeights.length == biases.length, "one bias per class")
+    val scores = array(classWeights.zip(biases).map { case (w, b) =>
+      Similarity.dot(col("feat"), array(w.map(lit): _*)) + lit(b)
+    }: _*)
     target.select(col("id"), scores.as("scores"))
       .withColumn("probs", Similarity.softmaxArray(col("scores")))
       .withColumn("pred", Similarity.argmaxArray(col("scores")))
@@ -117,29 +125,52 @@ object Blueprint {
     * @return (weights, bias) for [[decodeLinear]]
     */
   def fitLinearDecoder(df: DataFrame, featCol: String, yCol: String, dim: Int,
-      lambda: Double = 0.0): (Array[Double], Double) = {
+      lambda: Double = 0.0): (Array[Double], Double) =
+    fitLinearDecoders(df, featCol, Seq(col(yCol).cast("double")), dim, lambda).head
+
+  /** Multi-target form of [[fitLinearDecoder]]: the Gram matrix X'X is
+    * target-independent, so T targets share ONE distributed pass (X'X once
+    * + X'y per target) and T tiny driver solves — fitting a T-class
+    * readout costs the same scan as fitting one. */
+  def fitLinearDecoders(df: DataFrame, featCol: String, targets: Seq[Column],
+      dim: Int, lambda: Double = 0.0): Seq[(Array[Double], Double)] = {
     require(dim >= 1, "need at least one feature")
+    require(targets.nonEmpty, "need at least one target")
     val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
-    val y = col(yCol).cast("double")
     val sums: Seq[Column] =
       (for { i <- 0 until dim; j <- i until dim }
         yield sum(x(i) * x(j)).as(s"s_${i}_$j")) ++
       (0 until dim).map(i => sum(x(i)).as(s"s1_$i")) ++
-      (0 until dim).map(i => sum(x(i) * y).as(s"sy_$i")) ++
-      Seq(sum(y).as("sy"), count(lit(1)).cast("double").as("n"))
+      targets.zipWithIndex.flatMap { case (y, t) =>
+        (0 until dim).map(i => sum(x(i) * y).as(s"sy_${t}_$i")) :+
+          sum(y).as(s"sy_$t")
+      } ++
+      Seq(count(lit(1)).cast("double").as("n"))
     val row = df.agg(sums.head, sums.tail: _*).collect()(0)
     def g(name: String): Double = row.getDouble(row.fieldIndex(name))
     val k = dim + 1
-    val a = Array.ofDim[Double](k, k)
-    val b = new Array[Double](k)
-    for (i <- 0 until dim; j <- i until dim) { a(i)(j) = g(s"s_${i}_$j"); a(j)(i) = a(i)(j) }
-    for (i <- 0 until dim) { a(i)(dim) = g(s"s1_$i"); a(dim)(i) = a(i)(dim); a(i)(i) += lambda }
-    a(dim)(dim) = g("n")
-    for (i <- 0 until dim) b(i) = g(s"sy_$i")
-    b(dim) = g("sy")
-    val w = solveLinearSystem(a, b)
-    (w.take(dim), w(dim))
+    targets.indices.map { t =>
+      // solveLinearSystem mutates its arguments: fresh copies per target
+      val a = Array.ofDim[Double](k, k)
+      val b = new Array[Double](k)
+      for (i <- 0 until dim; j <- i until dim) { a(i)(j) = g(s"s_${i}_$j"); a(j)(i) = a(i)(j) }
+      for (i <- 0 until dim) { a(i)(dim) = g(s"s1_$i"); a(dim)(i) = a(i)(dim); a(i)(i) += lambda }
+      a(dim)(dim) = g("n")
+      for (i <- 0 until dim) b(i) = g(s"sy_${t}_$i")
+      b(dim) = g(s"sy_$t")
+      val w = solveLinearSystem(a, b)
+      (w.take(dim), w(dim))
+    }
   }
+
+  /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:
+    * one ridge regression per class against its 0/1 indicator (a standard
+    * ridge classifier — argmax of the per-class scores predicts). All
+    * classes share the single X'X pass of [[fitLinearDecoders]]. */
+  def fitClassDecoders(df: DataFrame, featCol: String, yCol: String, dim: Int,
+      classes: Seq[Any], lambda: Double = 0.0): Seq[(Array[Double], Double)] =
+    fitLinearDecoders(df, featCol,
+      classes.map(c => when(col(yCol) === lit(c), 1.0).otherwise(0.0)), dim, lambda)
 
   /** Gaussian elimination with partial pivoting on the tiny (k+1)×(k+1)
     * normal matrix — driver-side scalar math, like the reference's other

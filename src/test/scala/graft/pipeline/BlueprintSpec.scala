@@ -84,6 +84,29 @@ class BlueprintSpec extends SparkSpec {
     assert(math.abs(w(0)) < 2.0 && math.abs(w(1)) < 3.0) // shrunk toward 0
   }
 
+  test("fitClassDecoders: one-vs-rest ridge separates linearly-separable classes") {
+    // class determined by which feature dominates; well-separated clusters
+    val rows = Seq(
+      (Array(5.0, 0.0), "x"), (Array(6.0, 1.0), "x"), (Array(4.0, 0.5), "x"),
+      (Array(0.0, 5.0), "y"), (Array(1.0, 6.0), "y"), (Array(0.5, 4.0), "y"))
+    val df = rows.toDF("feat", "y")
+    val classes = Seq("x", "y")
+    val fits = Blueprint.fitClassDecoders(df, "feat", "y", dim = 2, classes, lambda = 0.01)
+    // argmax of the per-class ridge scores must classify every point right
+    val scored = Blueprint.decodeClasses(
+        df.withColumn("id", monotonically_increasing_id()),
+        fits.map(_._1), fits.map(_._2))
+      .select("pred").as[Long].collect()
+    val want = rows.map { case (_, c) => classes.indexOf(c).toLong }
+    assert(scored.toSeq == want)
+    // multi-target fit agrees with fitting each indicator separately
+    val single = Blueprint.fitLinearDecoder(
+      df.withColumn("ind", when(col("y") === "x", 1.0).otherwise(0.0)),
+      "feat", "ind", dim = 2, lambda = 0.01)
+    assert(fits.head._1.zip(single._1).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(math.abs(fits.head._2 - single._2) < 1e-12)
+  }
+
   test("attn aggregation: attention round matches scatter-mean for zero queries") {
     // parents have zero feature vectors -> all edge scores 0 -> uniform
     // softmax -> the attention reduce equals the mean reduce

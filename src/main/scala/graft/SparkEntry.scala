@@ -944,6 +944,15 @@ object SparkEntry {
       .orderBy("id1", "id2"),
     None)
 
+  /** The 128-bit scale path at the same maxDistance: full-recall banding
+    * keeps chunks ≥ 11 bits (vs 5-6 for 64-bit at d=10), so the bucket
+    * join stays selective — the variant to reach for at large d. */
+  private val qSimhash128 = Q("d4b_simhash128_neardups",
+    (s, d) => Dedup.simhashNearDups128(t(s, d, "documents"), "doc_id", "text",
+        maxDistance = 10)
+      .orderBy("id1", "id2"),
+    None)
+
   private val qEmbDedup = Q("d5_embedding_neardups",
     // the synthetic embeddings are near-orthogonal random vectors (max
     // pairwise cos ~0.51), so the "near-dup" bar is set low enough to
@@ -1135,7 +1144,7 @@ object SparkEntry {
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
     qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
-    qExactDedup, qNgramJaccard, qMinhash, qSimhash, qEmbDedup,
+    qExactDedup, qNgramJaccard, qMinhash, qSimhash, qSimhash128, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qHourly, qRunningTotals, qSessions)

@@ -74,6 +74,16 @@ class EndToEndSpec extends SparkSpec {
     assert(scored.count() == cat.table("orders").count())
     assert(!m.getDouble(0).isNaN && !m.getDouble(1).isNaN && !m.getDouble(2).isNaN)
     assert(m.getDouble(0) > 0) // a 1-round untrained decode is not exact
+
+    // TRAIN the readout (the reference's fit stage): closed-form ridge over
+    // the propagated features — the fitted decode must beat the untrained
+    // all-ones decode on MSE (tiny lambda guards filler-column collinearity)
+    val joined = out("orders").join(y, "id")
+    val (w, b) = Blueprint.fitLinearDecoder(joined, "feat", "y", dim, lambda = 1e-6)
+    val fitted = Blueprint.decodeLinear(out("orders"), w, b)
+    val mf = Metrics.regression(fitted.join(y, "id"), "score", "y").collect()(0)
+    assert(mf.getDouble(1) < m.getDouble(1),
+      s"fitted MSE ${mf.getDouble(1)} should beat untrained ${m.getDouble(1)}")
   }
 
   test("classification slice: categorical target factorizes and decodes") {

@@ -25,8 +25,8 @@ class EntrySmokeSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // hash-/seed-defined pipelines only — keep this list in sync when adding
     assert(rowsOnly == Set("w6_random_split", "d2_minhash_neardups",
-      "d4_simhash_neardups", "d5_embedding_neardups", "sim2_lsh_topk",
-      "t4_text_embed_stub", "mm2_decode_batched"))
+      "d4_simhash_neardups", "d4b_simhash128_neardups", "d5_embedding_neardups",
+      "sim2_lsh_topk", "t4_text_embed_stub", "mm2_decode_batched"))
     // and no oracle exists without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

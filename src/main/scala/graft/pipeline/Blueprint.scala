@@ -34,7 +34,12 @@ object Blueprint {
       /** combine(self, neighborAgg) -> new features; default: mean of the
         * two vectors (MeanAddConv-like, nn/conv/mean_add.py:8-20). */
       combine: (Column, Column) => Column =
-        (self, agg) => zip_with(self, agg, (a, b) => (a + b) / 2.0))
+        (self, agg) => zip_with(self, agg, (a, b) => (a + b) / 2.0),
+      /** Per-edge-type aggregation override — the reference's
+        * `table_combination` is supplied PER edge type
+        * (nn/models/blueprint.py:24-214); unlisted types fall back to
+        * `aggr`. */
+      edgeAggr: Map[EdgeType, String] = Map.empty)
 
   /** Run K rounds of heterogeneous message passing.
     *
@@ -54,10 +59,11 @@ object Blueprint {
       // per edge type: reduce messages per destination (A7; attn = A9
       // cross-attention with the destination features as queries)
       val perType: Seq[(String, DataFrame)] = edges.toSeq.map { case (et, e) =>
+        val aggr = cfg.edgeAggr.getOrElse(et, cfg.aggr)
         val reduced =
-          if (cfg.aggr == "attn")
+          if (aggr == "attn")
             VectorAgg.propagateAttention(state(et.src), state(et.dst), e, "id", "feat")
-          else VectorAgg.propagate(state(et.src), e, "id", "feat", cfg.aggr)
+          else VectorAgg.propagate(state(et.src), e, "id", "feat", aggr)
         et.dst -> reduced.withColumnRenamed("dst_id", "id")
       }
       // cross-edge-type reduce per destination table (HeteroConv sum)

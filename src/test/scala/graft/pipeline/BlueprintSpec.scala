@@ -121,6 +121,17 @@ class BlueprintSpec extends SparkSpec {
     assert(a(1) == m(1))
   }
 
+  test("edgeAggr overrides the aggregation per edge type") {
+    val et = EdgeType("child", "fk", "parent")
+    val out = Blueprint.forward(nodes, edges,
+      Blueprint.Config(layers = 1, aggr = "mean", edgeAggr = Map(et -> "sum")))
+    val p = out("parent").orderBy("id").as[(Long, Seq[Double])].collect()
+    // parent 0 under SUM: msgs (2,4)+(6,8) = (8,12); combine ((0,0)+(8,12))/2
+    assert(p(0) == ((0L, Seq(4.0, 6.0))))
+    // an unlisted edge type would fall back to cfg.aggr (= mean): covered
+    // by the first test; here the override changed the result
+  }
+
   test("batch-size heuristic matches the reference formula") {
     assert(Blueprint.batchSizeHeuristic(500) == 16)    // 2^0 < 16 floor
     assert(Blueprint.batchSizeHeuristic(64000) == 128) // 2^round(log2(128))

@@ -127,6 +127,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops in-watermark duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupStream(src, Seq("doc_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t("2024-01-01 10:00:00"), "a"), (2L, t("2024-01-01 10:01:00"), "b"))
+      q.processAllAvailable()
+      // duplicate of doc 1 in a LATER micro-batch, still inside the watermark
+      mem.addData((1L, t("2024-01-01 10:05:00"), "a dup"), (3L, t("2024-01-01 10:06:00"), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L)) // the cross-batch dup was dropped
+    } finally q.stop()
+
+    // batch form: plain first-occurrence dedup on the same data
+    val batch = Seq(
+      (1L, t("2024-01-01 10:00:00"), "a"), (2L, t("2024-01-01 10:01:00"), "b"),
+      (1L, t("2024-01-01 10:05:00"), "a dup")).toDF("doc_id", "ts", "text")
+    assert(EventStream.dedupStream(batch, Seq("doc_id"), "ts", "1 hour").count() == 2)
+  }
+
   test("runningTotals also runs on a plain batch Dataset") {
     val df = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("k", "v")
     val out = EventStream.runningTotals(df, "k", "v")

@@ -928,6 +928,38 @@ object SparkEntry {
       WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 0.5
       ORDER BY id1, id2"""))
 
+  /** Near-dup clustering: the d3 pair set collapsed into connected
+    * components, every document mapped to its canonical (minimum-id)
+    * representative — iterative min-label propagation on the Spark side,
+    * a recursive transitive-closure CTE on the DuckDB side; identical pair
+    * input (d3's oracle already hash-matches) ⇒ identical clusters. */
+  private val qDupClusters = Q("d6_dup_clusters",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.dupClusters(docs, "doc_id", pairs).orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+      t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
+      inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      jp AS (SELECT id1, id2 FROM cand
+        JOIN sz z1 ON id1 = z1.doc_id JOIN sz z2 ON id2 = z2.doc_id
+        WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 0.5),
+      e AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
+      reach AS (SELECT a, b FROM e
+        UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      rep AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+      SELECT d.doc_id, least(coalesce(mn, d.doc_id), d.doc_id) AS rep
+      FROM documents d LEFT JOIN rep USING (doc_id) ORDER BY doc_id"""))
+
   /** MinHash+LSH and SimHash pipelines are hash-function-defined — no SQL
     * oracle can reproduce them; the driver applies the rows-only check and
     * the ScalaTest specs assert recall/precision on planted duplicates. */
@@ -1144,7 +1176,7 @@ object SparkEntry {
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
     qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
-    qExactDedup, qNgramJaccard, qMinhash, qSimhash, qSimhash128, qEmbDedup,
+    qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qSimhash, qSimhash128, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qHourly, qRunningTotals, qSessions)

@@ -336,6 +336,59 @@ object Dedup {
     verifyJaccardSets(sets, cands, idCol, threshold)
   }
 
+  // ------------------------------------------- near-dup clustering
+
+  /** Connected components by iterative min-label propagation: every vertex
+    * converges to the MINIMUM id reachable from it (the canonical cluster
+    * representative). The classic Spark shape for an iterative graph
+    * algorithm: per round one join + one groupBy-min (both
+    * partial-aggregating, shuffling only (id, label)), with an eager
+    * `localCheckpoint` per round so lineage stays flat across iterations
+    * instead of compounding into an unexecutable plan. Rounds needed =
+    * graph diameter; near-dup clusters are shallow (dup cliques), so the
+    * default bound is generous. Stops early once no label changes.
+    *
+    * @param edges    undirected edge list (src, dst) — symmetrized inside
+    * @param vertices one id per row; isolated vertices keep their own id
+    * @return (id, component) with component = min id in the component
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+      edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = vertices.select(col(idCol).as("a"), col(idCol).as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label for each vertex: min of its own and neighbors'
+      val fromNbr = sym
+        .join(labels.withColumnRenamed("a", "b").withColumnRenamed("comp", "__nc"), "b")
+        .select(col("a"), col("__nc").as("comp"))
+      val next = labels.unionAll(fromNbr)
+        .groupBy(col("a")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "__old"), "a")
+        .filter(col("comp") =!= col("__old")).isEmpty
+      converged = changed
+      labels = next
+      iter += 1
+    }
+    labels.select(col("a").as(idCol), col("comp").as("component"))
+  }
+
+  /** Near-dup CLUSTERS: collapse pairwise near-dup matches into
+    * components and assign every document its canonical representative
+    * (minimum doc id in the cluster; singletons represent themselves) —
+    * what a training-data pipeline actually needs after pair generation:
+    * keep one doc per cluster, drop the rest. */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame =
+    connectedComponents(docs.select(col(idCol)), idCol,
+      pairs.select(col("id1").as("src"), col("id2").as("dst")), maxIter)
+      .withColumnRenamed("component", "rep")
+
   // ------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs: LSH-bucketed then exact cosine

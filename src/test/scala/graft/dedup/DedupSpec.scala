@@ -167,6 +167,27 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) == sh(3L))
   }
 
+  test("connectedComponents: min-label propagation over a multi-round chain") {
+    // path 1-2-3-4-5 needs several propagation rounds; 6-7 separate; 8 isolated
+    val verts = (1L to 8L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val comp = Dedup.connectedComponents(verts, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(6L) == 6L && comp(7L) == 6L)
+    assert(comp(8L) == 8L)
+  }
+
+  test("dupClusters assigns each doc its minimum-id near-dup representative") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.9)
+    val reps = Dedup.dupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 and 3 are exact dups; 2 (base + one word) has unigram J = 14/15
+    // with 1 -> all three collapse to rep 1; 4 and 5 stay singletons
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("embeddingNearDups buckets then verifies exact cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -179,6 +179,30 @@ class DedupSpec extends SparkSpec {
     assert(comp(8L) == 8L)
   }
 
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 8) {
+      val n = 4 + rnd.nextInt(8)
+      val edges = (0 until rnd.nextInt(n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // ground truth: plain union-find
+      val parent = Array.tabulate(n.toLong.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val verts = (0L until n).map(Tuple1(_)).toDF("id")
+      val edgeDf = if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edges.toDF("src", "dst")
+      val got = Dedup.connectedComponents(verts, "id", edgeDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$n, edges=$edges)")
+    }
+  }
+
   test("dupClusters assigns each doc its minimum-id near-dup representative") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.9)
     val reps = Dedup.dupClusters(docs, "doc_id", pairs)

@@ -39,7 +39,11 @@ object Blueprint {
         * `table_combination` is supplied PER edge type
         * (nn/models/blueprint.py:24-214); unlisted types fall back to
         * `aggr`. */
-      edgeAggr: Map[EdgeType, String] = Map.empty)
+      edgeAggr: Map[EdgeType, String] = Map.empty,
+      /** Per-destination-node-type combine override (the combine runs
+        * after the cross-edge-type reduce, so its natural granularity is
+        * the node type); unlisted types fall back to `combine`. */
+      nodeCombine: Map[String, (Column, Column) => Column] = Map.empty)
 
   /** Run K rounds of heterogeneous message passing.
     *
@@ -76,11 +80,12 @@ object Blueprint {
           case None => self
           case Some(msgs) =>
             val m = msgs.withColumnRenamed("feat", "__msg")
+            val comb = cfg.nodeCombine.getOrElse(t, cfg.combine)
             // nodes with no incoming edges keep their own features
             self.join(m, Seq("id"), "left")
               .select(col("id"),
                 when(col("__msg").isNull, col("feat"))
-                  .otherwise(cfg.combine(col("feat"), col("__msg"))).as("feat"))
+                  .otherwise(comb(col("feat"), col("__msg"))).as("feat"))
         })
       }
       state = state.map { case (t, df) => t -> cfg.post(df) }

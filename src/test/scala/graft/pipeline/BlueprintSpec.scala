@@ -132,6 +132,17 @@ class BlueprintSpec extends SparkSpec {
     // by the first test; here the override changed the result
   }
 
+  test("nodeCombine overrides the combine per destination node type") {
+    val replace: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column = (_, msg) => msg
+    val out = Blueprint.forward(nodes, edges,
+      Blueprint.Config(layers = 1, aggr = "mean",
+        nodeCombine = Map("parent" -> replace)))
+    val p = out("parent").orderBy("id").as[(Long, Seq[Double])].collect()
+    // parent 0 takes the neighbor mean outright: mean((2,4),(6,8)) = (4,6)
+    assert(p(0) == ((0L, Seq(4.0, 6.0))))
+  }
+
   test("batch-size heuristic matches the reference formula") {
     assert(Blueprint.batchSizeHeuristic(500) == 16)    // 2^0 < 16 floor
     assert(Blueprint.batchSizeHeuristic(64000) == 128) // 2^round(log2(128))

@@ -34,6 +34,13 @@ object Bench {
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       spark.catalog.clearCache()
+      // clearCache does not touch localCheckpoint blocks (dedup pipelines,
+      // connected components); those are freed by the ContextCleaner only
+      // after the referencing DataFrames are garbage collected. Nudge the
+      // collector so block-manager memory from one query can't distort the
+      // next — the r4 driver sweep showed one query inflating 10x+ under
+      // accumulated block pressure that a fresh JVM didn't reproduce.
+      System.gc()
     }
     import JsonEscape.q
     val qs = timings.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")

@@ -4,14 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.VectorAgg
-import graft.analyze.DistinctCounter
+import graft.analyze.{DistinctCounter, Quantiles}
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
 import graft.convert.{CategoricalCodes, Converters, TableConverter}
 import graft.dedup.Dedup
+import graft.features.Features
 import graft.functions.Normalizers
 import graft.graph.RelGraph
+import graft.joins.TemporalJoins
 import graft.multimodal.Multimodal
-import graft.sample.BfsSampler
+import graft.sample.{BfsSampler, Sampling}
 import graft.schema._
 import graft.similarity.{Ivf, Similarity}
 import graft.streaming.EventStream
@@ -1161,6 +1163,168 @@ object SparkEntry {
       FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""))
 
   // ====================================================================
+  // Temporal joins, rolling features, splits, quantiles (round 5)
+  // ====================================================================
+
+  /** Backward as-of join: each click picks the user's latest purchase
+    * at-or-before it (merge-as-of: one window over a tagged union — no
+    * inequality join). The oracle restates it as max-timestamp-then-max-id
+    * subqueries, which DuckDB can afford at sf0.01. */
+  private val qAsof = Q("aj1_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"))
+      TemporalJoins.asofJoin(clicks, purchases, "user_id", "user_id", "ts", "ts",
+          carry = Seq("p_event_id", "p_value"), tieBreak = "p_event_id")
+        .select(col("event_id"), col("p_event_id"),
+          round(col("p_value"), 4).as("p_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        FROM events WHERE event_type='click'),
+      r AS (SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        event_id AS p_event_id, value FROM events WHERE event_type='purchase'),
+      m AS (SELECT l.event_id, max(r.ts) AS mt FROM l LEFT JOIN r
+        ON r.user_id=l.user_id AND r.ts<=l.ts GROUP BY 1),
+      b AS (SELECT l.event_id AS event_id, max(r.p_event_id) AS p_event_id
+        FROM l JOIN m ON l.event_id=m.event_id
+        JOIN r ON r.user_id=l.user_id AND r.ts=m.mt GROUP BY 1)
+      SELECT l.event_id, b.p_event_id, round(r2.value, 4) AS p_value
+      FROM l LEFT JOIN b ON l.event_id=b.event_id
+      LEFT JOIN r r2 ON r2.p_event_id=b.p_event_id
+      ORDER BY l.event_id"""))
+
+  /** Range join: clicks within each purchase's 24h window, per user —
+    * bucketed equi-join on (user, day-bucket), exact containment filter,
+    * then left-join back so empty windows report 0. */
+  private val qRangeJoin = Q("rj1_range_join",
+    (s, d) => {
+      val dayUs = 86400000000L
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_ts"),
+          col("value"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("w_id"), col("user_id"),
+          unix_micros(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + dayUs)
+      val matched = TemporalJoins.rangeJoinBucketed(clicks, windows,
+        "c_user", "user_id", "c_ts", "lo", "hi", bucketWidth = dayUs)
+      val aggd = matched.groupBy(col("w_id"))
+        .agg(count(lit(1)).as("n_clicks"), sum(col("value")).as("__sv"))
+      windows.select(col("w_id")).join(aggd, Seq("w_id"), "left")
+        .select(col("w_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          round(coalesce(col("__sv"), lit(0.0)), 4).as("sum_value"))
+        .orderBy("w_id")
+    },
+    Some("""WITH p AS (SELECT event_id AS w_id, user_id,
+        date_trunc('microseconds', ts) AS lo,
+        date_trunc('microseconds', ts) + INTERVAL 24 HOUR AS hi
+        FROM events WHERE event_type='purchase'),
+      c AS (SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events WHERE event_type='click')
+      SELECT p.w_id, count(c.ts) AS n_clicks,
+        round(coalesce(sum(c.value),0),4) AS sum_value
+      FROM p LEFT JOIN c ON c.user_id=p.user_id AND c.ts >= p.lo AND c.ts < p.hi
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Rolling per-user features over the event sequence + typed JSON field
+    * extraction — one window sort serves lag, trailing mean and sequence
+    * number. */
+  private val qRolling = Q("fe1_rolling_features",
+    (s, d) => Features.rolling(events(s, d), "user_id", "ts", "value",
+        tie = "event_id", k = 3)
+      .select(col("event_id"), round(col("prev_value"), 4).as("prev_value"),
+        round(col("avg3"), 4).as("avg3"), col("seq"),
+        Features.jsonField(col("props"), "$.k", "int").as("k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+        round(lag(value) OVER w, 4) AS prev_value,
+        round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3,
+        row_number() OVER w AS seq,
+        json_extract_string(props, '$.k')::INTEGER AS k
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""))
+
+  /** Gopher-style repetition signals over documents. */
+  private val qRepetition = Q("t5_repetition_stats",
+    (s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      n AS (SELECT doc_id, w, len(w) AS n_tok, len(list_distinct(w)) AS n_uniq FROM t),
+      tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+      cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1,2),
+      mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY 1),
+      g AS (SELECT doc_id, CASE WHEN len(w) < 2 THEN NULL
+          ELSE len(list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1]))) END AS n_uniq2 FROM t)
+      SELECT n.doc_id, n.n_tok, n.n_uniq,
+        round(1.0 - n.n_uniq / n.n_tok::DOUBLE, 4) AS dup_word_frac,
+        round(mx.mc / n.n_tok::DOUBLE, 4) AS top_word_frac,
+        round(1.0 - g.n_uniq2 / (n.n_tok - 1)::DOUBLE, 4) AS dup_bigram_frac
+      FROM n JOIN mx ON n.doc_id=mx.doc_id JOIN g ON n.doc_id=g.doc_id
+      ORDER BY n.doc_id"""))
+
+  /** Top-3 TF-IDF terms per document (smoothed idf, term-tiebroken rank). */
+  private val qTfidf = Q("t6_tfidf_topk",
+    (s, d) => TextAnalysis.tfidfTopK(t(s, d, "documents"), "doc_id", "text", 3)
+      .orderBy("doc_id", "rk"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1,2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM t),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          tf.tf * ln((n.n + 1) / (df.df + 1.0)) AS score
+        FROM tf JOIN df ON tf.term=df.term CROSS JOIN n),
+      rk AS (SELECT *, row_number() OVER
+          (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+      SELECT doc_id, term, tf, df, round(score, 4) AS score, rk
+      FROM rk WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** Leakage-free group split: md5-prefix assignment per customer, rows
+    * follow their group (orders counted per split through the FK). */
+  private val qGroupSplit = Q("w8_group_split",
+    (s, d) => {
+      val c = Sampling.groupSplit(t(s, d, "customer"), "c_custkey")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("split"))
+        .agg(count_distinct(col("c_custkey")).as("n_groups"),
+          count(col("o_orderkey")).as("n_rows"))
+        .orderBy("split")
+    },
+    Some("""WITH s AS (SELECT c_custkey, CASE
+          WHEN substr(md5(c_custkey::VARCHAR),1,2) < 'cd' THEN 'train'
+          ELSE 'test' END AS split FROM customer)
+      SELECT s.split, count(DISTINCT s.c_custkey) AS n_groups,
+        count(o.o_orderkey) AS n_rows
+      FROM s LEFT JOIN orders o ON o.o_custkey = s.c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Exact column quantiles in long form; `Quantiles.approx` is the
+    * sketch-based 100 TB path (same output shape, not oracle-checkable). */
+  private val qQuantiles = Q("a13_quantiles",
+    (s, d) => Quantiles.exact(t(s, d, "lineitem"),
+        Seq("l_extendedprice", "l_quantity"), Seq(0.25, 0.5, 0.75, 0.95))
+      .select(col("col"), col("p"), round(col("q"), 4).as("q"))
+      .orderBy("col", "p"),
+    Some("""WITH q AS (
+        SELECT 'l_extendedprice' AS col,
+          quantile_cont(l_extendedprice, [0.25,0.5,0.75,0.95]) AS qs FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', quantile_cont(l_quantity, [0.25,0.5,0.75,0.95]) FROM lineitem)
+      SELECT col, unnest([0.25,0.5,0.75,0.95])::DOUBLE AS p,
+        round(unnest(qs), 4) AS q FROM q ORDER BY col, p"""))
+
+  // ====================================================================
   // Registry
   // ====================================================================
 
@@ -1179,7 +1343,8 @@ object SparkEntry {
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qSimhash, qSimhash128, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,
     qTextQuality, qLangId, qFingerprint,
-    qMedia, qDecode, qHourly, qRunningTotals, qSessions)
+    qMedia, qDecode, qHourly, qRunningTotals, qSessions,
+    qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

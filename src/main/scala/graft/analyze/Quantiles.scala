@@ -1,0 +1,47 @@
+package graft.analyze
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column quantiles in long form `(col, p, q)` — the distribution profile
+  * a feature-engineering pipeline reads before scaling/clipping.
+  *
+  * Mirrors the engine's exact/approx duality for distinct counts
+  * ([[DistinctCounter]]): [[exact]] is the oracle-parity path (linear
+  * interpolation over the fully sorted column — Spark's `percentile`
+  * aggregate buffers the column per partition, fine at test SF, memory-bound
+  * at 100 TB); [[approx]] is the scale path (Greenwald-Khanna sketch via
+  * `percentile_approx`: O(1/ε) state, partial-aggregating, one pass —
+  * what a 1000-executor profile job should run).
+  */
+object Quantiles {
+
+  private def lits(ps: Seq[Double]) = s"array(${ps.mkString("D,")}D)"
+
+  /** Exact interpolated quantiles: one aggregation job computes every
+    * column's percentile array; the long-form unpivot is a driver-side plan
+    * construction (per-column selects over the 1-row aggregate, unioned) —
+    * no per-column pass over the data. */
+  def exact(df: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame =
+    unpivot(df.agg(
+      expr(s"percentile(${cols.head}, ${lits(ps)})").as(cols.head),
+      cols.tail.map(c => expr(s"percentile($c, ${lits(ps)})").as(c)): _*), cols, ps)
+
+  /** Approximate quantiles (GK sketch), same output shape. `accuracy` is
+    * Spark's 1/ε knob (10000 ≈ 0.01% rank error). */
+  def approx(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame =
+    unpivot(df.agg(
+      expr(s"percentile_approx(${cols.head}, ${lits(ps)}, $accuracy)").as(cols.head),
+      cols.tail.map(c => expr(s"percentile_approx($c, ${lits(ps)}, $accuracy)").as(c)): _*),
+      cols, ps)
+
+  private def unpivot(aggd: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
+    val psArr = array(ps.map(lit): _*)
+    cols.map { c =>
+      aggd.select(lit(c).as("col"), posexplode(col(c)).as(Seq("__i", "q")))
+        .select(col("col"), element_at(psArr, col("__i") + 1).as("p"),
+          col("q").cast("double").as("q"))
+    }.reduce(_ unionAll _)
+  }
+}

@@ -51,6 +51,16 @@ object Dedup {
           concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
+  /** Word n-gram shingles hashed to 64-bit longs: the MinHash-family
+    * representation. 8-byte elements instead of ~25-byte strings makes the
+    * cached sets ~3x smaller and set-intersection integer-typed; Jaccard
+    * over hashed shingles equals string-set Jaccard up to 64-bit collisions
+    * (odds ~|union|^2 / 2^64 per pair — negligible), which is within the
+    * MinHash pipeline's hash-defined contract. [[ngramJaccardPairs]] keeps
+    * string sets: its contract (and DuckDB oracle) is exact. */
+  def wordShingleHashes(c: Column, n: Int): Column =
+    transform(wordShingles(c, n), s => xxhash64(s))
+
   // ------------------------------------------------------------- minhash
 
   /** Deterministic universal-hash parameters (a, b) for k MinHash
@@ -67,27 +77,27 @@ object Dedup {
 
   private val MersennePrime = (1L << 61) - 1
 
-  /** MinHash signatures from precomputed `(idCol, __set)` shingle sets —
-    * the single hashing definition shared by [[minhashSignatures]] and
-    * [[minhashNearDups]], so the public signature API and the pipeline
-    * can never drift apart. One explode + one groupBy(id) with k
-    * partial-aggregable min()s. */
+  /** MinHash signatures from precomputed HASHED `(idCol, __set: Array[Long])`
+    * shingle sets (see [[wordShingleHashes]]) — the single hashing
+    * definition shared by [[minhashSignatures]] and [[minhashNearDups]], so
+    * the public signature API and the pipeline can never drift apart. One
+    * explode + one groupBy(id) with k partial-aggregable min()s. */
   private[graft] def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
       k: Int, seed: Long): DataFrame = {
     val params = hashParams(k, seed)
     val exploded = sets.select(col(idCol), explode(col("__set")).as("__sh"))
-      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(MersennePrime)))
+      .withColumn("__h", pmod(col("__sh"), lit(MersennePrime)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
     }
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash signature per document: k minima over the shingle set. */
+  /** MinHash signature per document: k minima over the hashed shingle set. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleN: Int = 3, seed: Long = 42L): DataFrame =
     minhashSignaturesFromSets(
-      docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("__set")),
+      docs.select(col(idCol), wordShingleHashes(col(textCol), shingleN).as("__set")),
       idCol, k, seed)
 
   /** LSH banding over a MinHash signature: bands of r rows each; documents
@@ -121,8 +131,10 @@ object Dedup {
     * themselves are freed by the ContextCleaner when the returned
     * DataFrame is garbage collected. */
   private def withShingleSets(docs: DataFrame, idCol: String, textCol: String,
-      n: Int)(pipeline: DataFrame => DataFrame): DataFrame = {
-    val sets = docs.select(col(idCol), wordShingles(col(textCol), n).as("__set"))
+      n: Int, hashed: Boolean = false)(pipeline: DataFrame => DataFrame): DataFrame = {
+    val shingleExpr =
+      if (hashed) wordShingleHashes(col(textCol), n) else wordShingles(col(textCol), n)
+    val sets = docs.select(col(idCol), shingleExpr.as("__set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sets.count()
@@ -154,11 +166,12 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → band →
     * bucket-join → exact-Jaccard verify. Shingles once (signatures and the
-    * verify join share the cached sets); no cache entries survive. */
+    * verify join share the cached sets, hashed to longs — see
+    * [[wordShingleHashes]]); no cache entries survive. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame =
-    withShingleSets(docs, idCol, textCol, shingleN) { sets =>
+    withShingleSets(docs, idCol, textCol, shingleN, hashed = true) { sets =>
       val sigs = minhashSignaturesFromSets(sets, idCol, k, seed)
       val cands = minhashCandidates(sigs, idCol, k, bands)
       verifyJaccardSets(sets, cands, idCol, threshold)

@@ -1,0 +1,34 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-key ordered feature engineering for training-data pipelines:
+  * lag/rolling-window features over an event sequence, and typed field
+  * extraction from semi-structured payload columns. All window functions
+  * over ONE (key, order) sort — a single shuffle regardless of how many
+  * features are derived; JSON extraction is a codegen'd expression
+  * (`get_json_object`), no UDFs.
+  */
+object Features {
+
+  /** Rolling features per key, ordered by (ts, tie): previous value, mean
+    * over the trailing `k` rows (current inclusive), and the 1-based
+    * sequence number. One window sort serves all three. `tie` makes the
+    * order total when ts alone can collide (pass the row's unique id). */
+  def rolling(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tie: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "rolling window must cover at least the current row")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tie))
+    df.withColumn("prev_value", lag(col(valueCol), 1).over(w))
+      .withColumn(s"avg$k",
+        avg(col(valueCol)).over(w.rowsBetween(-(k - 1), Window.currentRow)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+  }
+
+  /** Typed scalar extracted from a JSON payload column (codegen'd path
+    * expression; `dataType` e.g. "int", "double", "string"). */
+  def jsonField(c: Column, path: String, dataType: String): Column =
+    get_json_object(c, path).cast(dataType)
+}

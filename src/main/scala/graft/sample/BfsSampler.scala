@@ -54,6 +54,32 @@ object Sampling {
     nodes.withColumn("val_mask", r < valFraction)
       .withColumn("train_mask", !(r < valFraction))
   }
+
+  /** Leakage-free GROUP split: every row whose `keyCol` hashes below the
+    * threshold goes to "train", the rest to "test" — all rows sharing a key
+    * land in the SAME split (what per-row seeded masks like [[withSplitMasks]]
+    * cannot guarantee when an entity spans many rows). Content-hash based,
+    * so the assignment is stable across runs, partitionings and engines —
+    * new data joins the same split its key always had.
+    *
+    * `thresholdHex` is the first-2-hex-chars cutoff of md5(key): "cd" ≈ 80%
+    * train (205/256). md5 keeps the assignment portable across engines
+    * (SQL-restatable); [[groupSplitFast]] is the cheaper xxhash64 variant
+    * for engine-internal use at scale. */
+  def groupSplit(df: DataFrame, keyCol: String,
+      thresholdHex: String = "cd"): DataFrame =
+    df.withColumn("split",
+      when(substring(md5(col(keyCol).cast("string")), 1, 2) < lit(thresholdHex),
+        lit("train")).otherwise(lit("test")))
+
+  /** [[groupSplit]] with xxhash64 bucketing: trainPct of 100 buckets. */
+  def groupSplitFast(df: DataFrame, keyCol: String, trainPct: Int,
+      seed: Long = 42L): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, "trainPct must be in [0, 100]")
+    df.withColumn("split",
+      when(pmod(xxhash64(col(keyCol), lit(seed)), lit(100)) < trainPct,
+        lit("train")).otherwise(lit("test")))
+  }
 }
 
 class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {

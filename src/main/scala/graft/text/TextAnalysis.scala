@@ -144,6 +144,62 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("__e"), zero).as("embedding"))
   }
 
+  /** Gopher-style repetition signals per document: duplicate-word fraction
+    * (1 − distinct/total tokens), top-word dominance (most frequent token's
+    * share), and duplicate-bigram fraction — the standard "repetitious
+    * document" quality filters for LLM corpus curation.
+    *
+    * Token/bigram distinct counts are row-local array expressions (stay in
+    * the corpus scan); only the top-word count needs a real aggregation,
+    * done as explode → groupBy(doc, term) → groupBy(doc) max — two
+    * partial-aggregating shuffles keyed by doc, no row-local O(n·u) scan,
+    * so a single pathological 10k-token document can't stall its task. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol), toks.as("__w"))
+    val bigrams = transform(sequence(lit(1), size(col("__w")) - 1),
+      i => concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1)))
+    val perDoc = base.select(
+      col(idCol),
+      size(col("__w")).cast("bigint").as("n_tok"),
+      size(array_distinct(col("__w"))).cast("bigint").as("n_uniq"),
+      when(size(col("__w")) < 2, lit(null).cast("bigint"))
+        .otherwise(size(array_distinct(bigrams)).cast("bigint")).as("__uniq2"))
+    val top = base.select(col(idCol), explode(col("__w")).as("__tk"))
+      .groupBy(col(idCol), col("__tk")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__mc"))
+    perDoc.join(top, idCol).select(
+      col(idCol), col("n_tok"), col("n_uniq"),
+      round(lit(1.0) - col("n_uniq") / col("n_tok").cast("double"), 4).as("dup_word_frac"),
+      round(col("__mc") / col("n_tok").cast("double"), 4).as("top_word_frac"),
+      round(lit(1.0) - col("__uniq2") / (col("n_tok") - 1).cast("double"), 4)
+        .as("dup_bigram_frac"))
+  }
+
+  /** Top-k terms per document by TF-IDF (tf · ln((N+1)/(df+1)), the
+    * smoothed-idf convention): explode to (doc, term), one groupBy for tf,
+    * one distinct+groupBy for df, N via a broadcast 1-row aggregate (never
+    * a driver collect), rank with a per-doc window. Ties rank by term so
+    * output is total-ordered. All shuffles key on doc or term — the corpus
+    * is never joined against itself. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = toks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(idf, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log((col("__n") + lit(1)) / (col("df") + lit(1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"), col("rk"))
+  }
+
   /** Project a documents DataFrame to per-document analysis columns. */
   def analyze(docs: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -1,0 +1,33 @@
+package graft.analyze
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1..100 in two columns: quantile_cont(p) over 1..n = 1 + p*(n-1)
+  private def df = (1 to 100).map(i => (i.toDouble, (i * 2).toDouble)).toDF("x", "y")
+
+  test("exact matches the linear-interpolation definition") {
+    val out = Quantiles.exact(df, Seq("x", "y"), Seq(0.0, 0.25, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("x", 0.0)) == 1.0)
+    assert(out(("x", 0.25)) == 1 + 0.25 * 99)   // 25.75
+    assert(out(("x", 0.5)) == 50.5)
+    assert(out(("x", 1.0)) == 100.0)
+    assert(out(("y", 0.5)) == 101.0)
+  }
+
+  test("approx tracks exact within coarse rank error") {
+    val exact = Quantiles.exact(df, Seq("x"), Seq(0.5)).collect().head.getDouble(2)
+    val approx = Quantiles.approx(df, Seq("x"), Seq(0.5)).collect().head.getDouble(2)
+    assert(math.abs(exact - approx) <= 1.0) // GK returns an actual element near the median
+  }
+
+  test("long-form output is (col, p, q) per column x percentile") {
+    val out = Quantiles.exact(df, Seq("x", "y"), Seq(0.1, 0.9))
+    assert(out.columns.toSeq == Seq("col", "p", "q"))
+    assert(out.count() == 4)
+  }
+}

@@ -34,4 +34,32 @@ class SamplingSpec extends SparkSpec {
     assert(counts.getLong(2) == 0L) // masks never agree (complementary)
     assert(counts.getLong(1) > 200L && counts.getLong(1) < 400L)
   }
+
+  test("groupSplit: every row of a group lands in the same split, ~80/20") {
+    // 10 rows per group — leakage would show as a group with mixed splits
+    val rows = for (g <- 1L to 500L; r <- 1 to 10) yield (g, r)
+    val df = rows.toDF("gid", "row")
+    val split = Sampling.groupSplit(df, "gid")
+    val mixed = split.groupBy("gid")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(mixed == 0L)
+    val tr = split.filter(col("split") === "train").count()
+    assert(tr > 3500L && tr < 4500L) // ~80% of 5000 rows
+    // stable: same assignment on re-evaluation and under repartitioning
+    val a = split.select("gid", "split").distinct().collect().toSet
+    val b = Sampling.groupSplit(df.repartition(7), "gid")
+      .select("gid", "split").distinct().collect().toSet
+    assert(a == b)
+  }
+
+  test("groupSplitFast agrees with itself and respects trainPct bounds") {
+    val df = (1L to 2000L).toDF("gid")
+    val s = Sampling.groupSplitFast(df, "gid", trainPct = 70)
+    val tr = s.filter(col("split") === "train").count()
+    assert(tr > 1200L && tr < 1600L)
+    assert(Sampling.groupSplitFast(df, "gid", trainPct = 0)
+      .filter(col("split") === "train").count() == 0L)
+    assert(Sampling.groupSplitFast(df, "gid", trainPct = 100)
+      .filter(col("split") === "test").count() == 0L)
+  }
 }

@@ -79,4 +79,39 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.fingerprint(lower(trim(col("t")))).as("f")).as[String].collect()
     assert(out(0) == out(1))
   }
+
+  test("repetitionStats: hand-computed fractions") {
+    val docs = Seq(
+      (1L, "a a b"),          // 3 tok, 2 uniq; top 'a' 2/3; bigrams [a a, a b] distinct
+      (2L, "x x x x"),        // 4 tok, 1 uniq; bigrams [x x]*3 -> 1 distinct of 3
+      (3L, "one"))            // single token: bigram frac undefined
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), Option(r.get(5))))).toMap
+    assert(out(1L) == ((3L, 2L, 0.3333, 0.6667, Some(0.0))))
+    assert(out(2L) == ((4L, 1L, 0.75, 1.0, Some(0.6667))))
+    assert(out(3L) == ((1L, 1L, 0.0, 1.0, None)))
+  }
+
+  test("tfidfTopK: scores, ranking and term tiebreak") {
+    // 3 docs; 'rare' only in doc 1; 'common' everywhere
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "common other"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc1: rare tf=1 df=1 -> ln(4/2)=0.6931; common tf=2 df=3 -> 2*ln(4/4)=0
+    assert(out((1L, 1L))._1 == "rare")
+    assert(out((1L, 1L))._4 == 0.6931)
+    assert(out((1L, 2L))._1 == "common")
+    assert(out((1L, 2L))._4 == 0.0)
+    // doc2 has only 'common' -> a single row despite k=2
+    assert(!out.contains((2L, 2L)))
+    // doc3: 'other' (df=1) outranks 'common' (score 0)
+    assert(out((3L, 1L))._1 == "other")
+  }
 }

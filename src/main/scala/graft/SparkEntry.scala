@@ -1324,6 +1324,67 @@ object SparkEntry {
       SELECT col, unnest([0.25,0.5,0.75,0.95])::DOUBLE AS p,
         round(unnest(qs), 4) AS q FROM q ORDER BY col, p"""))
 
+  /** Interval join (the streaming-capable twin of rj1): purchase×click
+    * pairs within 24h per user. The batch plan (key equi-join + range
+    * filter) is what the oracle checks; EventStreamSpec drives the same
+    * function as a watermarked stream-stream join. */
+  private val qIntervalJoin = Q("st4_interval_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      EventStream.intervalJoin(purchases, clicks, "p_user", "c_user",
+          "p_ts", "c_ts", lower = "0 seconds", upper = "24 hours")
+        .select(col("p_id"), col("c_id"))
+        .orderBy("p_id", "c_id")
+    },
+    Some("""SELECT p.event_id AS p_id, c.event_id AS c_id
+      FROM events p JOIN events c ON c.user_id = p.user_id
+        AND p.event_type='purchase' AND c.event_type='click'
+        AND date_trunc('microseconds', c.ts) >= date_trunc('microseconds', p.ts)
+        AND date_trunc('microseconds', c.ts) <
+          date_trunc('microseconds', p.ts) + INTERVAL 24 HOUR
+      ORDER BY p_id, c_id"""))
+
+  /** BM25 ranking of documents for a fixed query term set (k1=1.2, b=0.75;
+    * only docs matching ≥1 term appear). */
+  private val qBm25 = Q("t7_bm25",
+    (s, d) => TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text",
+        Seq("table", "query", "fast"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+      lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      stats AS (SELECT avg(dl::DOUBLE) AS avgdl FROM lens),
+      n AS (SELECT count(*) AS n FROM t),
+      q AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ('table','query','fast') GROUP BY 1,2),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        WHERE term IN ('table','query','fast') GROUP BY 1),
+      sc AS (SELECT q.doc_id,
+          ln(1.0 + (n.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+          (q.tf * (1.2 + 1.0) / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / stats.avgdl))) AS s
+        FROM q JOIN dfq ON q.term=dfq.term JOIN lens ON q.doc_id=lens.doc_id
+        CROSS JOIN n CROSS JOIN stats)
+      SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc
+      GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Deterministic content-hash sample (~10%: md5 prefix < '1a' = 26/256):
+    * a pure filter that pushes toward the scan and agrees across engines
+    * and data arrivals. */
+  private val qHashSample = Q("s10_hash_sample",
+    (s, d) => Sampling.hashSample(t(s, d, "orders"), "o_orderkey", "1a")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+      WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '1a' ORDER BY o_orderkey"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1344,7 +1405,8 @@ object SparkEntry {
     qBruteTopK, qLshTopK, qIvfTopK,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qHourly, qRunningTotals, qSessions,
-    qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles)
+    qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
+    qIntervalJoin, qBm25, qHashSample)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -80,6 +80,16 @@ object Sampling {
       when(pmod(xxhash64(col(keyCol), lit(seed)), lit(100)) < trainPct,
         lit("train")).otherwise(lit("test")))
   }
+
+  /** Deterministic content-hash row sample: keep rows whose md5(key) prefix
+    * falls below `thresholdHex` (2 hex chars: threshold/256 of the key
+    * space). Unlike `df.sample`, the choice is a pure function of the key —
+    * stable across runs, partitionings, engines and data arrivals, so
+    * samples drawn today and next month agree on shared keys (the property
+    * an incremental training-data pipeline needs). Pure filter: pushes into
+    * the scan, no shuffle. */
+  def hashSample(df: DataFrame, keyCol: String, thresholdHex: String): DataFrame =
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < lit(thresholdHex))
 }
 
 class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {

@@ -151,6 +151,28 @@ object EventStream {
     else src.dropDuplicates(keyCols)
   }
 
+  /** Stream-stream (or batch) interval join: right rows within
+    * `[leftTs + lower, leftTs + upper)` of a left row with the same key.
+    * On streaming inputs, pass `watermarkDelay`: both sides get watermarks
+    * and the two-sided time-range condition lets Spark's symmetric hash
+    * join evict state outside the window — the continuous-ingestion form
+    * of [[graft.joins.TemporalJoins.rangeJoinBucketed]]. On batch inputs
+    * the same plan is a key equi-join + range filter (watermark nodes are
+    * optimized away), which is how the oracle checks it.
+    *
+    * Output carries both sides' columns — pre-rename to avoid collisions. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lower: String, upper: String,
+      watermarkDelay: Option[String] = None): DataFrame = {
+    val l = watermarkDelay.fold(left)(w => left.withWatermark(leftTs, w)).alias("l")
+    val r = watermarkDelay.fold(right)(w => right.withWatermark(rightTs, w)).alias("r")
+    l.join(r, expr(
+      s"l.`$leftKey` = r.`$rightKey` AND " +
+        s"r.`$rightTs` >= l.`$leftTs` + INTERVAL $lower AND " +
+        s"r.`$rightTs` < l.`$leftTs` + INTERVAL $upper"))
+  }
+
   /** Oracle-friendly projection: epoch-second window start, rounded sums. */
   def hourlyStats(events: DataFrame): DataFrame =
     windowedAgg(events, "ts", "event_type", "1 hour")

@@ -200,6 +200,37 @@ object TextAnalysis {
         round(col("score"), 4).as("score"), col("rk"))
   }
 
+  /** BM25 document scores for a fixed query term set — the classic
+    * retrieval ranking (idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)),
+    * idf = ln(1 + (N−df+0.5)/(df+0.5))). One explode pass computes tf and
+    * doc lengths; df and avg length are tiny broadcast aggregates; the
+    * score sum groups by doc — every shuffle keys on doc or term, and only
+    * tokens matching the query survive the first filter, so the scored
+    * intermediate is |query|-bounded per doc. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val q = array(queryTerms.distinct.map(t => lit(t.toLowerCase)): _*)
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val avgdl = lens.agg(avg(col("dl").cast("double")).as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val qtoks = toks.filter(array_contains(q, col("term")))
+    val tf = qtoks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = qtoks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfreq, "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .withColumn("__s", idf * tfNorm)
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("bm25"))
+  }
+
   /** Project a documents DataFrame to per-document analysis columns. */
   def analyze(docs: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

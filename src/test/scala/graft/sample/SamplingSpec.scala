@@ -52,6 +52,18 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hashSample: deterministic, nested thresholds, ~proportional") {
+    val df = (1L to 5000L).toDF("id")
+    val small = Sampling.hashSample(df, "id", "10").as[Long].collect().toSet
+    val big = Sampling.hashSample(df, "id", "80").as[Long].collect().toSet
+    assert(small.subsetOf(big))             // thresholds nest
+    assert(small.size > 150 && small.size < 500)   // ~6.3% of 5000
+    assert(big.size > 2200 && big.size < 2800)     // ~50% of 5000
+    val again = Sampling.hashSample(df.repartition(13), "id", "10")
+      .as[Long].collect().toSet
+    assert(again == small)                  // pure function of the key
+  }
+
   test("groupSplitFast agrees with itself and respects trainPct bounds") {
     val df = (1L to 2000L).toDF("gid")
     val s = Sampling.groupSplitFast(df, "gid", trainPct = 70)

@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-location must eliminate BOTH shuffles from a fact-fact
+  * equi-join on the bucket key — the pay-once-at-write scale story. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join of two same-bucketed tables plans without any Exchange") {
+    val a = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "va")
+    val b = (1L to 800L).map(i => (i % 50, i * 10)).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "bkt_a", "k", 4)
+    Bucketing.writeBucketed(b, "bkt_b", "k", 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      // concrete plan (no AQE wrapper) and no broadcast escape hatch:
+      // the join must survive as a shuffle-free sort-merge join
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.table(spark, "bkt_a")
+        .join(Bucketing.table(spark, "bkt_b"), "k")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"expected no shuffle, found: $exchanges")
+      // and it still computes the right thing
+      val expected = a.join(b, "k").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("groupBy on the bucket key also skips the shuffle") {
+    val a = (1L to 500L).map(i => (i % 20, i)).toDF("k", "v")
+    Bucketing.writeBucketed(a, "bkt_g", "k", 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val aggd = Bucketing.table(spark, "bkt_g").groupBy("k").agg(sum($"v"))
+      val exchanges = aggd.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty)
+      assert(aggd.count() == 20)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bkt_g")
+    }
+  }
+}

@@ -160,6 +160,47 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map("a" -> ((2L, 6.0)), "b" -> ((1L, 2.0))))
   }
 
+  test("intervalJoin matches the naive range join on batch input") {
+    val l = Seq((1L, "u", "2024-01-01 10:00:00"), (2L, "u", "2024-01-01 12:00:00"),
+        (3L, "v", "2024-01-01 10:00:00"))
+      .toDF("p_id", "p_user", "s").select($"p_id", $"p_user", $"s".cast("timestamp").as("p_ts"))
+    val r = Seq((10L, "u", "2024-01-01 10:00:00"), (11L, "u", "2024-01-01 10:59:59"),
+        (12L, "u", "2024-01-01 11:00:00"), (13L, "w", "2024-01-01 10:30:00"))
+      .toDF("c_id", "c_user", "s").select($"c_id", $"c_user", $"s".cast("timestamp").as("c_ts"))
+    val out = EventStream.intervalJoin(l, r, "p_user", "c_user", "p_ts", "c_ts",
+        "0 seconds", "1 hours")
+      .select($"p_id", $"c_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // [10:00, 11:00): 10 (inclusive lower) and 11 match; 12 excluded (exclusive upper)
+    assert(out == Set((1L, 10L), (1L, 11L)))
+  }
+
+  test("intervalJoin runs stream-stream with watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[(Long, String, Timestamp)]
+    val rm = MemoryStream[(Long, String, Timestamp)]
+    val joined = EventStream.intervalJoin(
+      lm.toDF().toDF("p_id", "p_user", "p_ts"),
+      rm.toDF().toDF("c_id", "c_user", "c_ts"),
+      "p_user", "c_user", "p_ts", "c_ts", "0 seconds", "1 hours",
+      watermarkDelay = Some("10 minutes"))
+    val q = joined.select($"p_id", $"c_id").writeStream
+      .format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      lm.addData((1L, "u", Timestamp.valueOf("2024-01-01 10:00:00")))
+      rm.addData(
+        (10L, "u", Timestamp.valueOf("2024-01-01 10:30:00")),
+        (11L, "u", Timestamp.valueOf("2024-01-01 11:30:00")), // outside window
+        (12L, "x", Timestamp.valueOf("2024-01-01 10:30:00"))) // other key
+      q.processAllAvailable()
+      // a second micro-batch joins against buffered left state
+      rm.addData((13L, "u", Timestamp.valueOf("2024-01-01 10:45:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ivj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 10L), (1L, 13L)))
+    } finally q.stop()
+  }
+
   test("the same transform runs as a real stream with watermarked state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

@@ -94,6 +94,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 0.0, 1.0, None)))
   }
 
+  test("bm25: hand-computed scores; unmatched docs absent") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple cherry"),
+      (3L, "durian"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("apple"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=2, df(apple)=2 -> idf = ln(1 + 1.5/2.5) = ln(1.6)
+    val idf = math.log(1.6)
+    // doc1: tf=1, dl=2 -> 2.2/(1 + 1.2*(0.25 + 0.75)) = 1.0
+    assert(math.abs(out(1L) - idf) < 1e-9)
+    // doc2: tf=2, dl=3 -> 4.4/(2 + 1.2*(0.25 + 1.125)) = 4.4/3.65
+    assert(math.abs(out(2L) - idf * 4.4 / 3.65) < 1e-9)
+    assert(!out.contains(3L))
+  }
+
   test("tfidfTopK: scores, ranking and term tiebreak") {
     // 3 docs; 'rare' only in doc 1; 'common' everywhere
     val docs = Seq(

@@ -1375,6 +1375,21 @@ object SparkEntry {
       SELECT doc_id, round(sum(s), 4) AS bm25 FROM sc
       GROUP BY 1 ORDER BY doc_id"""))
 
+  /** PQ ANN with an unbounded shortlist: exact re-rank over every
+    * candidate ≡ brute force (the correctness anchor, like sim3's
+    * nProbe=nCells); PqSpec measures the bounded-shortlist approximate
+    * path's recall on clustered data. */
+  private val qPqTopK = Q("sim4_pq_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 2)
+      graft.similarity.Pq.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, cb, refine = Int.MaxValue, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    qBruteTopK.oracle)
+
   /** Deterministic content-hash sample (~10%: md5 prefix < '1a' = 26/256):
     * a pure filter that pushes toward the scan and agrees across engines
     * and data arrivals. */
@@ -1406,7 +1421,7 @@ object SparkEntry {
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
-    qIntervalJoin, qBm25, qHashSample)
+    qIntervalJoin, qBm25, qHashSample, qPqTopK)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

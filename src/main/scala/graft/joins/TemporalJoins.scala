@@ -81,7 +81,10 @@ object TemporalJoins {
       pointTs: String, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val ivB = intervals.withColumn("__bucket",
+    // empty/inverted intervals can match nothing (half-open [lo, hi)) —
+    // drop them BEFORE bucket expansion: Spark's sequence(a, b) generates
+    // DESCENDING values for b < a, which would replicate garbage buckets
+    val ivB = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
         floor((col(hiCol) - 1) / bucketWidth).cast("long"))))
     val ptB = points.withColumn("__bucket",

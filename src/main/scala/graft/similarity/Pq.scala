@@ -114,14 +114,20 @@ object Pq {
     require(refine >= k, s"refine=$refine must be >= k=$k")
     val corpusCoded = encode(unitized(corpus, idCol, vecCol), vecCol, cb)
       .select(col(idCol).as("neighbor_id"), col("codes"), col(vecCol).as("__cv"))
+    // per-query LUT: m × ksub subspace dots, MATERIALIZED as a column on
+    // the tiny query side before the broadcast join — the join itself then
+    // evaluates only m array lookups per (query, code) pair. Leaving the
+    // dot expressions inline would recompute the whole table per corpus
+    // row (m·ksub dots × |corpus| — measured 20 s vs 3 s at sf0.1).
+    val lutCol = array((0 until cb.m).map { j =>
+      array(cb.books(j).map(c =>
+        Similarity.dot(subVec(col("__qv"), j, cb.subDim), array(c.map(lit): _*))): _*)
+    }: _*)
     val q = unitized(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    // per-query LUT per subspace: dot(q_sub, code c) for every code — a
-    // literal-array expression evaluated inside codegen per query row
+      .withColumn("__lut", lutCol)
     val approx = (0 until cb.m).map { j =>
-      val lut = array(cb.books(j).map(c =>
-        Similarity.dot(subVec(col("__qv"), j, cb.subDim), array(c.map(lit): _*))): _*)
-      element_at(lut, element_at(col("codes"), j + 1) + 1)
+      element_at(element_at(col("__lut"), j + 1), element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("__a").desc, col("neighbor_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.VectorAgg
-import graft.analyze.{DistinctCounter, Quantiles}
+import graft.analyze.{DistinctCounter, Olap, Quantiles}
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
 import graft.convert.{CategoricalCodes, Converters, TableConverter}
 import graft.dedup.Dedup
@@ -1400,6 +1400,50 @@ object SparkEntry {
     Some("""SELECT o_orderkey, o_custkey FROM orders
       WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '1a' ORDER BY o_orderkey"""))
 
+  /** Hierarchical rollup with explicit subtotal labels and grouping_id —
+    * ONE aggregate over the expanded grouping sets. */
+  private val qRollup = Q("a14_rollup",
+    (s, d) => Olap.rollupAgg(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("sum_qty"), col("n"), col("gid"))
+      .orderBy("gid", "flag", "status"),
+    Some("""SELECT coalesce(l_returnflag,'(all)') AS flag,
+        coalesce(l_linestatus,'(all)') AS status,
+        sum(l_quantity) AS sum_qty, count(*) AS n,
+        GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, flag, status"""))
+
+  /** Event-type counts pivoted wide per user (enumerated domain — no
+    * domain-discovery scan). */
+  private val qPivot = Q("a15_pivot",
+    (s, d) => Olap.pivotCounts(events(s, d), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+        count(*) FILTER (WHERE event_type='click') AS click,
+        count(*) FILTER (WHERE event_type='error') AS error,
+        count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        count(*) FILTER (WHERE event_type='signup') AS signup,
+        count(*) FILTER (WHERE event_type='view') AS view
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** Fixed-width histogram with clamped edges and a complete bucket spine. */
+  private val qHistogram = Q("a16_histogram",
+    (s, d) => Olap.histogram(t(s, d, "lineitem"), "l_extendedprice",
+        lo = 0.0, hi = 110000.0, nBuckets = 10)
+      .orderBy("bucket"),
+    Some("""WITH b AS (SELECT least(greatest(
+          floor((l_extendedprice - 0.0)/11000.0)::BIGINT, 0), 9) AS bucket
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+      SELECT r.range AS bucket, (0.0 + r.range*11000.0)::DOUBLE AS lo,
+        coalesce(c.n, 0) AS n
+      FROM range(0,10) r LEFT JOIN c ON c.bucket = r.range ORDER BY bucket"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1421,7 +1465,8 @@ object SparkEntry {
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
-    qIntervalJoin, qBm25, qHashSample, qPqTopK)
+    qIntervalJoin, qBm25, qHashSample, qPqTopK,
+    qRollup, qPivot, qHistogram)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -1,0 +1,52 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** OLAP shape helpers: hierarchical rollups, pivoted counts, fixed-width
+  * histograms. Thin, deliberately — each is a declarative composition the
+  * optimizer already executes well (rollup expands to grouping sets in ONE
+  * aggregate; pivot is a single groupBy with conditional aggregates; a
+  * histogram is a bucket-expression groupBy). The value is the contract:
+  * deterministic output shapes with DuckDB-restatable semantics.
+  */
+object Olap {
+
+  /** Hierarchical totals over `dims` (rollup: (d1,d2,...), (d1,...), ()),
+    * with `grouping_id` disambiguating subtotal levels and NULL dims made
+    * explicit so subtotal rows are distinguishable from NULL data values. */
+  def rollupAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.rollup(dims.map(col): _*)
+      // grouping_id() is only resolvable INSIDE the grouping-sets
+      // aggregate, so it rides the agg list rather than a later projection
+      .agg(aggs.head, (aggs.tail :+ grouping_id().cast("bigint").as("gid")): _*)
+
+  /** Counts pivoted to one column per (small, known) pivot value — the
+    * wide-format feature block. `values` must be enumerated: an unlisted
+    * value is dropped (and Spark never scans for the domain, which would
+    * be an extra pass at 100 TB). */
+  def pivotCounts(df: DataFrame, keyCol: String, pivotCol: String,
+      values: Seq[String]): DataFrame =
+    df.groupBy(col(keyCol)).pivot(pivotCol, values).count()
+      .na.fill(0L, values)
+
+  /** Fixed-width histogram of a numeric column: `nBuckets` buckets over
+    * [lo, hi), out-of-range rows clamped to the edge buckets (bucket ids
+    * stay in [0, nBuckets)). One bucket-expression groupBy; empty buckets
+    * are filled in with a literal bucket spine so the output shape is
+    * always `nBuckets` rows. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need nBuckets > 0 and hi > lo")
+    val w = (hi - lo) / nBuckets
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / w).cast("long"), lit(0L)), lit(nBuckets - 1L))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(0, nBuckets).toDF("bucket")
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * w).as("lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+}

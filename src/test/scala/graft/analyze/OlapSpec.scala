@@ -1,0 +1,47 @@
+package graft.analyze
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sales = Seq(
+    ("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 4.0), ("b", "x", 8.0))
+    .toDF("d1", "d2", "v")
+
+  test("rollupAgg emits detail, subtotal and grand-total levels with gid") {
+    val out = Olap.rollupAgg(sales, Seq("d1", "d2"), Seq(sum($"v").as("s")))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (Some("a"), Some("x"), 3.0, 0L),
+      (Some("a"), Some("y"), 4.0, 0L),
+      (Some("b"), Some("x"), 8.0, 0L),
+      (Some("a"), None, 7.0, 1L),
+      (Some("b"), None, 8.0, 1L),
+      (None, None, 15.0, 3L)))
+  }
+
+  test("pivotCounts enumerates the domain and zero-fills") {
+    val ev = Seq(("u1", "x"), ("u1", "x"), ("u1", "z"), ("u2", "y"))
+      .toDF("u", "t")
+    val out = Olap.pivotCounts(ev, "u", "t", Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("u1") == ((2L, 0L)))  // 'z' not enumerated -> dropped
+    assert(out("u2") == ((0L, 1L)))
+  }
+
+  test("histogram clamps out-of-range rows and fills empty buckets") {
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 35.0, 99.0, 250.0).toDF("x")
+    val out = Olap.histogram(df, "x", lo = 0.0, hi = 100.0, nBuckets = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out.size == 10)
+    assert(out(0L) == ((0.0, 4L)))   // -5 clamps in; 0, 1, 9.9
+    assert(out(1L) == ((10.0, 1L)))  // 10.0 is bucket 1 (half-open)
+    assert(out(3L) == ((30.0, 1L)))
+    assert(out(9L) == ((90.0, 2L)))  // 99 + clamped 250
+    assert(out(5L)._2 == 0L)         // empty bucket present
+  }
+}

@@ -1390,6 +1390,21 @@ object SparkEntry {
     },
     qBruteTopK.oracle)
 
+  /** IVF-PQ composition at full probe + unbounded shortlist ≡ brute force
+    * (anchor); PqSpec measures the pruned/bounded path. */
+  private val qIvfPqTopK = Q("sim5_ivfpq_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+      val cb = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 2)
+      graft.similarity.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, cents, cb,
+          nProbe = 8, refine = Int.MaxValue, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    qBruteTopK.oracle)
+
   /** Deterministic content-hash sample (~10%: md5 prefix < '1a' = 26/256):
     * a pure filter that pushes toward the scan and agrees across engines
     * and data arrivals. */
@@ -1465,7 +1480,7 @@ object SparkEntry {
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
-    qIntervalJoin, qBm25, qHashSample, qPqTopK,
+    qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
     qRollup, qPivot, qHistogram)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

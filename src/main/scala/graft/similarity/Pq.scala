@@ -145,4 +145,61 @@ object Pq {
       .filter(col("__rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
+
+  /** IVF-PQ: [[Ivf]] cells bound the SCAN (each query touches only its
+    * `nProbe` nearest cells), PQ codes bound the MEMORY (m ints per corpus
+    * vector), exact re-rank keeps reported scores true — the composition a
+    * trillion-vector index actually runs. Train `cents` on the SAME
+    * unit-normalized vectors PQ uses (pass the corpus through a
+    * normalize-once projection to [[Ivf.trainCentroids]], or accept
+    * slightly skewed cells). `nProbe = nCells` with unbounded `refine`
+    * degenerates to exact brute force (the correctness anchor). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Array[Array[Double]], cb: Codebooks,
+      nProbe: Int, refine: Int, roundDigits: Int = -1): DataFrame = {
+    val nCells = cents.length
+    require(nProbe >= 1 && nProbe <= nCells)
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    val corpusU = unitized(corpus, idCol, vecCol)
+    val celled = Ivf.withCell(encode(corpusU, vecCol, cb), vecCol, cents)
+      .select(col("__cell"), col(idCol).as("neighbor_id"), col("codes"),
+        col(vecCol).as("__cv"))
+    // per-query probe list (nProbe nearest cells) + ADC LUT, both
+    // materialized on the tiny query side before the broadcast
+    val probeScores = cents.map { c =>
+      val normSq = c.map(x => x * x).sum
+      lit(normSq) - lit(2.0) * Similarity.dot(col("__qv"), array(c.map(lit): _*))
+    }
+    val scoreStructs = array(probeScores.zipWithIndex.map { case (s, i) =>
+      struct(s.as("s"), lit(i).as("i"))
+    }: _*)
+    val lutCol = array((0 until cb.m).map { j =>
+      array(cb.books(j).map(c =>
+        Similarity.dot(subVec(col("__qv"), j, cb.subDim), array(c.map(lit): _*))): _*)
+    }: _*)
+    val probes = unitized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", lutCol)
+      .withColumn("__probe", explode(slice(
+        transform(sort_array(scoreStructs), x => x.getField("i")), 1, nProbe)))
+    val approx = (0 until cb.m).map { j =>
+      element_at(element_at(col("__lut"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("__a").desc, col("neighbor_id"))
+    val shortlist = broadcast(probes)
+      .join(celled, col("__probe") === col("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__a", approx)
+      .withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= refine)
+    val rawCos = Similarity.dot(col("__qv"), col("__cv"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .withColumn("cos", if (roundDigits >= 0) round(rawCos, roundDigits) else rawCos)
+      .withColumn("__rk", row_number().over(wExact))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
 }

@@ -58,6 +58,28 @@ class PqSpec extends SparkSpec {
     assert(math.abs(exact(shared) - pq(shared)) < 1e-9)
   }
 
+  test("ivfPqTopK: good recall probing a quarter of the cells; exact at full probe") {
+    val data = clustered
+    val unitized = data // trainCentroids on raw is fine for the recall bar here
+    val queries = data.filter($"vec_id" % 40 === 1)
+    val cents = Ivf.trainCentroids(unitized, "vec_id", "embedding", nCells = 8, iters = 2)
+    val cb = Pq.trainCodebooks(data, "vec_id", "embedding", dim, m = 4, ksub = 16)
+    val truth = Similarity.bruteForceTopK(queries, data, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Pq.ivfPqTopK(data, queries, "vec_id", "embedding", 10,
+        cents, cb, nProbe = 2, refine = 30)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & pruned).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall $recall") // 2/8 cells probed
+    val full = Pq.ivfPqTopK(data, queries, "vec_id", "embedding", 10,
+        cents, cb, nProbe = 8, refine = Int.MaxValue)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == truth) // full probe + unbounded shortlist = exact
+  }
+
   test("refine = corpus size degenerates to exact brute force") {
     val data = clustered.limit(60)
     val queries = data.filter($"vec_id" < 2)

@@ -1391,13 +1391,16 @@ object SparkEntry {
     qBruteTopK.oracle)
 
   /** IVF-PQ composition at full probe + unbounded shortlist ≡ brute force
-    * (anchor); PqSpec measures the pruned/bounded path. */
+    * (anchor); PqSpec measures the pruned/bounded path. Quantizer quality
+    * is irrelevant to the anchor (exactness comes from the re-rank), so
+    * training is minimal here — ksub=8/iters=1 halves the codegen width
+    * and quantizer cost vs sim4's realistic parameters. */
   private val qIvfPqTopK = Q("sim5_ivfpq_topk",
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+      val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nCells = 8, iters = 1)
       val cb = graft.similarity.Pq.trainCodebooks(emb, "vec_id", "embedding",
-        dim = 64, m = 8, ksub = 16, iters = 2)
+        dim = 64, m = 8, ksub = 8, iters = 1)
       graft.similarity.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, cents, cb,
           nProbe = 8, refine = Int.MaxValue, roundDigits = 6)

@@ -15,11 +15,13 @@ object Olap {
   /** Hierarchical totals over `dims` (rollup: (d1,d2,...), (d1,...), ()),
     * with `grouping_id` disambiguating subtotal levels and NULL dims made
     * explicit so subtotal rows are distinguishable from NULL data values. */
-  def rollupAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame =
+  def rollupAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "rollupAgg needs at least one aggregate")
     df.rollup(dims.map(col): _*)
       // grouping_id() is only resolvable INSIDE the grouping-sets
       // aggregate, so it rides the agg list rather than a later projection
       .agg(aggs.head, (aggs.tail :+ grouping_id().cast("bigint").as("gid")): _*)
+  }
 
   /** Counts pivoted to one column per (small, known) pivot value — the
     * wide-format feature block. `values` must be enumerated: an unlisted
@@ -41,7 +43,10 @@ object Olap {
     val w = (hi - lo) / nBuckets
     val bucket = least(greatest(
       floor((col(valueCol) - lo) / w).cast("long"), lit(0L)), lit(nBuckets - 1L))
-    val counts = df.filter(col(valueCol).isNotNull)
+    // NaN would floor to NaN and non-ANSI-cast to 0L — indistinguishable
+    // from a real edge-bucket value — so it is excluded like NULL
+    val counts = df.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
     val spine = df.sparkSession.range(0, nBuckets).toDF("bucket")
     spine.join(counts, Seq("bucket"), "left")

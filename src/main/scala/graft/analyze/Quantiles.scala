@@ -18,23 +18,33 @@ object Quantiles {
 
   private def lits(ps: Seq[Double]) = s"array(${ps.mkString("D,")}D)"
 
+  private def validate(cols: Seq[String], ps: Seq[Double]): Unit = {
+    require(cols.nonEmpty, "need at least one column")
+    require(ps.nonEmpty, "need at least one percentile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentiles must be in [0,1]: $ps")
+  }
+
   /** Exact interpolated quantiles: one aggregation job computes every
     * column's percentile array; the long-form unpivot is a driver-side plan
     * construction (per-column selects over the 1-row aggregate, unioned) —
     * no per-column pass over the data. */
-  def exact(df: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame =
+  def exact(df: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
+    validate(cols, ps)
     unpivot(df.agg(
-      expr(s"percentile(${cols.head}, ${lits(ps)})").as(cols.head),
-      cols.tail.map(c => expr(s"percentile($c, ${lits(ps)})").as(c)): _*), cols, ps)
+      expr(s"percentile(`${cols.head}`, ${lits(ps)})").as(cols.head),
+      cols.tail.map(c => expr(s"percentile(`$c`, ${lits(ps)})").as(c)): _*), cols, ps)
+  }
 
   /** Approximate quantiles (GK sketch), same output shape. `accuracy` is
     * Spark's 1/ε knob (10000 ≈ 0.01% rank error). */
   def approx(df: DataFrame, cols: Seq[String], ps: Seq[Double],
-      accuracy: Int = 10000): DataFrame =
+      accuracy: Int = 10000): DataFrame = {
+    validate(cols, ps)
     unpivot(df.agg(
-      expr(s"percentile_approx(${cols.head}, ${lits(ps)}, $accuracy)").as(cols.head),
-      cols.tail.map(c => expr(s"percentile_approx($c, ${lits(ps)}, $accuracy)").as(c)): _*),
+      expr(s"percentile_approx(`${cols.head}`, ${lits(ps)}, $accuracy)").as(cols.head),
+      cols.tail.map(c => expr(s"percentile_approx(`$c`, ${lits(ps)}, $accuracy)").as(c)): _*),
       cols, ps)
+  }
 
   private def unpivot(aggd: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
     val psArr = array(ps.map(lit): _*)

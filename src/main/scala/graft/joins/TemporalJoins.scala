@@ -73,8 +73,9 @@ object TemporalJoins {
     * equi-join and AQE handles residual bucket skew.
     *
     * Ts columns must be non-negative numerics in a shared unit (e.g. unix
-    * micros); magnitudes must stay below 2^53 so the bucket floor-division
-    * is exact in double (unix micros ≈ 1.7e15 today — comfortably inside).
+    * micros), integral or fractional; magnitudes must stay below 2^53 so
+    * the bucket floor-division is exact in double (unix micros ≈ 1.7e15
+    * today — comfortably inside).
     */
   def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
       pointKey: String, intervalKey: String,
@@ -83,10 +84,14 @@ object TemporalJoins {
     require(bucketWidth > 0, "bucketWidth must be positive")
     // empty/inverted intervals can match nothing (half-open [lo, hi)) —
     // drop them BEFORE bucket expansion: Spark's sequence(a, b) generates
-    // DESCENDING values for b < a, which would replicate garbage buckets
+    // DESCENDING values for b < a, which would replicate garbage buckets.
+    // The high bucket is floor(hi/b), NOT floor((hi-1)/b): subtracting one
+    // "unit" is only sound for integral ts (a point at 100.2 in [0, 100.5)
+    // lives in a bucket past floor(99.5/b)); the exact containment filter
+    // discards the at-most-one redundant bucket this costs on boundaries
     val ivB = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
-        floor((col(hiCol) - 1) / bucketWidth).cast("long"))))
+        floor(col(hiCol) / bucketWidth).cast("long"))))
     val ptB = points.withColumn("__bucket",
       floor(col(pointTs) / bucketWidth).cast("long"))
     ptB.join(ivB,

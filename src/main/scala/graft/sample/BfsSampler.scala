@@ -67,10 +67,18 @@ object Sampling {
     * (SQL-restatable); [[groupSplitFast]] is the cheaper xxhash64 variant
     * for engine-internal use at scale. */
   def groupSplit(df: DataFrame, keyCol: String,
-      thresholdHex: String = "cd"): DataFrame =
+      thresholdHex: String = "cd"): DataFrame = {
+    requireHex2(thresholdHex)
     df.withColumn("split",
       when(substring(md5(col(keyCol).cast("string")), 1, 2) < lit(thresholdHex),
         lit("train")).otherwise(lit("test")))
+  }
+
+  // md5 hex is lowercase [0-9a-f]; an uppercase or wrong-length threshold
+  // would silently skew the fraction via lexicographic string comparison
+  private def requireHex2(t: String): Unit =
+    require(t.matches("[0-9a-f]{2}"),
+      s"threshold '$t' must be exactly 2 lowercase hex chars")
 
   /** [[groupSplit]] with xxhash64 bucketing: trainPct of 100 buckets. */
   def groupSplitFast(df: DataFrame, keyCol: String, trainPct: Int,
@@ -88,8 +96,10 @@ object Sampling {
     * samples drawn today and next month agree on shared keys (the property
     * an incremental training-data pipeline needs). Pure filter: pushes into
     * the scan, no shuffle. */
-  def hashSample(df: DataFrame, keyCol: String, thresholdHex: String): DataFrame =
+  def hashSample(df: DataFrame, keyCol: String, thresholdHex: String): DataFrame = {
+    requireHex2(thresholdHex)
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < lit(thresholdHex))
+  }
 }
 
 class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {

@@ -62,6 +62,23 @@ object Ivf {
   def withCell(data: DataFrame, vecCol: String, cents: Array[Array[Double]]): DataFrame =
     data.withColumn("__cell", cellExpr(col(vecCol), cents))
 
+  /** The `nProbe` nearest centroid cell ids for a query vector, as an
+    * array expression — (score, cellId) structs sorted lexicographically,
+    * so ties break by cell id and probe cells are distinct by
+    * construction. Shared by [[ivfTopK]] and [[Pq.ivfPqTopK]] so the two
+    * probe paths can never drift. */
+  private[similarity] def probeCellsExpr(qv: Column,
+      cents: Array[Array[Double]], nProbe: Int): Column = {
+    val probeScores = cents.map { c =>
+      val normSq = c.map(x => x * x).sum
+      lit(normSq) - lit(2.0) * Similarity.dot(qv, array(c.map(lit): _*))
+    }
+    val scoreStructs = array(probeScores.zipWithIndex.map { case (s, i) =>
+      struct(s.as("s"), lit(i).as("i"))
+    }: _*)
+    slice(transform(sort_array(scoreStructs), x => x.getField("i")), 1, nProbe)
+  }
+
   /** Top-k cosine neighbors searching only each query's `nProbe` nearest
     * cells. Ties broken by neighbor id; `roundDigits` as in
     * [[Similarity.bruteForceTopK]]. */
@@ -72,19 +89,9 @@ object Ivf {
     require(nProbe >= 1 && nProbe <= nCells)
     val corpusCells = withCell(corpus, vecCol, cents)
       .select(col("__cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    // per-query probe list: the nProbe nearest centroid cells
-    val probeScores = cents.map { c =>
-      val normSq = c.map(x => x * x).sum
-      lit(normSq) - lit(2.0) * Similarity.dot(col("__qv"), array(c.map(lit): _*))
-    }
-    // (score, cellId) structs sorted lexicographically: ties break by cell
-    // id, and probe cells are distinct by construction
-    val scoreStructs = array(probeScores.zipWithIndex.map { case (s, i) =>
-      struct(s.as("s"), lit(i).as("i"))
-    }: _*)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__probe", explode(slice(
-        transform(sort_array(scoreStructs), x => x.getField("i")), 1, nProbe)))
+      .withColumn("__probe",
+        explode(probeCellsExpr(col("__qv"), cents, nProbe)))
     val rawCos = Similarity.cosine(col("__qv"), col("__cv"))
     val scored = broadcast(probes).join(corpusCells, col("__probe") === col("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -100,40 +100,47 @@ object Pq {
     data.withColumn("__pq_u",
         Similarity.unit(col(vecCol).cast("array<double>"),
           Similarity.norm(col(vecCol).cast("array<double>"))))
-      .withColumn("codes", array((0 until cb.m).map { j =>
-        codeExpr(subVec(col("__pq_u"), j, cb.subDim), cb.books(j))
-      }: _*))
+      .withColumn("codes", encodeExpr(col("__pq_u"), cb))
       .drop("__pq_u")
 
-  /** Top-k cosine neighbors via ADC shortlist + exact re-rank. Inputs are
-    * normalized once so subspace dot sums approximate cosine. `refine` is
-    * the shortlist size (≥ k); ties break by neighbor id at both stages. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, cb: Codebooks, refine: Int,
-      roundDigits: Int = -1): DataFrame = {
-    require(refine >= k, s"refine=$refine must be >= k=$k")
-    val corpusCoded = encode(unitized(corpus, idCol, vecCol), vecCol, cb)
-      .select(col(idCol).as("neighbor_id"), col("codes"), col(vecCol).as("__cv"))
-    // per-query LUT: m × ksub subspace dots, MATERIALIZED as a column on
-    // the tiny query side before the broadcast join — the join itself then
-    // evaluates only m array lookups per (query, code) pair. Leaving the
-    // dot expressions inline would recompute the whole table per corpus
-    // row (m·ksub dots × |corpus| — measured 20 s vs 3 s at sf0.1).
-    val lutCol = array((0 until cb.m).map { j =>
-      array(cb.books(j).map(c =>
-        Similarity.dot(subVec(col("__qv"), j, cb.subDim), array(c.map(lit): _*))): _*)
+  /** [[encode]] for input ALREADY in unit space (the internal search
+    * paths, which unitize exactly once) — skips the redundant per-row
+    * norm + rescale a second normalization would cost in the corpus scan. */
+  private def encodeUnit(unitData: DataFrame, vecCol: String, cb: Codebooks): DataFrame =
+    unitData.withColumn("codes", encodeExpr(col(vecCol), cb))
+
+  private def encodeExpr(unitVec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { j =>
+      codeExpr(subVec(unitVec, j, cb.subDim), cb.books(j))
     }: _*)
-    val q = unitized(queries, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut", lutCol)
-    val approx = (0 until cb.m).map { j =>
-      element_at(element_at(col("__lut"), j + 1), element_at(col("codes"), j + 1) + 1)
+
+  // --- shared ADC machinery (single definition: pqTopK and ivfPqTopK
+  // --- must never drift on LUT indexing, tie-breaking or rounding) ---
+
+  /** Per-query LUT: m × ksub subspace dots, MATERIALIZED as a column on
+    * the tiny query side before the broadcast join — the join itself then
+    * evaluates only m array lookups per (query, code) pair. Leaving the
+    * dot expressions inline would recompute the whole table per corpus
+    * row (m·ksub dots × |corpus| — measured 20 s vs 5 s at sf0.1). */
+  private def adcLutCol(qv: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { j =>
+      array(cb.books(j).map(c =>
+        Similarity.dot(subVec(qv, j, cb.subDim), array(c.map(lit): _*))): _*)
+    }: _*)
+
+  private def adcApprox(lut: Column, codes: Column, cb: Codebooks): Column =
+    (0 until cb.m).map { j =>
+      element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1)
     }.reduce(_ + _)
+
+  /** ADC shortlist (top `refine` by approximate dot) then exact-cosine
+    * re-rank to top `k`; ties break by neighbor id at both stages. */
+  private def shortlistAndRerank(pairs: DataFrame, cb: Codebooks, k: Int,
+      refine: Int, roundDigits: Int): DataFrame = {
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("__a").desc, col("neighbor_id"))
-    val shortlist = broadcast(q).join(corpusCoded,
-        col("query_id") =!= col("neighbor_id"))
-      .withColumn("__a", approx)
+    val shortlist = pairs
+      .withColumn("__a", adcApprox(col("__lut"), col("codes"), cb))
       .withColumn("__rn", row_number().over(wApprox))
       .filter(col("__rn") <= refine)
     val rawCos = Similarity.dot(col("__qv"), col("__cv")) // unit vectors
@@ -144,6 +151,23 @@ object Pq {
       .withColumn("__rk", row_number().over(wExact))
       .filter(col("__rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Top-k cosine neighbors via ADC shortlist + exact re-rank. Inputs are
+    * normalized once so subspace dot sums approximate cosine. `refine` is
+    * the shortlist size (≥ k); ties break by neighbor id at both stages. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cb: Codebooks, refine: Int,
+      roundDigits: Int = -1): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    val corpusCoded = encodeUnit(unitized(corpus, idCol, vecCol), vecCol, cb)
+      .select(col(idCol).as("neighbor_id"), col("codes"), col(vecCol).as("__cv"))
+    val q = unitized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", adcLutCol(col("__qv"), cb))
+    val pairs = broadcast(q).join(corpusCoded,
+      col("query_id") =!= col("neighbor_id"))
+    shortlistAndRerank(pairs, cb, k, refine, roundDigits)
   }
 
   /** IVF-PQ: [[Ivf]] cells bound the SCAN (each query touches only its
@@ -157,49 +181,22 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, cents: Array[Array[Double]], cb: Codebooks,
       nProbe: Int, refine: Int, roundDigits: Int = -1): DataFrame = {
-    val nCells = cents.length
-    require(nProbe >= 1 && nProbe <= nCells)
+    require(nProbe >= 1 && nProbe <= cents.length)
     require(refine >= k, s"refine=$refine must be >= k=$k")
     val corpusU = unitized(corpus, idCol, vecCol)
-    val celled = Ivf.withCell(encode(corpusU, vecCol, cb), vecCol, cents)
+    val celled = Ivf.withCell(encodeUnit(corpusU, vecCol, cb), vecCol, cents)
       .select(col("__cell"), col(idCol).as("neighbor_id"), col("codes"),
         col(vecCol).as("__cv"))
-    // per-query probe list (nProbe nearest cells) + ADC LUT, both
-    // materialized on the tiny query side before the broadcast
-    val probeScores = cents.map { c =>
-      val normSq = c.map(x => x * x).sum
-      lit(normSq) - lit(2.0) * Similarity.dot(col("__qv"), array(c.map(lit): _*))
-    }
-    val scoreStructs = array(probeScores.zipWithIndex.map { case (s, i) =>
-      struct(s.as("s"), lit(i).as("i"))
-    }: _*)
-    val lutCol = array((0 until cb.m).map { j =>
-      array(cb.books(j).map(c =>
-        Similarity.dot(subVec(col("__qv"), j, cb.subDim), array(c.map(lit): _*))): _*)
-    }: _*)
+    // probe list (nProbe nearest cells, shared definition with Ivf) + ADC
+    // LUT, both materialized on the tiny query side before the broadcast
     val probes = unitized(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__lut", lutCol)
-      .withColumn("__probe", explode(slice(
-        transform(sort_array(scoreStructs), x => x.getField("i")), 1, nProbe)))
-    val approx = (0 until cb.m).map { j =>
-      element_at(element_at(col("__lut"), j + 1), element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("__a").desc, col("neighbor_id"))
-    val shortlist = broadcast(probes)
+      .withColumn("__lut", adcLutCol(col("__qv"), cb))
+      .withColumn("__probe",
+        explode(Ivf.probeCellsExpr(col("__qv"), cents, nProbe)))
+    val pairs = broadcast(probes)
       .join(celled, col("__probe") === col("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__a", approx)
-      .withColumn("__rn", row_number().over(wApprox))
-      .filter(col("__rn") <= refine)
-    val rawCos = Similarity.dot(col("__qv"), col("__cv"))
-    val wExact = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    shortlist
-      .withColumn("cos", if (roundDigits >= 0) round(rawCos, roundDigits) else rawCos)
-      .withColumn("__rk", row_number().over(wExact))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    shortlistAndRerank(pairs, cb, k, refine, roundDigits)
   }
 }

@@ -168,7 +168,10 @@ object TextAnalysis {
     val top = base.select(col(idCol), explode(col("__w")).as("__tk"))
       .groupBy(col(idCol), col("__tk")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max(col("__c")).as("__mc"))
-    perDoc.join(top, idCol).select(
+    // left join: NULL-text docs have no exploded tokens and would vanish
+    // from an inner join — they must stay in the output (with NULL stats)
+    // so callers can use this output as their filter universe
+    perDoc.join(top, Seq(idCol), "left").select(
       col(idCol), col("n_tok"), col("n_uniq"),
       round(lit(1.0) - col("n_uniq") / col("n_tok").cast("double"), 4).as("dup_word_frac"),
       round(col("__mc") / col("n_tok").cast("double"), 4).as("top_word_frac"),

@@ -159,12 +159,15 @@ object TextAnalysis {
     val base = docs.select(col(idCol), toks.as("__w"))
     val bigrams = transform(sequence(lit(1), size(col("__w")) - 1),
       i => concat_ws(" ", element_at(col("__w"), i), element_at(col("__w"), i + 1)))
+    // NULL text -> NULL stats throughout: with ANSI off, size(NULL) is -1
+    // (not NULL), which would silently yield "-1 tokens, 0.0 fractions"
+    val hasText = col("__w").isNotNull
     val perDoc = base.select(
       col(idCol),
-      size(col("__w")).cast("bigint").as("n_tok"),
-      size(array_distinct(col("__w"))).cast("bigint").as("n_uniq"),
-      when(size(col("__w")) < 2, lit(null).cast("bigint"))
-        .otherwise(size(array_distinct(bigrams)).cast("bigint")).as("__uniq2"))
+      when(hasText, size(col("__w"))).cast("bigint").as("n_tok"),
+      when(hasText, size(array_distinct(col("__w")))).cast("bigint").as("n_uniq"),
+      when(hasText && size(col("__w")) >= 2,
+        size(array_distinct(bigrams))).cast("bigint").as("__uniq2"))
     val top = base.select(col(idCol), explode(col("__w")).as("__tk"))
       .groupBy(col(idCol), col("__tk")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max(col("__c")).as("__mc"))

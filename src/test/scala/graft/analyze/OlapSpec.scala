@@ -44,4 +44,11 @@ class OlapSpec extends SparkSpec {
     assert(out(9L) == ((90.0, 2L)))  // 99 + clamped 250
     assert(out(5L)._2 == 0L)         // empty bucket present
   }
+
+  test("histogram excludes NaN and NULL rows from every bucket") {
+    val df = Seq(Some(5.0), Some(Double.NaN), None).toDF("x")
+    val out = Olap.histogram(df, "x", lo = 0.0, hi = 10.0, nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L)) // only the real 5.0 counted (bucket 1)
+  }
 }

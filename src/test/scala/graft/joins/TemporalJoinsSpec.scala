@@ -57,6 +57,17 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("rangeJoinBucketed handles fractional timestamps") {
+    // point 100.2 in [0.0, 100.5): with floor((hi-1)/b) bucketing this
+    // candidate was silently dropped (regression guard for that fix)
+    val pts = Seq((1L, "x", 100.2), (2L, "x", 100.6)).toDF("pid", "k", "pt")
+    val ivs = Seq((7L, "x", 0.0, 100.5), (8L, "x", 100.0, 100.4)).toDF("iid", "ik", "lo", "hi")
+    val hits = TemporalJoins.rangeJoinBucketed(pts, ivs, "k", "ik", "pt",
+        "lo", "hi", bucketWidth = 50L)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 7L), (1L, 8L))) // 100.2 is inside BOTH intervals
+  }
+
   test("rangeJoinBucketed is half-open: lo inclusive, hi exclusive") {
     val pts = Seq((1L, "x", 10L), (2L, "x", 20L)).toDF("pid", "k", "pt")
     val ivs = Seq((7L, "x", 10L, 20L)).toDF("iid", "ik", "lo", "hi")

@@ -94,6 +94,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 0.0, 1.0, None)))
   }
 
+  test("repetitionStats keeps NULL-text documents with NULL stats") {
+    val docs = Seq((1L, Some("a a b")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+    assert(out.count() == 2) // the NULL-text doc must not vanish
+    val row2 = out.filter(col("doc_id") === 2L).collect().head
+    assert(row2.isNullAt(3) && row2.isNullAt(4)) // dup/top fractions NULL
+  }
+
   test("bm25: hand-computed scores; unmatched docs absent") {
     val docs = Seq(
       (1L, "apple banana"),

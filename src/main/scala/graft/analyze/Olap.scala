@@ -23,6 +23,14 @@ object Olap {
       .agg(aggs.head, (aggs.tail :+ grouping_id().cast("bigint").as("gid")): _*)
   }
 
+  /** [[rollupAgg]]'s full-lattice sibling: every dim subset (2^n grouping
+    * sets) instead of the prefix hierarchy. */
+  def cubeAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "cubeAgg needs at least one aggregate")
+    df.cube(dims.map(col): _*)
+      .agg(aggs.head, (aggs.tail :+ grouping_id().cast("bigint").as("gid")): _*)
+  }
+
   /** Counts pivoted to one column per (small, known) pivot value — the
     * wide-format feature block. `values` must be enumerated: an unlisted
     * value is dropped (and Spark never scans for the domain, which would

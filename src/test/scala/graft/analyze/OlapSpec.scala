@@ -24,6 +24,18 @@ class OlapSpec extends SparkSpec {
       (None, None, 15.0, 3L)))
   }
 
+  test("cubeAgg adds the column-subtotal level rollup lacks") {
+    val out = Olap.cubeAgg(sales, Seq("d1", "d2"), Seq(sum($"v").as("s")))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // the gid=2 sets (d2 kept, d1 aggregated) exist only in the cube
+    assert(out.contains((None, Some("x"), 11.0, 2L)))
+    assert(out.contains((None, Some("y"), 4.0, 2L)))
+    assert(out.contains((None, None, 15.0, 3L)))
+    assert(out.size == 8) // 3 detail + 2 d1-subtotals + 2 d2-subtotals + 1 grand
+  }
+
   test("pivotCounts enumerates the domain and zero-fills") {
     val ev = Seq(("u1", "x"), ("u1", "x"), ("u1", "z"), ("u2", "y"))
       .toDF("u", "t")

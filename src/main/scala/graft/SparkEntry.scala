@@ -1418,6 +1418,29 @@ object SparkEntry {
     Some("""SELECT o_orderkey, o_custkey FROM orders
       WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '1a' ORDER BY o_orderkey"""))
 
+  /** Incremental ingestion dedup: drop arriving documents whose content
+    * fingerprint already exists in the historical set — a fingerprint
+    * LEFT ANTI join (the registry's anti-join shape). At 100 TB the
+    * history side is a bucketed fingerprint table; here it is a
+    * deterministic hash-sample of the corpus standing in for "yesterday's
+    * data". */
+  private val qIncrementalDedup = Q("d7_incremental_dedup",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val history = Sampling.hashSample(docs, "doc_id", "40")
+        .select(fp.as("fp")).distinct()
+      docs.withColumn("fp", fp)
+        .join(history, Seq("fp"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH hist AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+        FROM documents WHERE substr(md5(doc_id::VARCHAR),1,2) < '40')
+      SELECT d.doc_id FROM documents d
+      WHERE md5(lower(trim(d.text))) NOT IN (SELECT fp FROM hist)
+      ORDER BY doc_id"""))
+
   /** Hierarchical rollup with explicit subtotal labels and grouping_id —
     * ONE aggregate over the expanded grouping sets. */
   private val qRollup = Q("a14_rollup",
@@ -1484,7 +1507,7 @@ object SparkEntry {
     qMedia, qDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
-    qRollup, qPivot, qHistogram)
+    qRollup, qPivot, qHistogram, qIncrementalDedup)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

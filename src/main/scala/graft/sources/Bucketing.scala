@@ -27,4 +27,16 @@ object Bucketing {
     * not the files — reads must go through the table, not the path). */
   def table(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
+
+  /** Directory-partitioned parquet write: the OTHER pay-once layout lever.
+    * Bucketing kills the join shuffle; partitioning by a coarse,
+    * low-cardinality column (ingest date, source) kills the SCAN — a
+    * filtered read prunes whole directories before touching a row
+    * (`PartitionFilters` in the plan; BucketingSpec asserts the pruned
+    * file count). Keep partition columns coarse: one directory per value
+    * per write, and a 100 TB corpus wants thousands of partitions, not
+    * millions of tiny files. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

@@ -38,6 +38,24 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes directories for a partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (1L to 300L).map(i => (i, s"d${i % 3}", i * 1.5)).toDF("id", "day", "v")
+    Bucketing.writePartitioned(df, dir, Seq("day"))
+    val read = spark.read.parquet(dir).filter($"day" === "d1")
+    // the filter must prune at the directory level, not per-row
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.relation.location.inputFiles.length >= 3) // all dirs on disk
+    val selected = scans.head.selectedPartitions.totalNumberOfFiles
+    assert(selected < scans.head.relation.location.inputFiles.length,
+      "partition filter did not prune any files")
+    assert(read.count() == 100)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("groupBy on the bucket key also skips the shuffle") {
     val a = (1L to 500L).map(i => (i % 20, i)).toDF("k", "v")
     Bucketing.writeBucketed(a, "bkt_g", "k", 4)

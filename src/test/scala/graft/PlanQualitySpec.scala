@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** Automated form of BENCH_NOTES' plan-quality spot checks: the structural
+  * properties that make the engine 100 TB-viable are asserted on every
+  * registered query's physical plan, so a regression (a lost pushdown, an
+  * accidental cartesian product, a join that stopped broadcasting) fails
+  * CI instead of surfacing as a mystery slowdown at scale. Plans are built
+  * at sf0.001 with AQE off so the static plan is inspectable.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.executedPlan
+  }
+
+  private def withStaticPlans[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  // ANN paths deliberately broadcast the (tiny) query side against every
+  // corpus row / code, and tf-idf/bm25 cross-join a 1-ROW broadcast scalar
+  // (corpus count / avg doc length) — bounded-by-construction nested
+  // loops, not bugs
+  private val allowedNestedLoop = Set(
+    "sim1_bruteforce_topk", "sim2_lsh_topk", "sim4_pq_topk",
+    "t6_tfidf_topk", "t7_bm25")
+
+  test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
+    withStaticPlans {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val p = plan(name)
+        val cartesian = p.collect { case c: CartesianProductExec => c }
+        val bnlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+        val bad =
+          (if (cartesian.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+            (if (bnlj.nonEmpty && !allowedNestedLoop(name))
+              Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+        bad
+      }
+      assert(offenders.isEmpty, s"plan regressions: $offenders")
+    }
+  }
+
+  test("IN-list filter reaches the parquet scan as a pushed filter") {
+    withStaticPlans {
+      val scans = plan("p5_in_filter").collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("In("))),
+        s"no In(...) in PushedFilters: ${scans.map(_.metadata.get("PushedFilters"))}")
+    }
+  }
+
+  test("projection prunes the parquet read schema") {
+    withStaticPlans {
+      val scans = plan("p1_project_fk").collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      // lineitem has 11 columns; the projection needs only a couple
+      assert(scans.nonEmpty && scans.forall(_.output.length <= 3),
+        s"scan reads ${scans.map(_.output.length)} columns")
+    }
+  }
+
+  test("brute-force top-k plans a WindowGroupLimit rank pushdown") {
+    withStaticPlans {
+      val p = plan("sim1_bruteforce_topk")
+      assert(p.collect { case w: WindowGroupLimitExec => w }.nonEmpty)
+    }
+  }
+
+  test("as-of join runs on a single shuffle ahead of its window") {
+    withStaticPlans {
+      val p = plan("aj1_asof_join")
+      assert(p.collect { case w: WindowExec => w }.nonEmpty)
+      // one hash exchange for the window + one range exchange for the
+      // output ORDER BY — anything more means the merge-as-of regressed
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.length <= 2, s"${shuffles.length} shuffles")
+    }
+  }
+
+  test("the star join broadcasts every dimension") {
+    withStaticPlans {
+      val p = plan("q5_local_supplier_revenue")
+      val bhj = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      val smj = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(bhj.nonEmpty, "no broadcast joins in the star query")
+      assert(smj.isEmpty, s"${smj.length} sort-merge joins at sf0.001 — a dimension stopped broadcasting")
+    }
+  }
+}

@@ -1418,6 +1418,40 @@ object SparkEntry {
     Some("""SELECT o_orderkey, o_custkey FROM orders
       WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '1a' ORDER BY o_orderkey"""))
 
+  /** Shipping-priority analytic query (TPC-H Q3 shape): segment-filtered
+    * customer×orders×lineitem, revenue per order, top-10 — the
+    * filter-join-aggregate-topN slice. Ordering is on the ROUNDED revenue
+    * (identical on both engines) with an id tiebreak, so the LIMIT
+    * boundary is deterministic. */
+  private val qQ3 = Q("q3_shipping_priority",
+    (s, d) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          unix_timestamp(col("o_orderdate")).as("odate_s"), col("o_orderpriority"))
+    },
+    Some("""SELECT l_orderkey, revenue, odate_s, o_orderpriority FROM (
+        SELECT l_orderkey,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          floor(epoch(o_orderdate))::BIGINT AS odate_s, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate >= TIMESTAMP '1996-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10)
+      ORDER BY revenue DESC, l_orderkey"""))
+
   /** Incremental ingestion dedup: drop arriving documents whose content
     * fingerprint already exists in the historical set — a fingerprint
     * LEFT ANTI join (the registry's anti-join shape). At 100 TB the
@@ -1507,7 +1541,7 @@ object SparkEntry {
     qMedia, qDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
-    qRollup, qPivot, qHistogram, qIncrementalDedup)
+    qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -151,6 +151,18 @@ object EventStream {
     else src.dropDuplicates(keyCols)
   }
 
+  /** Incremental-ingestion dedup against a STATIC history: arriving rows
+    * whose `keyCols` already exist in `history` are dropped via a
+    * stream-static LEFT ANTI join — the continuous form of the batch
+    * fingerprint anti-join. The static side is re-read per micro-batch
+    * (pointing it at a parquet path picks up compactions); combine with
+    * [[dedupStream]] to also dedup WITHIN the stream's watermark window.
+    * Runs unchanged on a batch DataFrame. */
+  def antiJoinDedup(incoming: DataFrame, history: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    incoming.join(history.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+
   /** Stream-stream (or batch) interval join: right rows within
     * `[leftTs + lower, leftTs + upper)` of a left row with the same key.
     * On streaming inputs, pass `watermarkDelay`: both sides get watermarks

@@ -160,6 +160,29 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map("a" -> ((2L, 6.0)), "b" -> ((1L, 2.0))))
   }
 
+  test("antiJoinDedup drops history matches as a real stream-static join") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(("h1", 1L), ("h2", 2L)).toDF("fp", "x")
+    val mem = MemoryStream[(String, Long)]
+    val out = EventStream.antiJoinDedup(
+      mem.toDF().toDF("fp", "v"), history, Seq("fp"))
+    val q = out.writeStream.format("memory").queryName("anti_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(("h1", 10L), ("new1", 11L))
+      q.processAllAvailable()
+      mem.addData(("h2", 12L), ("new2", 13L), ("new1", 14L)) // new1 again: static side doesn't learn
+      q.processAllAvailable()
+      val rows = spark.table("anti_dedup").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("new1", 11L), ("new2", 13L), ("new1", 14L)))
+    } finally q.stop()
+    // batch twin: same function, same semantics
+    val batch = Seq(("h1", 1L), ("n", 2L)).toDF("fp", "v")
+    assert(EventStream.antiJoinDedup(batch, history, Seq("fp"))
+      .collect().map(_.getString(0)).toSeq == Seq("n"))
+  }
+
   test("intervalJoin matches the naive range join on batch input") {
     val l = Seq((1L, "u", "2024-01-01 10:00:00"), (2L, "u", "2024-01-01 12:00:00"),
         (3L, "v", "2024-01-01 10:00:00"))

@@ -1475,6 +1475,24 @@ object SparkEntry {
       WHERE md5(lower(trim(d.text))) NOT IN (SELECT fp FROM hist)
       ORDER BY doc_id"""))
 
+  /** PageRank over the orders→customer FK graph (bipartite: rank flows to
+    * heavily-ordered customers). Iterative float fixpoint — no SQL
+    * restatement; PageRankSpec pins closed-form fixpoints, mass
+    * conservation and dangling redistribution. */
+  private val qPageRank = Q("pr1_pagerank",
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      val vertices = orders.select(col("o_orderkey").as("id"))
+        .unionAll(t(s, d, "customer").select((col("c_custkey") + 1000000L).as("id")))
+      val edges = orders.select(col("o_orderkey").as("src"),
+        (col("o_custkey") + 1000000L).as("dst"))
+      graft.graph.PageRank.run(vertices, "id", edges, iters = 5)
+        .filter(col("id") >= 1000000L) // report the customer side
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    },
+    None)
+
   /** Hierarchical rollup with explicit subtotal labels and grouping_id —
     * ONE aggregate over the expanded grouping sets. */
   private val qRollup = Q("a14_rollup",
@@ -1541,7 +1559,7 @@ object SparkEntry {
     qMedia, qDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
-    qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3)
+    qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -1,0 +1,50 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over a directed edge list — the second classic iterative graph
+  * algorithm beside [[graft.dedup.Dedup.connectedComponents]], in the same
+  * Spark shape: per iteration one join + one partial-aggregating groupBy
+  * (shuffling only (id, contribution)), eager localCheckpoint per round to
+  * keep lineage flat. Dangling-node mass (vertices with no out-edges) is
+  * redistributed uniformly each round, so total rank stays 1 and the
+  * result is a proper distribution.
+  *
+  * The out-degree table is computed once and checkpointed; the per-round
+  * dangling-mass term is a scalar aggregate collected to the driver (one
+  * tiny job per iteration — the same bounded-driver-state class as Lloyd
+  * centroids, not a data-sized collect).
+  */
+object PageRank {
+
+  /** @param vertices one row per vertex id
+    * @param edges    directed (src, dst); parallel edges count once each
+    * @return (id, rank), ranks summing to 1 */
+  def run(vertices: DataFrame, idCol: String, edges: DataFrame,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(damping > 0 && damping < 1, s"damping $damping must be in (0,1)")
+    val n = vertices.count().toDouble
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val e = edges.join(outDeg, "src")
+      .select(col("src"), col("dst"), col("__deg")).localCheckpoint(true)
+    val ids = vertices.select(col(idCol).as("id")).localCheckpoint(true)
+    val hasOut = outDeg.select(col("src").as("id")).localCheckpoint(true)
+    var ranks = ids.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val dangling = ranks.join(hasOut, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      ranks = ids.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("__s"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

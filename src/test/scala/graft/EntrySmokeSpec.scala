@@ -23,10 +23,12 @@ class EntrySmokeSpec extends SparkSpec {
 
   test("every registered query has either an oracle or a documented rows-only reason") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // hash-/seed-defined pipelines only — keep this list in sync when adding
+    // hash-/seed-defined pipelines and iterative float fixpoints only —
+    // keep this list in sync when adding
     assert(rowsOnly == Set("w6_random_split", "d2_minhash_neardups",
       "d4_simhash_neardups", "d4b_simhash128_neardups", "d5_embedding_neardups",
-      "sim2_lsh_topk", "t4_text_embed_stub", "mm2_decode_batched"))
+      "sim2_lsh_topk", "t4_text_embed_stub", "mm2_decode_batched",
+      "pr1_pagerank"))
     // and no oracle exists without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

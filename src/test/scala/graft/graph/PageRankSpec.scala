@@ -1,0 +1,42 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(vs: Seq[Long], es: Seq[(Long, Long)], iters: Int = 30) =
+    PageRank.run(vs.toDF("id"), "id", es.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("two-node cycle converges to the uniform distribution") {
+    val r = ranksOf(Seq(1L, 2L), Seq((1L, 2L), (2L, 1L)))
+    assert(math.abs(r(1L) - 0.5) < 1e-9)
+    assert(math.abs(r(2L) - 0.5) < 1e-9)
+  }
+
+  test("a sink pulled by two sources outranks them; total mass is 1") {
+    val r = ranksOf(Seq(1L, 2L, 3L), Seq((1L, 3L), (2L, 3L), (3L, 1L), (3L, 2L)))
+    assert(r(3L) > r(1L) && r(3L) > r(2L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(math.abs(r(1L) - r(2L)) < 1e-12) // symmetric sources tie exactly
+  }
+
+  test("dangling-node mass is redistributed: ranks still sum to 1") {
+    // 3 -> nothing: without redistribution total mass decays each round
+    val r = ranksOf(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(3L) > r(2L)) // downstream of the chain accumulates
+  }
+
+  test("matches the closed form for a directed chain endpoint") {
+    // 1 -> 2 with damping d, n=2, dangling 2 redistributes:
+    // fixed point satisfies r1 = (1-d)/2 + d*r2/2 ; r2 = (1-d)/2 + d*(r1 + r2/2)
+    val d = 0.85
+    val r = ranksOf(Seq(1L, 2L), Seq((1L, 2L)), iters = 60)
+    val r1 = r(1L); val r2 = r(2L)
+    assert(math.abs(r1 - ((1 - d) / 2 + d * r2 / 2)) < 1e-9)
+    assert(math.abs(r2 - ((1 - d) / 2 + d * (r1 + r2 / 2))) < 1e-9)
+  }
+}

@@ -100,6 +100,26 @@ object Sampling {
     requireHex2(thresholdHex)
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < lit(thresholdHex))
   }
+
+  /** Stratified sample: a different keep-fraction per stratum (e.g.
+    * downsample the dominant language, keep all of the rare one — the
+    * rebalancing step of corpus curation). Deterministic per (key, seed)
+    * via xxhash64 bucketing, so the choice is stable across runs and
+    * partitionings, unlike `df.stat.sampleBy`'s RNG-stream sampling; the
+    * whole thing is one codegen'd filter, no shuffle. Strata missing from
+    * `fractions` keep `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(10000L))
+    val keepBelow = fractions.foldLeft(lit(defaultFraction * 10000)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(f * 10000)).otherwise(acc)
+    }
+    df.filter(bucket < keepBelow)
+  }
 }
 
 class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {

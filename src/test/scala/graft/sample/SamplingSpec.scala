@@ -64,6 +64,24 @@ class SamplingSpec extends SparkSpec {
     assert(again == small)                  // pure function of the key
   }
 
+  test("stratifiedSample keeps per-stratum fractions, deterministically") {
+    val df = (1L to 6000L).map(i => (i, if (i % 3 == 0) "rare" else "common"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "lang", "id",
+      Map("common" -> 0.1, "rare" -> 1.0))
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("rare") == 2000L)                    // fraction 1.0 keeps all
+    assert(counts("common") > 250L && counts("common") < 550L) // ~10% of 4000
+    // stable under repartitioning (pure function of key+seed)
+    val again = Sampling.stratifiedSample(df.repartition(11), "lang", "id",
+      Map("common" -> 0.1, "rare" -> 1.0)).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // unlisted strata follow defaultFraction
+    val none = Sampling.stratifiedSample(df, "lang", "id", Map(), defaultFraction = 0.0)
+    assert(none.count() == 0L)
+  }
+
   test("groupSplitFast agrees with itself and respects trainPct bounds") {
     val df = (1L to 2000L).toDF("gid")
     val s = Sampling.groupSplitFast(df, "gid", trainPct = 70)

@@ -43,10 +43,20 @@ object Bench {
       System.gc()
     }
     import JsonEscape.q
-    val qs = timings.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => q(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // Two lines: the per-query detail first, then the canonical summary line
+    // LAST. The harness that collects this output keeps only a bounded tail
+    // of it; a single line carrying every per-query timing outgrows that
+    // window and arrives head-truncated (unparseable). The summary line is
+    // sized to always fit the window, and carries the slowest queries (the
+    // ones worth chasing round-over-round) plus the total.
+    println(s"""{"metric":"per_query","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val top = timings.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => q(k) + ":" + sec(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$top,"n_queries":${timings.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

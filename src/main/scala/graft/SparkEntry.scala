@@ -1268,7 +1268,7 @@ object SparkEntry {
         round(1.0 - n.n_uniq / n.n_tok::DOUBLE, 4) AS dup_word_frac,
         round(mx.mc / n.n_tok::DOUBLE, 4) AS top_word_frac,
         round(1.0 - g.n_uniq2 / (n.n_tok - 1)::DOUBLE, 4) AS dup_bigram_frac
-      FROM n JOIN mx ON n.doc_id=mx.doc_id JOIN g ON n.doc_id=g.doc_id
+      FROM n LEFT JOIN mx ON n.doc_id=mx.doc_id LEFT JOIN g ON n.doc_id=g.doc_id
       ORDER BY n.doc_id"""))
 
   /** Top-3 TF-IDF terms per document (smoothed idf, term-tiebroken rank). */
@@ -1472,7 +1472,8 @@ object SparkEntry {
     Some("""WITH hist AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
         FROM documents WHERE substr(md5(doc_id::VARCHAR),1,2) < '40')
       SELECT d.doc_id FROM documents d
-      WHERE md5(lower(trim(d.text))) NOT IN (SELECT fp FROM hist)
+      WHERE NOT EXISTS (SELECT 1 FROM hist
+        WHERE hist.fp = md5(lower(trim(d.text))))
       ORDER BY doc_id"""))
 
   /** PageRank over the orders→customer FK graph (bipartite: rank flows to

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  private def lits(ps: Seq[Double]) = s"array(${ps.mkString("D,")}D)"
+  /** `col(name)` parses dots/backticks as structure; quote the raw name so
+    * any physical column name (backticks included) resolves literally. */
+  private def rawCol(c: String) = col("`" + c.replace("`", "``") + "`")
 
   private def validate(cols: Seq[String], ps: Seq[Double]): Unit = {
     require(cols.nonEmpty, "need at least one column")
@@ -30,9 +32,11 @@ object Quantiles {
     * no per-column pass over the data. */
   def exact(df: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
     validate(cols, ps)
+    // Column-based aggregate (not an expr string): immune to identifier
+    // quoting in column names and to Double→string literal round-trips.
     unpivot(df.agg(
-      expr(s"percentile(`${cols.head}`, ${lits(ps)})").as(cols.head),
-      cols.tail.map(c => expr(s"percentile(`$c`, ${lits(ps)})").as(c)): _*), cols, ps)
+      percentile(rawCol(cols.head), lit(ps.toArray)).as(cols.head),
+      cols.tail.map(c => percentile(rawCol(c), lit(ps.toArray)).as(c)): _*), cols, ps)
   }
 
   /** Approximate quantiles (GK sketch), same output shape. `accuracy` is
@@ -41,15 +45,16 @@ object Quantiles {
       accuracy: Int = 10000): DataFrame = {
     validate(cols, ps)
     unpivot(df.agg(
-      expr(s"percentile_approx(`${cols.head}`, ${lits(ps)}, $accuracy)").as(cols.head),
-      cols.tail.map(c => expr(s"percentile_approx(`$c`, ${lits(ps)}, $accuracy)").as(c)): _*),
+      percentile_approx(rawCol(cols.head), lit(ps.toArray), lit(accuracy)).as(cols.head),
+      cols.tail.map(c =>
+        percentile_approx(rawCol(c), lit(ps.toArray), lit(accuracy)).as(c)): _*),
       cols, ps)
   }
 
   private def unpivot(aggd: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
     val psArr = array(ps.map(lit): _*)
     cols.map { c =>
-      aggd.select(lit(c).as("col"), posexplode(col(c)).as(Seq("__i", "q")))
+      aggd.select(lit(c).as("col"), posexplode(rawCol(c)).as(Seq("__i", "q")))
         .select(col("col"), element_at(psArr, col("__i") + 1).as("p"),
           col("q").cast("double").as("q"))
     }.reduce(_ unionAll _)

@@ -19,12 +19,30 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** @param vertices one row per vertex id
-    * @param edges    directed (src, dst); parallel edges count once each
+    * @param edges    directed (src, dst); parallel edges count once each.
+    *                 PRECONDITION: every src and dst must appear in
+    *                 `vertices` — contributions to an unknown dst are
+    *                 dropped by the final left join and an unknown src
+    *                 never contributes, so rank mass would silently leak
+    *                 and the ranks-sum-to-1 contract break. Pass
+    *                 `validate = true` to assert this (one extra anti-join
+    *                 count up front).
+    * @param validate when true, fail fast if any edge endpoint is missing
+    *                 from `vertices` instead of leaking mass
     * @return (id, rank), ranks summing to 1 */
   def run(vertices: DataFrame, idCol: String, edges: DataFrame,
-      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      iters: Int = 10, damping: Double = 0.85,
+      validate: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, s"damping $damping must be in (0,1)")
+    if (validate) {
+      val vs = vertices.select(col(idCol).as("id"))
+      val orphans = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .join(vs, Seq("id"), "left_anti").limit(1).count()
+      require(orphans == 0,
+        "edges reference ids absent from vertices — rank mass would leak")
+    }
     val n = vertices.count().toDouble
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val e = edges.join(outDeg, "src")

@@ -68,6 +68,9 @@ object Pq {
     val subDim = dim / m
     val unit = unitized(data, idCol, vecCol)
     val n = unit.count()
+    // Fewer rows than codes would silently yield a short codebook while
+    // Codebooks.ksub still reported the requested value — fail loudly.
+    require(n >= ksub, s"corpus has $n rows but ksub=$ksub codes requested")
     val step = math.max(1L, n / ksub)
     val withId = graft.graph.RelGraph.withRowId(
       unit.select(col(idCol), col(vecCol)), Seq(idCol))

@@ -30,4 +30,14 @@ class QuantilesSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("col", "p", "q"))
     assert(out.count() == 4)
   }
+
+  test("hostile column names and tiny percentile literals survive") {
+    // Column-based aggregates (no expr-string interpolation): a backtick in
+    // the name and a 1e-4 percentile must both work.
+    val weird = (1 to 100).map(_.toDouble).toDF("a`b")
+    val out = Quantiles.exact(weird, Seq("a`b"), Seq(1e-4, 0.5))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(out(0.5) == 50.5)
+    assert(math.abs(out(1e-4) - (1 + 1e-4 * 99)) < 1e-9)
+  }
 }

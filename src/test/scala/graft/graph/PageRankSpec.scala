@@ -39,4 +39,15 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(r1 - ((1 - d) / 2 + d * r2 / 2)) < 1e-9)
     assert(math.abs(r2 - ((1 - d) / 2 + d * (r1 + r2 / 2))) < 1e-9)
   }
+
+  test("validate=true rejects edges whose endpoints are not vertices") {
+    val vs = Seq(1L, 2L).toDF("id")
+    val bad = Seq((1L, 99L)).toDF("src", "dst") // 99 leaks mass silently
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(vs, "id", bad, iters = 1, validate = true)
+    }
+    assert(e.getMessage.contains("rank mass"))
+    // the same graph with validation off still runs (documented leak)
+    assert(PageRank.run(vs, "id", bad, iters = 1).count() == 2)
+  }
 }

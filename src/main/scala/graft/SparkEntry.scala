@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.VectorAgg
-import graft.analyze.{DistinctCounter, Olap, Quantiles}
+import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles}
+import graft.functions.ZOrder
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
 import graft.convert.{CategoricalCodes, Converters, TableConverter}
 import graft.dedup.Dedup
@@ -1539,6 +1540,149 @@ object SparkEntry {
       FROM range(0,10) r LEFT JOIN c ON c.bucket = r.range ORDER BY bucket"""))
 
   // ====================================================================
+  // Behavioral analytics / data layout / sampling / contamination (round 6)
+  // ====================================================================
+
+  /** Ordered signup→click→purchase funnel over the first day: one fold
+    * per user, no stage-count joins (the SQL restatement IS the n-join
+    * form — the engine's one-shuffle fold must agree with it exactly).
+    * The day slice keeps stage counts strictly decaying, so the
+    * strict-order semantics are actually discriminated, not saturated. */
+  private val qFunnel = Q("fn1_funnel",
+    (s, d) => Behavior.funnel(
+        events(s, d).filter(col("ts") < lit("2024-01-02").cast("timestamp")),
+        "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+      .orderBy("stage"),
+    Some("""WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02'),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        WHERE event_type='signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+        JOIN s1 USING (user_id)
+        WHERE e.event_type='click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+        JOIN s2 USING (user_id)
+        WHERE e.event_type='purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT 0 AS stage, 'signup' AS name, (SELECT count(*) FROM s1) AS users
+      UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3)
+      ORDER BY stage"""))
+
+  /** Cohort retention: first-event-date cohorts × whole-week offsets,
+    * distinct active users per cell. */
+  private val qCohort = Q("coh1_cohort_retention",
+    (s, d) => Behavior.cohortRetention(events(s, d), "user_id", "ts")
+      .orderBy("cohort_day", "week_offset"),
+    Some("""WITH f AS (SELECT user_id, min(ts::DATE) AS cohort_day
+        FROM events GROUP BY 1)
+      SELECT f.cohort_day::VARCHAR AS cohort_day,
+        (date_diff('day', f.cohort_day, e.ts::DATE) // 7)::INT AS week_offset,
+        count(DISTINCT e.user_id) AS users
+      FROM events e JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** SCD2 dimension history from the purchase change log: per-user value
+    * tier versioned with half-open validity intervals; consecutive
+    * same-tier purchases collapse into one version. */
+  private val qScd2 = Q("scd1_scd2_history",
+    (s, d) => Features.scd2(
+        events(s, d).filter(col("event_type") === "purchase")
+          .withColumn("tier", floor(col("value") / 25)),
+        "user_id", "ts", "tier", "event_id")
+      .orderBy("user_id", "valid_from_us"),
+    Some("""WITH p AS (SELECT user_id, ts, event_id,
+          floor(value / 25)::BIGINT AS tier
+        FROM events WHERE event_type='purchase'),
+      w AS (SELECT *, lag(tier) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM p),
+      c AS (SELECT user_id, ts, event_id, tier FROM w
+        WHERE prev IS DISTINCT FROM tier),
+      v AS (SELECT user_id, tier, epoch_us(ts) AS valid_from_us,
+          epoch_us(lead(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+        FROM c)
+      SELECT user_id, tier, valid_from_us, valid_to_us,
+        valid_to_us IS NULL AS is_current
+      FROM v ORDER BY user_id, valid_from_us"""))
+
+  /** Key-skew diagnosis on the orders→customer FK: the profile a pipeline
+    * reads before choosing salting / AQE settings. */
+  private val qKeyProfile = Q("sk2_key_profile",
+    (s, d) => graft.agg.Skew.keyProfile(t(s, d, "orders"), "o_custkey"),
+    Some("""WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+      t AS (SELECT sum(c)::BIGINT AS n, count(*) AS n_keys,
+        max(c) AS max_key_rows, stddev_samp(c) AS sd, avg(c) AS mean FROM c)
+      SELECT t.n AS n_rows, t.n_keys, t.max_key_rows,
+        round(t.max_key_rows / t.n::DOUBLE, 6) AS max_share,
+        round(t.sd / t.mean, 4) AS count_cv,
+        round(-sum((c.c / t.n::DOUBLE) * ln(c.c / t.n::DOUBLE)), 4) AS entropy_nats
+      FROM c CROSS JOIN t
+      GROUP BY t.n, t.n_keys, t.max_key_rows, t.sd, t.mean"""))
+
+  /** Engine-portable stratified downsample (md5 coin): rebalance the
+    * corpus by language — keep 25% of en, 50% of de, all the rest. */
+  private val qStratified = Q("w9_stratified_sample",
+    (s, d) => Sampling.stratifiedSamplePortable(t(s, d, "documents"),
+        "lang", "doc_id", Map("en" -> 0.25, "de" -> 0.5))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE substr(md5(doc_id::VARCHAR || ':42'), 1, 4) <
+        CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000' ELSE 'g' END
+      ORDER BY doc_id"""))
+
+  /** Benchmark-contamination scan: share of each document's 3-gram
+    * shingles found in a (hash-sampled) benchmark set — the
+    * decontamination gate of a training-data pipeline. The sampled docs
+    * themselves score 1.0 by construction. */
+  private val qContamination = Q("cont1_contamination",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contamination(docs,
+          Sampling.hashSample(docs, "doc_id", "20"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      ds AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      bs AS (SELECT DISTINCT sh FROM (SELECT unnest(toks) AS sh FROM s
+        WHERE substr(md5(doc_id::VARCHAR),1,2) < '20')),
+      pd AS (SELECT d.doc_id, count(*) AS n_shingles,
+          sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+        FROM ds d LEFT JOIN bs b ON d.sh = b.sh GROUP BY 1)
+      SELECT doc.doc_id, pd.n_shingles, pd.n_hit,
+        round(pd.n_hit / pd.n_shingles::DOUBLE, 4) AS contaminated_frac
+      FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
+      ORDER BY doc.doc_id"""))
+
+  /** Z-order (Morton) clustering key over (o_custkey, o_orderkey): 64
+    * interleave-prefix buckets, each covering a compact rectangle of key
+    * space — the min/max spans per bucket are exactly the file statistics
+    * data skipping would prune on. Native codegen expression on the Spark
+    * side; generated bit-arithmetic restatement on the oracle side. */
+  private def zorderSql(aExpr: String, bExpr: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($aExpr) >> $i) & 1) * ${1L << (2 * i)}",
+      s"((($bExpr) >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString("(", " + ", ")")
+
+  private val qZOrder = Q("zo1_zorder_stats",
+    (s, d) => t(s, d, "orders")
+      .groupBy(shiftright(ZOrder.z(col("o_custkey"), col("o_orderkey"), 10), 14)
+        .as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+        min(col("o_orderkey")).as("min_ok"), max(col("o_orderkey")).as("max_ok"))
+      .orderBy("zbucket"),
+    Some(s"""SELECT ${zorderSql("o_custkey & 1023", "o_orderkey & 1023", 10)} >> 14
+        AS zbucket,
+        count(*) AS n, min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  // ====================================================================
   // Registry
   // ====================================================================
 
@@ -1560,7 +1704,8 @@ object SparkEntry {
     qMedia, qDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
-    qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank)
+    qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
+    qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -55,4 +55,25 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     l.join(r, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** One-row skew diagnosis for a key column — what you run BEFORE picking
+    * salting/AQE settings: row and key counts, the hottest key's row count
+    * and share, the count coefficient of variation, and the key-frequency
+    * entropy in nats (log(n_keys) = perfectly uniform; ≪ that = skewed).
+    * Two aggregations over the per-key counts (n_keys rows, not data-sized);
+    * the 1-row totals side is broadcast into the entropy pass. */
+  def keyProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(
+      sum(col("__c")).as("__n"), count(lit(1)).as("n_keys"),
+      max(col("__c")).as("max_key_rows"),
+      stddev_samp(col("__c")).as("__sd"), avg(col("__c")).as("__mean"))
+    counts.join(broadcast(totals))
+      .groupBy(col("__n"), col("n_keys"), col("max_key_rows"), col("__sd"), col("__mean"))
+      .agg((-sum((col("__c") / col("__n")) * log(col("__c") / col("__n")))).as("__h"))
+      .select(col("__n").as("n_rows"), col("n_keys"), col("max_key_rows"),
+        round(col("max_key_rows") / col("__n"), 6).as("max_share"),
+        round(col("__sd") / col("__mean"), 4).as("count_cv"),
+        round(col("__h"), 4).as("entropy_nats"))
+  }
 }

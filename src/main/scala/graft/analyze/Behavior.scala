@@ -1,0 +1,73 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over an event log — the funnel / cohort-retention
+  * shapes every product-analytics warehouse query layer offers.
+  *
+  * Both operators are designed around ONE key-shuffle: funnel folds each
+  * user's (ts, stage) sequence with a codegen'd array `aggregate` (no
+  * self-join per stage — at 100 TB an n-stage funnel as n joins is n scans
+  * and n shuffles; here it is one of each), and cohort retention joins a
+  * broadcast first-seen table (one row per user — small relative to the
+  * event log it summarizes).
+  */
+object Behavior {
+
+  /** Ordered-funnel completion counts: stage k counts the users whose
+    * event log contains `stages(0) … stages(k)` in strictly increasing
+    * timestamp order (the classic "signup → activate → purchase" funnel).
+    *
+    * Per user: sort the stage events once, then fold left — advance to
+    * stage r+1 at the first event of stage r strictly after the timestamp
+    * that reached r (ties never advance, matching the min-ts SQL
+    * restatement). Output long form: (stage, name, users), one row per
+    * stage, users non-increasing.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct == stages, s"duplicate funnel stages: $stages")
+    val stageIdx = stages.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (st, i)) => when(col(typeCol) === st, lit(i)).otherwise(acc)
+    }
+    val perUser = events
+      .filter(col(typeCol).isin(stages: _*))
+      .select(col(userCol).as("__u"),
+        struct(unix_micros(col(tsCol)).as("t"), stageIdx.as("i")).as("__e"))
+      .groupBy("__u")
+      .agg(array_sort(collect_list(col("__e"))).as("__es"))
+    val init = struct(lit(0).as("r"), lit(Long.MinValue).as("t"))
+    val fold = aggregate(col("__es"), init, (acc: Column, e: Column) =>
+      when(e("i") === acc("r") && e("t") > acc("t"),
+        struct((acc("r") + 1).as("r"), e("t").as("t"))).otherwise(acc))
+    val reached = perUser.select(fold("r").as("__reach"))
+    def stageCount(i: Int) =
+      coalesce(sum(when(col("__reach") >= i + 1, 1L).otherwise(0L)), lit(0L)).as(s"s$i")
+    val counts = reached.agg(stageCount(0), stages.indices.tail.map(stageCount): _*)
+    // one explode over the 1-row aggregate, not a union re-reading it per stage
+    val names = array(stages.map(lit): _*)
+    counts
+      .select(posexplode(array(stages.indices.map(i => col(s"s$i")): _*))
+        .as(Seq("stage", "users")))
+      .select(col("stage"), element_at(names, col("stage") + 1).as("name"),
+        col("users"))
+  }
+
+  /** Cohort retention: users grouped by the DATE of their first event (the
+    * cohort), counted per whole-week offset from it — the activity decay
+    * curve per acquisition cohort. Day-arithmetic only (`days / 7` floor),
+    * no week-boundary truncation semantics to disagree over between
+    * engines. The first-seen table is one row per user and broadcast.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("__cohort"))
+    events.select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .join(broadcast(first), userCol)
+      .groupBy(col("__cohort").cast("string").as("cohort_day"),
+        floor(datediff(col("__day"), col("__cohort")) / 7).cast("int").as("week_offset"))
+      .agg(count_distinct(col(userCol)).as("users"))
+  }
+}

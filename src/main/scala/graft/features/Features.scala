@@ -31,4 +31,24 @@ object Features {
     * expression; `dataType` e.g. "int", "double", "string"). */
   def jsonField(c: Column, path: String, dataType: String): Column =
     get_json_object(c, path).cast(dataType)
+
+  /** Slowly-changing-dimension type-2 history built from a change log:
+    * collapse consecutive rows whose tracked attribute is unchanged, then
+    * assign each surviving version a half-open validity interval
+    * `[valid_from_us, valid_to_us)` in epoch microseconds (`valid_to_us`
+    * NULL ⇔ `is_current`). Two window functions over the SAME
+    * (key, ts, tie) sort — Catalyst reuses one shuffle+sort for both.
+    * `tie` totalizes the order under timestamp collisions. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, attrCol: String,
+      tie: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tie))
+    val changes = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(!(col("__prev") <=> col(attrCol))) // null-safe: NULL↔value transitions version too
+    changes
+      .select(col(keyCol), col(attrCol),
+        unix_micros(col(tsCol)).as("valid_from_us"),
+        unix_micros(lead(col(tsCol), 1).over(w)).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }

@@ -120,6 +120,27 @@ object Sampling {
     }
     df.filter(bucket < keepBelow)
   }
+
+  /** Engine-portable [[stratifiedSample]]: the per-key coin is the first 4
+    * hex chars of `md5(key || ":" || seed)` compared against a per-stratum
+    * threshold (fraction quantized to 1/65536) — the same md5-prefix device
+    * as [[hashSample]]/groupSplit, so ANY engine with md5 draws the
+    * identical sample (the xxhash64 variant is Spark-only). Fraction 1.0
+    * maps to a sentinel above every hex string so nothing is dropped. */
+  def stratifiedSamplePortable(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      seed: String = "42"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    def hex4(f: Double): String =
+      if (f >= 1.0) "g" else f"${math.round(f * 65536).toInt}%04x"
+    val coin = substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
+    val threshold = fractions.foldLeft(lit(hex4(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(hex4(f))).otherwise(acc)
+    }
+    df.filter(coin < threshold)
+  }
 }
 
 class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {

@@ -237,6 +237,33 @@ object TextAnalysis {
       .groupBy(col(idCol)).agg(sum(col("__s")).as("bm25"))
   }
 
+  /** Benchmark-contamination check: per corpus document, the fraction of
+    * its distinct word n-gram shingles that appear anywhere in `benchmark`
+    * (an eval set that must not leak into training data). The benchmark
+    * shingle set is orders of magnitude smaller than the corpus, so it
+    * broadcasts — the corpus side stays a scan + one aggregation, no
+    * corpus-sized shuffle join. Documents with NULL text survive with NULL
+    * stats (left join back), matching [[repetitionStats]]'s contract.
+    * Shingling matches [[graft.dedup.Dedup.wordShingles]] (short texts fall
+    * back to one whole-text shingle). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    // NULL text must NOT shingle (concat_ws would fold it to [""]); those
+    // docs re-enter with NULL stats via the final left join
+    val docSh = corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(graft.dedup.Dedup.wordShingles(col(textCol), n)).as("__sh"))
+    val benchSh = benchmark.filter(col(textCol).isNotNull)
+      .select(explode(graft.dedup.Dedup.wordShingles(col(textCol), n)).as("__sh"))
+      .distinct().withColumn("__hit", lit(1))
+    val perDoc = docSh.join(broadcast(benchSh), Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+        round(col("n_hit") / col("n_shingles"), 4).as("contaminated_frac"))
+  }
+
   /** Project a documents DataFrame to per-document analysis columns. */
   def analyze(docs: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -26,12 +26,13 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   // ANN paths deliberately broadcast the (tiny) query side against every
-  // corpus row / code, and tf-idf/bm25 cross-join a 1-ROW broadcast scalar
-  // (corpus count / avg doc length) — bounded-by-construction nested
-  // loops, not bugs
+  // corpus row / code, tf-idf/bm25 cross-join a 1-ROW broadcast scalar
+  // (corpus count / avg doc length), and sk2 joins per-key counts against
+  // the 1-ROW broadcast totals for the entropy pass — bounded-by-
+  // construction nested loops, not bugs
   private val allowedNestedLoop = Set(
     "sim1_bruteforce_topk", "sim2_lsh_topk", "sim4_pq_topk",
-    "t6_tfidf_topk", "t7_bm25")
+    "t6_tfidf_topk", "t7_bm25", "sk2_key_profile")
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

@@ -46,4 +46,22 @@ class SkewSpec extends SparkSpec {
     val approx = df.agg(DistinctCounter.Approx().expr(col("o_orderpriority"), null)).collect()(0).getLong(0)
     assert(exact == 5L && math.abs(approx - exact) <= 1)
   }
+
+  test("keyProfile: hand-computed stats on a known distribution") {
+    import spark.implicits._
+    // key a: 4 rows, b: 2, c: 2 -> n=8, 3 keys, max 4
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c")).toDF("k")
+    val r = Skew.keyProfile(df, "k").collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.5) // max_share
+    // counts (4,2,2): mean 8/3, sd sqrt(4/3); entropy -(1/2 ln 1/2 + 2*(1/4 ln 1/4))
+    val cv = math.sqrt(4.0 / 3) / (8.0 / 3)
+    assert(math.abs(r.getDouble(4) - cv) < 1e-3)
+    val h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert(math.abs(r.getDouble(5) - h) < 1e-3)
+    // uniform keys maximize entropy at ln(n_keys)
+    val uni = (1 to 100).map(i => s"k$i").toDF("k")
+    val ru = Skew.keyProfile(uni, "k").collect().head
+    assert(math.abs(ru.getDouble(5) - math.log(100)) < 1e-3)
+  }
 }

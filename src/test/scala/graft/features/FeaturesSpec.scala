@@ -32,4 +32,28 @@ class FeaturesSpec extends SparkSpec {
     assert(out(4L) == Some(8))
     assert(out(5L).isEmpty)
   }
+
+  test("scd2 collapses unchanged runs and chains validity intervals") {
+    val log = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, 1L),
+      (1L, "2024-01-02 00:00:00", 10L, 2L), // unchanged: collapses
+      (1L, "2024-01-03 00:00:00", 20L, 3L), // version 2
+      (1L, "2024-01-04 00:00:00", 10L, 4L), // back to 10: version 3
+      (2L, "2024-01-01 00:00:00", 5L, 5L))
+      .toDF("k", "t", "attr", "id").withColumn("ts", col("t").cast("timestamp"))
+    val out = Features.scd2(log, "k", "ts", "attr", "id")
+      .orderBy("k", "valid_from_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, false, false), (1L, 20L, false, false), (1L, 10L, true, true),
+      (2L, 5L, true, true)))
+    // intervals chain: each valid_to equals the next valid_from
+    val k1 = Features.scd2(log, "k", "ts", "attr", "id")
+      .filter($"k" === 1L).orderBy("valid_from_us")
+      .select("valid_from_us", "valid_to_us").collect()
+    k1.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) == b.getLong(0))
+      case _ =>
+    }
+  }
 }

@@ -92,4 +92,23 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.groupSplitFast(df, "gid", trainPct = 100)
       .filter(col("split") === "test").count() == 0L)
   }
+
+  test("stratifiedSamplePortable keeps per-stratum fractions, repartition-stable") {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSamplePortable(df, "lang", "id",
+      Map("en" -> 0.25), defaultFraction = 1.0)
+    val en = out.filter(col("lang") === "en").count()
+    assert(en > 380 && en < 620, s"~25% of 2000 en rows, got $en")
+    assert(out.filter(col("lang") === "de").count() == 2000L) // default keeps all
+    // deterministic under repartitioning
+    val again = Sampling.stratifiedSamplePortable(df.repartition(13), "lang", "id",
+      Map("en" -> 0.25), defaultFraction = 1.0)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // fraction edges: 0 drops everything, 1.0 keeps everything
+    assert(Sampling.stratifiedSamplePortable(df, "lang", "id",
+      Map("en" -> 0.0, "de" -> 1.0)).count() == 2000L)
+  }
 }

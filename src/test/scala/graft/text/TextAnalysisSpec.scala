@@ -140,4 +140,22 @@ class TextAnalysisSpec extends SparkSpec {
     // doc3: 'other' (df=1) outranks 'common' (score 0)
     assert(out((3L, 1L))._1 == "other")
   }
+
+  test("contamination: hand-computed shingle overlap, NULL text survives") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Some("a b c d")),        // shingles {a b c, b c d}
+      (2L, Some("a b c x")),        // {a b c, b c x}: 1 of 2 in benchmark
+      (3L, Some("q r s t")),        // {q r s, r s t}: none
+      (4L, None: Option[String]))   // NULL text: survives with NULL stats
+      .toDF("doc_id", "text")
+    val benchmark = Seq((99L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, benchmark, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2), r.getDouble(3))))).toMap
+    assert(out(1L) == Some((2L, 2L, 1.0)))
+    assert(out(2L) == Some((2L, 1L, 0.5)))
+    assert(out(3L) == Some((2L, 0L, 0.0)))
+    assert(out(4L).isEmpty)
+  }
 }

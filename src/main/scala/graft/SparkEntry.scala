@@ -1682,6 +1682,52 @@ object SparkEntry {
         min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Triangle count of the co-purchase graph (parts sharing an order):
+    * degree-oriented wedge enumeration on the Spark side — bounded m^1.5
+    * wedges at any skew — against the naive 3-way self-join restatement
+    * (same count by definition, affordable at oracle SF). */
+  private val qTriangles = Q("tc1_triangle_count",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.Triangles.count(e, "u", "v")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      SELECT count(*) AS triangles FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"""))
+
+  /** Latest-wins MERGE: a 10% update batch (status 'U') plus a 4% batch of
+    * brand-new keys (status 'N') upserted into orders — one tagged union +
+    * one per-key window against the FULL-JOIN/coalesce restatement. */
+  private val qUpsert = Q("up1_merge_upsert",
+    (s, d) => {
+      val cur = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val changed = Sampling.hashSample(cur, "o_orderkey", "10")
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+      val fresh = Sampling.hashSample(cur, "o_orderkey", "04")
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"))
+      graft.sources.Merge.upsert(cur, changed.unionAll(fresh), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH u AS (SELECT o_orderkey, 'U' AS o_orderstatus FROM orders
+        WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '10'
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N' FROM orders
+        WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '04')
+      SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+        coalesce(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus
+      FROM orders o FULL JOIN u ON o.o_orderkey = u.o_orderkey
+      ORDER BY o_orderkey"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1705,7 +1751,8 @@ object SparkEntry {
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
     qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
-    qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder)
+    qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
+    qTriangles, qUpsert)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -1,0 +1,47 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected edge list, degree-oriented: every
+  * edge is directed from its lower-(degree, id) endpoint to the higher one,
+  * wedges are enumerated from common sources, and a wedge closes iff its
+  * (rank-ordered) third edge exists in the oriented set. Each triangle is
+  * counted exactly once, and — the scale property — per-source out-degrees
+  * under degree orientation are O(√m), so the wedge set is bounded by
+  * m^1.5 even on hub-heavy graphs where id-orientation explodes (a hub
+  * that is globally popular becomes a wedge SINK, not a wedge source).
+  * Three hash joins + one aggregate; ranks are (degree, id) structs
+  * compared lexicographically — no global row-numbering bottleneck.
+  */
+object Triangles {
+
+  /** @param edges one row per unordered edge; endpoints must differ
+    *              (self-loops would count spurious triangles — drop them
+    *              upstream) and each pair must appear once in either
+    *              direction (deduplicate upstream).
+    * @return single row (triangles) */
+  def count(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val deg = e.select(col("a").as("x")).unionAll(e.select(col("b").as("x")))
+      .groupBy(col("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+    val withD = e
+      .join(deg.select(col("x").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("d").as("db")), "b")
+    def rank(d: String, id: String) =
+      struct(col(d).as("d"), col(id).as("x"))
+    val o = withD.select(
+      when(rank("da", "a") < rank("db", "b"),
+        struct(col("a").as("s"), col("b").as("t"), rank("db", "b").as("rt")))
+      .otherwise(
+        struct(col("b").as("s"), col("a").as("t"), rank("da", "a").as("rt")))
+      .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.rt").as("rt"))
+    val wedges = o.as("o1").join(o.as("o2"),
+        col("o1.s") === col("o2.s") && col("o1.rt") < col("o2.rt"))
+      .select(col("o1.t").as("u"), col("o2.t").as("v"))
+    wedges.join(o.as("o3"),
+        wedges("u") === col("o3.s") && wedges("v") === col("o3.t"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tri(es: Seq[(Long, Long)]): Long =
+    Triangles.count(es.toDF("u", "v"), "u", "v").collect().head.getLong(0)
+
+  test("closed-form counts: K3, K4, square, star, path") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == 1)            // K3
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))) == 4) // K4
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == 0)  // C4, no chord
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) == 0)  // star
+    assert(tri(Seq((1L, 2L), (2L, 3L))) == 0)                      // path
+  }
+
+  test("orientation-independent: reversed input edges count the same") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
+    // K4 minus nothing on {1,2,3,4}? edges: 12,23,13,34,14,24 = K4 -> 4
+    assert(tri(es) == 4)
+    assert(tri(es.map { case (a, b) => (b, a) }) == 4)
+  }
+
+  test("hub graph: triangles through a high-degree center") {
+    // center 0 connected to 1..10; rim edges (1,2) and (3,4) close 2 triangles
+    val es = (1L to 10L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L))
+    assert(tri(es) == 2)
+  }
+}

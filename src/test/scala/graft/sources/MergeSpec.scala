@@ -1,0 +1,33 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert without version: updates replace, new keys insert, rest survive") {
+    val cur = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val upd = Seq((2L, "B"), (4L, "d")).toDF("k", "v")
+    val out = Merge.upsert(cur, upd, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+  }
+
+  test("upsert with version: highest version wins; update wins the tie") {
+    val cur = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("k", "v", "ver")
+    val upd = Seq((1L, "A", 3L), (2L, "B", 5L)).toDF("k", "v", "ver")
+    val out = Merge.upsert(cur, upd, Seq("k"), Some("ver"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a") // stale update loses
+    assert(out(2L) == "B") // tie goes to the update batch
+  }
+
+  test("composite keys and schema mismatch rejection") {
+    val cur = Seq((1L, 1L, "a")).toDF("k1", "k2", "v")
+    val upd = Seq((1L, 2L, "x")).toDF("k1", "k2", "v")
+    assert(Merge.upsert(cur, upd, Seq("k1", "k2")).count() == 2)
+    intercept[IllegalArgumentException] {
+      Merge.upsert(cur, upd.withColumnRenamed("v", "w"), Seq("k1"))
+    }
+  }
+}

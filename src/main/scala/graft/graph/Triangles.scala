@@ -22,7 +22,12 @@ object Triangles {
     *              direction (deduplicate upstream).
     * @return single row (triangles) */
   def count(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // e feeds two branches (degrees + orientation) and o feeds three join
+    // legs — materialize each once (eager localCheckpoint, the same device
+    // as PageRank/connectedComponents; blocks free on GC) instead of
+    // re-deriving the upstream per branch
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("x")).unionAll(e.select(col("b").as("x")))
       .groupBy(col("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
     val withD = e
@@ -36,12 +41,19 @@ object Triangles {
       .otherwise(
         struct(col("b").as("s"), col("a").as("t"), rank("da", "a").as("rt")))
       .as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.rt").as("rt"))
-    val wedges = o.as("o1").join(o.as("o2"),
-        col("o1.s") === col("o2.s") && col("o1.rt") < col("o2.rt"))
-      .select(col("o1.t").as("u"), col("o2.t").as("v"))
-    wedges.join(o.as("o3"),
-        wedges("u") === col("o3.s") && wedges("v") === col("o3.t"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(true)
+    // node-iterator++: triangles = Σ over oriented edges (s,t) of
+    // |N⁺(s) ∩ N⁺(t)|. The per-node out-neighbor lists are O(√m) long
+    // under degree orientation, so each edge does bounded work and NO
+    // wedge set is ever materialized or shuffled (the wedge-join form
+    // moves Σ outdeg² rows — 25M on the sf0.1 co-purchase graph — where
+    // this moves |E| rows once and intersects in-place, codegen'd).
+    val adj = o.groupBy(col("s")).agg(collect_list(col("t")).as("nbrs"))
+    o.join(adj.select(col("s"), col("nbrs").as("ns")), "s")
+      .join(adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"), "left")
+      .select(when(col("nt").isNull, lit(0)) // sinks have no out-list; size(NULL) = -1
+        .otherwise(size(array_intersect(col("ns"), col("nt")))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("triangles")) // empty graph: 0, not NULL
   }
 }

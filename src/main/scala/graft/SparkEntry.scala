@@ -1728,6 +1728,96 @@ object SparkEntry {
       FROM orders o FULL JOIN u ON o.o_orderkey = u.o_orderkey
       ORDER BY o_orderkey"""))
 
+  /** Declarative data-quality gate: six expectations over orders — five
+    * compiled into ONE conditional-aggregate scan, plus one anti-join
+    * referential check (the parent deliberately filtered so violations are
+    * non-zero and the count is actually discriminated). */
+  private val qDataQuality = Q("dq1_expectations",
+    (s, d) => {
+      import graft.analyze.DataQuality._
+      run(t(s, d, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 1000, 300000),
+        InSet("o_orderstatus", Seq("O", "F")),
+        Matches("o_orderpriority", "^[1-3]-"),
+        RefIntegrity("o_custkey",
+          t(s, d, "customer").filter(col("c_custkey") < 1000), "c_custkey")))
+        .orderBy("expectation")
+    },
+    Some("""WITH a AS (SELECT
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn,
+        (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_uq,
+        sum(CASE WHEN o_totalprice IS NOT NULL
+          AND (o_totalprice < 1000 OR o_totalprice > 300000)
+          THEN 1 ELSE 0 END)::BIGINT AS v_rg,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END)::BIGINT AS v_st,
+        sum(CASE WHEN o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+          THEN 1 ELSE 0 END)::BIGINT AS v_re
+        FROM orders),
+      r AS (SELECT count(*)::BIGINT AS v_fk FROM orders o
+        LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey < 1000) c
+        ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+      SELECT expectation, violations FROM (
+        SELECT 'not_null(o_custkey)' AS expectation, v_nn AS violations FROM a
+        UNION ALL SELECT 'unique(o_orderkey)', v_uq FROM a
+        UNION ALL SELECT 'in_range(o_totalprice,1000.0,300000.0)', v_rg FROM a
+        UNION ALL SELECT 'in_set(o_orderstatus)', v_st FROM a
+        UNION ALL SELECT 'matches(o_orderpriority)', v_re FROM a
+        UNION ALL SELECT 'ref_integrity(o_custkey)', v_fk FROM r)
+      ORDER BY expectation"""))
+
+  /** Pairwise Pearson correlations over lineitem numerics — one aggregate
+    * pass computes every pair, exploded to long form. */
+  private val qCorrelation = Q("a17_correlation",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val a = li.agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c1"),
+        corr(col("l_quantity"), col("l_discount")).as("c2"),
+        corr(col("l_extendedprice"), col("l_discount")).as("c3"))
+      a.select(explode(array(
+          struct(lit("l_quantity").as("x"), lit("l_extendedprice").as("y"),
+            round(col("c1"), 4).as("corr")),
+          struct(lit("l_quantity").as("x"), lit("l_discount").as("y"),
+            round(col("c2"), 4).as("corr")),
+          struct(lit("l_extendedprice").as("x"), lit("l_discount").as("y"),
+            round(col("c3"), 4).as("corr")))).as("r"))
+        .select(col("r.x").as("x"), col("r.y").as("y"), col("r.corr").as("corr"))
+        .orderBy("x", "y")
+    },
+    Some("""WITH a AS (SELECT
+        corr(l_quantity, l_extendedprice) AS c1,
+        corr(l_quantity, l_discount) AS c2,
+        corr(l_extendedprice, l_discount) AS c3 FROM lineitem)
+      SELECT x, y, corr FROM (
+        SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, round(c1,4) AS corr FROM a
+        UNION ALL SELECT 'l_quantity', 'l_discount', round(c2,4) FROM a
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c3,4) FROM a)
+      ORDER BY x, y"""))
+
+  /** Equal-frequency quartiles of l_extendedprice: percentile boundaries
+    * (4-decimal-rounded, the cross-engine-stable compare) bucket the scan;
+    * per-bin count/lo/hi. The feature-binning step of a training
+    * pipeline. */
+  private val qEqualFreqBins = Q("qd1_equal_freq_bins",
+    (s, d) => Quantiles.equalFrequencyBins(t(s, d, "lineitem"),
+        "l_extendedprice", k = 4)
+      .orderBy("bin"),
+    Some("""WITH b AS (SELECT quantile_cont(l_extendedprice,
+          [0.25,0.5,0.75]::DOUBLE[]) AS q
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      SELECT (1 + len(list_filter(b.q, x -> l.l_extendedprice > round(x,4))))::INT
+          AS bin,
+        count(*) AS n, round(min(l_extendedprice),2) AS lo,
+        round(max(l_extendedprice),2) AS hi
+      FROM lineitem l CROSS JOIN b
+      WHERE l.l_extendedprice IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1752,7 +1842,7 @@ object SparkEntry {
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
     qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
-    qTriangles, qUpsert)
+    qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -1,0 +1,86 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations compiled into as few passes as
+  * the checks allow: every row-local check (not-null, range, set, regex)
+  * and every uniqueness check becomes one conditional aggregate in a
+  * SINGLE scan — adding a check adds a column to the aggregate, not a
+  * pass over 100 TB — and each referential check adds one anti-join
+  * count. Output is a long-form report `(expectation, violations)`, one row per
+  * expectation, 0 = clean.
+  */
+object DataQuality {
+
+  sealed trait Check { def name: String }
+  /** `col` must never be NULL. */
+  final case class NotNull(col: String) extends Check {
+    val name = s"not_null($col)"
+  }
+  /** `cols` form a key: violations = rows beyond the first per key
+    * (NULL-containing keys count per the underlying distinct). */
+  final case class Unique(cols: Seq[String]) extends Check {
+    val name = s"unique(${cols.mkString(",")})"
+  }
+  /** `col` (when non-NULL) must lie in [lo, hi]. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    val name = s"in_range($col,$lo,$hi)"
+  }
+  /** `col` (when non-NULL) must be one of `values`. */
+  final case class InSet(col: String, values: Seq[String]) extends Check {
+    val name = s"in_set($col)"
+  }
+  /** `col` (when non-NULL) must match `regex` (Java regex, `rlike`
+    * semantics — unanchored unless the pattern anchors). */
+  final case class Matches(col: String, regex: String) extends Check {
+    val name = s"matches($col)"
+  }
+  /** Every non-NULL `col` value must exist in `parentCol` of `parent`
+    * (foreign-key integrity). One left-anti join per check. */
+  final case class RefIntegrity(col: String, parent: DataFrame,
+      parentCol: String) extends Check {
+    val name = s"ref_integrity($col)"
+  }
+
+  private def violationAgg(c: Check): Option[Column] = c match {
+    case NotNull(col0) =>
+      Some(sum(when(col(col0).isNull, 1L).otherwise(0L)))
+    case Unique(cols0) =>
+      Some(count(lit(1)) - count_distinct(struct(cols0.map(col): _*)))
+    case InRange(col0, lo, hi) =>
+      Some(sum(when(col(col0).isNotNull &&
+        (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L)))
+    case InSet(col0, vs) =>
+      Some(sum(when(col(col0).isNotNull &&
+        !col(col0).isin(vs: _*), 1L).otherwise(0L)))
+    case Matches(col0, re) =>
+      Some(sum(when(col(col0).isNotNull &&
+        !col(col0).rlike(re), 1L).otherwise(0L)))
+    case _: RefIntegrity => None
+  }
+
+  /** Run all `checks` against `df` → `(expectation, violations)` report. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val scanChecks = checks.filter(violationAgg(_).isDefined)
+    val scanPart = if (scanChecks.isEmpty) None else Some {
+      val aggs = scanChecks.zipWithIndex.map { case (c, i) =>
+        coalesce(violationAgg(c).get, lit(0L)).as(s"v$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      // long form via one explode of the 1-row aggregate
+      val names = array(scanChecks.map(c => lit(c.name)): _*)
+      one.select(posexplode(array(scanChecks.indices.map(i => col(s"v$i")): _*))
+          .as(Seq("__i", "violations")))
+        .select(element_at(names, col("__i") + 1).as("expectation"), col("violations"))
+    }
+    val refParts = checks.collect { case RefIntegrity(c, parent, pc) =>
+      df.select(col(c)).filter(col(c).isNotNull)
+        .join(parent.select(col(pc).as(c)), Seq(c), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(s"ref_integrity($c)").as("expectation"), col("violations"))
+    }
+    (scanPart.toSeq ++ refParts).reduce(_ unionAll _)
+  }
+}

@@ -51,6 +51,33 @@ object Quantiles {
       cols, ps)
   }
 
+  /** Equal-frequency (quantile) binning: rows bucket by comparison against
+    * the k−1 interior percentile boundaries, reported as
+    * `(bin, n, lo, hi)`. Boundaries are rounded to 4 decimals BEFORE
+    * comparing — the cross-engine-stable form (raw interpolated doubles
+    * can differ in the last ulp between implementations; a 4-decimal
+    * boundary is exactly representable on both sides of an oracle check).
+    * The boundary collect is k−1 doubles of driver state (same bounded
+    * class as Lloyd centroids); binning itself is one codegen'd filter-HOF
+    * over a literal array — a scan, then a k-group aggregate. NULL values
+    * are excluded (they order nowhere). */
+  def equalFrequencyBins(df: DataFrame, c: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val ps = (1 until k).map(_.toDouble / k)
+    val raw = df.filter(rawCol(c).isNotNull)
+    val qs = raw.agg(percentile(rawCol(c), lit(ps.toArray)).as("q"))
+      .collect()(0).getSeq[Double](0)
+    val bounds = qs.map(b =>
+      BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val arr = array(bounds.map(lit): _*)
+    raw
+      .withColumn("bin",
+        (size(filter(arr, x => rawCol(c) > x)) + 1).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(rawCol(c)), 2).as("lo"), round(max(rawCol(c)), 2).as("hi"))
+  }
+
   private def unpivot(aggd: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
     val psArr = array(ps.map(lit): _*)
     cols.map { c =>

@@ -1,0 +1,43 @@
+package graft.analyze
+
+import graft.SparkSpec
+import graft.analyze.DataQuality._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), Some(10.0), Some("a"), Some("ok-1")),
+    (Some(1L), Some(20.0), Some("b"), Some("ok-2")),    // dup id
+    (None, Some(999.0), Some("z"), Some("bad")),        // null id, out of range+set, no match
+    (Some(3L), None, None, None))                       // nulls skip value checks
+    .toDF("id", "v", "cat", "tag")
+
+  private def report(checks: Seq[Check]): Map[String, Long] =
+    DataQuality.run(df, checks)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("row-local checks count violations; NULLs only fail not_null") {
+    val out = report(Seq(
+      NotNull("id"), Unique(Seq("id")), InRange("v", 0, 100),
+      InSet("cat", Seq("a", "b")), Matches("tag", "^ok-")))
+    assert(out("not_null(id)") == 1)
+    assert(out("unique(id)") == 1)      // two rows share id 1
+    assert(out("in_range(v,0.0,100.0)") == 1)
+    assert(out("in_set(cat)") == 1)
+    assert(out("matches(tag)") == 1)
+  }
+
+  test("clean data reports all zeros") {
+    val out = report(Seq(NotNull("v"), InRange("v", 0, 1000)))
+      .filterNot(_._1.startsWith("not_null"))
+    assert(out.values.forall(_ == 0L) || report(Seq(InRange("v", 0, 1000)))
+      .values.forall(_ == 0L))
+  }
+
+  test("ref integrity counts orphans; all-ref-only check lists still work") {
+    val parent = Seq(1L).toDF("pid")
+    val out = report(Seq(RefIntegrity("id", parent, "pid")))
+    assert(out == Map("ref_integrity(id)" -> 1L)) // id=3 orphaned; NULL id skipped
+  }
+}

@@ -31,6 +31,21 @@ class QuantilesSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("equalFrequencyBins: even counts, ordered disjoint ranges, nulls excluded") {
+    val data = ((1 to 100).map(_.toDouble) :+ Double.NaN).dropRight(1)
+    val withNull = data.map(Option(_)) :+ (None: Option[Double])
+    val out = Quantiles.equalFrequencyBins(withNull.toDF("x"), "x", 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(out.map(_._2).sum == 100) // the NULL row is excluded
+    out.foreach { case (_, n, lo, hi) => assert(n == 25 && lo <= hi) }
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3, "disjoint ordered ranges")
+      case _ =>
+    }
+  }
+
   test("hostile column names and tiny percentile literals survive") {
     // Column-based aggregates (no expr-string interpolation): a backtick in
     // the name and a 1e-4 percentile must both work.

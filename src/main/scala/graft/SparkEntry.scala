@@ -1818,6 +1818,52 @@ object SparkEntry {
       WHERE l.l_extendedprice IS NOT NULL
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Corpus-level heavy hitters: top-10 tokens with deterministic count-
+    * then-term tiebreak — stopword discovery / vocabulary pruning. Partial
+    * (map-side) aggregation does the heavy lifting; only (term, n) pairs
+    * shuffle. */
+  private val qHeavyHitters = Q("freq1_heavy_hitters",
+    (s, d) => t(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(10),
+    Some("""WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents WHERE text IS NOT NULL)
+      SELECT term, count(*) AS n FROM tok
+      GROUP BY 1 ORDER BY n DESC, term LIMIT 10"""))
+
+  /** Per-language document-length quantiles: grouped exact percentiles in
+    * long form — the stratified distribution profile. */
+  private val qGroupedQuantiles = Q("a18_grouped_quantiles",
+    (s, d) => Quantiles.groupedExact(t(s, d, "documents"), "lang", "n_chars",
+        Seq(0.25, 0.5, 0.75))
+      .orderBy("lang", "p"),
+    Some("""SELECT lang, p, q FROM (
+        SELECT lang, 0.25 AS p, round(quantile_cont(n_chars, 0.25), 4) AS q
+        FROM documents GROUP BY lang
+        UNION ALL SELECT lang, 0.5, round(quantile_cont(n_chars, 0.5), 4)
+        FROM documents GROUP BY lang
+        UNION ALL SELECT lang, 0.75, round(quantile_cont(n_chars, 0.75), 4)
+        FROM documents GROUP BY lang)
+      ORDER BY lang, p"""))
+
+  /** MMR-diversified ANN: widened brute-force shortlist re-ranked for
+    * diversity (λ = 0.7). Greedy selection is sequential per query —
+    * rows-only (SimilaritySpec pins the greedy reference); the shortlist
+    * itself is the oracle-checked sim1 pipeline. */
+  private val qMmr = Q("sim6_mmr_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val shortlist = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb, "vec_id", "embedding", k = 15, roundDigits = 6)
+      Similarity.mmrRerank(shortlist, emb, "vec_id", "embedding",
+          m = 5, lambda = 0.7)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1842,7 +1888,8 @@ object SparkEntry {
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
     qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
-    qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins)
+    qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,
+    qHeavyHitters, qGroupedQuantiles, qMmr)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

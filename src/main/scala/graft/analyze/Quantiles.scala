@@ -78,6 +78,23 @@ object Quantiles {
         round(min(rawCol(c)), 2).as("lo"), round(max(rawCol(c)), 2).as("hi"))
   }
 
+  /** Exact interpolated quantiles PER GROUP, long form
+    * `(group, p, q)` — the distribution profile stratified by a dimension
+    * (e.g. document length per language). One grouped aggregation; the
+    * per-group percentile state is the same sorted-buffer contract as
+    * [[exact]] (use approx at 100 TB scale). Output `q` rounds to 4
+    * decimals (interpolated values are ratio-of-sums doubles). */
+  def groupedExact(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    validate(Seq(valueCol), ps)
+    val psArr = array(ps.map(lit): _*)
+    df.groupBy(rawCol(groupCol))
+      .agg(percentile(rawCol(valueCol), lit(ps.toArray)).as("__q"))
+      .select(rawCol(groupCol), posexplode(col("__q")).as(Seq("__i", "q")))
+      .select(rawCol(groupCol), element_at(psArr, col("__i") + 1).as("p"),
+        round(col("q").cast("double"), 4).as("q"))
+  }
+
   private def unpivot(aggd: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
     val psArr = array(ps.map(lit): _*)
     cols.map { c =>

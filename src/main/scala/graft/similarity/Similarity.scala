@@ -69,6 +69,68 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
+  /** Maximal-marginal-relevance re-rank of an ANN shortlist: greedily pick
+    * `m` results maximizing `λ·relevance − (1−λ)·max-similarity-to-picked`
+    * — the diversification pass between retrieval and consumption (dedup
+    * of near-identical hits). Greedy selection is inherently sequential
+    * PER QUERY but embarrassingly parallel ACROSS queries, and the input
+    * is a top-k shortlist (k rows per query, bounded by construction), so
+    * this runs as `mapGroups` over the candidate groups — the same
+    * bounded-per-group batch shape as `Multimodal.decodeBatched`, chosen
+    * over an expression-level nested fold whose codegen grows O(m·k·dim).
+    *
+    * @param candidates (query_id, neighbor_id, cos) shortlist, e.g. from
+    *                   [[bruteForceTopK]] with a widened k
+    * @param corpus     (idCol, vecCol) to resolve neighbor vectors
+    * @param m          results to keep per query
+    * @param lambda     relevance weight in [0, 1]; 1 ⇒ plain top-k order
+    * @return (query_id, neighbor_id, cos, rank) — rank is selection order,
+    *         ties broken by (cos desc, neighbor id) for determinism
+    */
+  def mmrRerank(candidates: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, lambda: Double): DataFrame = {
+    require(m >= 1, s"need m >= 1, got $m")
+    require(lambda >= 0 && lambda <= 1, s"lambda $lambda must be in [0, 1]")
+    val sp = candidates.sparkSession
+    import sp.implicits._
+    val withVec = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__v")), "neighbor_id")
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cos").cast("double"), col("__v"))
+      .as[(Long, Long, Double, Seq[Double])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(c => (-c._3, c._2))
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+        val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val used = new Array[Boolean](cands.length)
+        def cosine(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          dot / math.sqrt(na * nb)
+        }
+        while (picked.length < math.min(m, cands.length)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            if (!used(i)) {
+              val v = cands(i)._4.toArray
+              val div = if (pickedVecs.isEmpty) 0.0 else pickedVecs.map(cosine(v, _)).max
+              val s = lambda * cands(i)._3 - (1 - lambda) * div
+              if (s > bestScore) { bestScore = s; best = i } // candidates pre-sorted: ties keep the earlier (higher cos, lower id)
+            }
+            i += 1
+          }
+          used(best) = true
+          pickedVecs += cands(best)._4.toArray
+          picked += ((qid, cands(best)._2, cands(best)._3, picked.length + 1))
+        }
+        picked.iterator
+      }
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes for LSH: plane p, component i
     * derives from a splitmix64-style integer mix of (seed, p, i), mapped to
     * [-1, 1). Generated driver-side as literals — h×dim doubles, trivially

@@ -31,7 +31,7 @@ class PlanQualitySpec extends SparkSpec {
   // the 1-ROW broadcast totals for the entropy pass — bounded-by-
   // construction nested loops, not bugs
   private val allowedNestedLoop = Set(
-    "sim1_bruteforce_topk", "sim2_lsh_topk", "sim4_pq_topk",
+    "sim1_bruteforce_topk", "sim2_lsh_topk", "sim4_pq_topk", "sim6_mmr_topk",
     "t6_tfidf_topk", "t7_bm25", "sk2_key_profile")
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {

@@ -49,4 +49,29 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == 1L)
   }
+
+  test("mmrRerank: first pick is the top hit; diversity demotes the near-dup") {
+    // query 0 ~ e1; candidates: 1 and 2 nearly identical (both close to q),
+    // 3 orthogonal-ish but still relevant
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.14f, 0.0f)),
+      (2L, Array(0.99f, 0.141f, 0.0f)), // near-dup of 1
+      (3L, Array(0.7f, 0.0f, 0.7f)))
+      .toDF("id", "v")
+    val shortlist = Similarity.bruteForceTopK(
+      corpus.filter(col("id") === 0L), corpus, "id", "v", k = 3)
+    // λ=1: plain relevance order 1, 2, 3
+    val plain = Similarity.mmrRerank(shortlist, corpus, "id", "v", m = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+    // moderate λ: the near-dup 2 drops below the diverse 3
+    val div = Similarity.mmrRerank(shortlist, corpus, "id", "v", m = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(div == Seq(1L, 3L, 2L))
+    // m caps output; deterministic across partitionings
+    val m2 = Similarity.mmrRerank(shortlist.repartition(7), corpus, "id", "v",
+      m = 2, lambda = 0.5).orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(m2 == Seq(1L, 3L))
+  }
 }

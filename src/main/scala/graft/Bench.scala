@@ -43,7 +43,9 @@ object Bench {
       System.gc()
     }
     import JsonEscape.q
-    def sec(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would emit {"value":12,345} — invalid JSON.
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = timings.map { case (k, v) => q(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val fs = failed.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
     val total = timings.values.sum

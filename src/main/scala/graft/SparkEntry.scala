@@ -1712,8 +1712,10 @@ object SparkEntry {
       val cur = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
       val changed = Sampling.hashSample(cur, "o_orderkey", "10")
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+      // fresh keys are negated, not offset: an offset collides with real
+      // orderkeys once SF grows past the offset/6M mark, a negative key never
       val fresh = Sampling.hashSample(cur, "o_orderkey", "04")
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        .select((-col("o_orderkey")).as("o_orderkey"),
           lit("N").as("o_orderstatus"))
       graft.sources.Merge.upsert(cur, changed.unionAll(fresh), Seq("o_orderkey"))
         .orderBy("o_orderkey")
@@ -1721,7 +1723,7 @@ object SparkEntry {
     Some("""WITH u AS (SELECT o_orderkey, 'U' AS o_orderstatus FROM orders
         WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '10'
         UNION ALL
-        SELECT o_orderkey + 10000000, 'N' FROM orders
+        SELECT -o_orderkey, 'N' FROM orders
         WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '04')
       SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
         coalesce(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus
@@ -1841,11 +1843,11 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.75))
       .orderBy("lang", "p"),
     Some("""SELECT lang, p, q FROM (
-        SELECT lang, 0.25 AS p, round(quantile_cont(n_chars, 0.25), 4) AS q
+        SELECT lang, 0.25::DOUBLE AS p, round(quantile_cont(n_chars, 0.25), 4) AS q
         FROM documents GROUP BY lang
-        UNION ALL SELECT lang, 0.5, round(quantile_cont(n_chars, 0.5), 4)
+        UNION ALL SELECT lang, 0.5::DOUBLE, round(quantile_cont(n_chars, 0.5), 4)
         FROM documents GROUP BY lang
-        UNION ALL SELECT lang, 0.75, round(quantile_cont(n_chars, 0.75), 4)
+        UNION ALL SELECT lang, 0.75::DOUBLE, round(quantile_cont(n_chars, 0.75), 4)
         FROM documents GROUP BY lang)
       ORDER BY lang, p"""))
 

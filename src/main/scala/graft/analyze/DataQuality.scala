@@ -63,23 +63,23 @@ object DataQuality {
   /** Run all `checks` against `df` → `(expectation, violations)` report. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
-    val scanChecks = checks.filter(violationAgg(_).isDefined)
+    val scanChecks = checks.flatMap(c => violationAgg(c).map(a => (c, a)))
     val scanPart = if (scanChecks.isEmpty) None else Some {
-      val aggs = scanChecks.zipWithIndex.map { case (c, i) =>
-        coalesce(violationAgg(c).get, lit(0L)).as(s"v$i")
+      val aggs = scanChecks.zipWithIndex.map { case ((_, a), i) =>
+        coalesce(a, lit(0L)).as(s"v$i")
       }
       val one = df.agg(aggs.head, aggs.tail: _*)
       // long form via one explode of the 1-row aggregate
-      val names = array(scanChecks.map(c => lit(c.name)): _*)
+      val names = array(scanChecks.map { case (c, _) => lit(c.name) }: _*)
       one.select(posexplode(array(scanChecks.indices.map(i => col(s"v$i")): _*))
           .as(Seq("__i", "violations")))
         .select(element_at(names, col("__i") + 1).as("expectation"), col("violations"))
     }
-    val refParts = checks.collect { case RefIntegrity(c, parent, pc) =>
+    val refParts = checks.collect { case r @ RefIntegrity(c, parent, pc) =>
       df.select(col(c)).filter(col(c).isNotNull)
         .join(parent.select(col(pc).as(c)), Seq(c), "left_anti")
         .agg(count(lit(1)).as("violations"))
-        .select(lit(s"ref_integrity($c)").as("expectation"), col("violations"))
+        .select(lit(r.name).as("expectation"), col("violations"))
     }
     (scanPart.toSeq ++ refParts).reduce(_ unionAll _)
   }

@@ -65,8 +65,10 @@ object Quantiles {
     require(k >= 2, s"need at least 2 bins, got $k")
     val ps = (1 until k).map(_.toDouble / k)
     val raw = df.filter(rawCol(c).isNotNull)
-    val qs = raw.agg(percentile(rawCol(c), lit(ps.toArray)).as("q"))
-      .collect()(0).getSeq[Double](0)
+    val qrow = raw.agg(percentile(rawCol(c), lit(ps.toArray)).as("q")).collect()(0)
+    require(!qrow.isNullAt(0),
+      s"equalFrequencyBins: column `$c` has no non-NULL values to bin")
+    val qs = qrow.getSeq[Double](0)
     val bounds = qs.map(b =>
       BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val arr = array(bounds.map(lit): _*)

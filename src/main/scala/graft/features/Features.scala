@@ -42,9 +42,13 @@ object Features {
   def scd2(df: DataFrame, keyCol: String, tsCol: String, attrCol: String,
       tie: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tie))
+    // lag over a struct distinguishes "no previous row" (NULL struct) from
+    // "previous attribute was NULL" (struct with NULL field) — a bare
+    // lag(attr) conflates the two and drops a key's initial NULL version.
     val changes = df
-      .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(!(col("__prev") <=> col(attrCol))) // null-safe: NULL↔value transitions version too
+      .withColumn("__prev", lag(struct(col(attrCol).as("a")), 1).over(w))
+      .filter(col("__prev").isNull || // first version always survives
+        !(col("__prev").getField("a") <=> col(attrCol))) // null-safe: NULL↔value transitions version too
     changes
       .select(col(keyCol), col(attrCol),
         unix_micros(col(tsCol)).as("valid_from_us"),

@@ -5,14 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Triangle counting over an undirected edge list, degree-oriented: every
   * edge is directed from its lower-(degree, id) endpoint to the higher one,
-  * wedges are enumerated from common sources, and a wedge closes iff its
-  * (rank-ordered) third edge exists in the oriented set. Each triangle is
-  * counted exactly once, and — the scale property — per-source out-degrees
-  * under degree orientation are O(√m), so the wedge set is bounded by
-  * m^1.5 even on hub-heavy graphs where id-orientation explodes (a hub
-  * that is globally popular becomes a wedge SINK, not a wedge source).
-  * Three hash joins + one aggregate; ranks are (degree, id) structs
-  * compared lexicographically — no global row-numbering bottleneck.
+  * and triangles = Σ over oriented edges (s,t) of |N⁺(s) ∩ N⁺(t)| — the
+  * node-iterator++ adjacency-intersection form. Each triangle is counted
+  * exactly once, and — the scale property — per-node out-degrees under
+  * degree orientation are O(√m), so every per-edge intersection does
+  * bounded work even on hub-heavy graphs where id-orientation explodes (a
+  * hub that is globally popular becomes a SINK, not a source). Three hash
+  * joins + one aggregate; ranks are (degree, id) structs compared
+  * lexicographically — no global row-numbering bottleneck.
   */
 object Triangles {
 
@@ -37,9 +37,9 @@ object Triangles {
       struct(col(d).as("d"), col(id).as("x"))
     val o = withD.select(
       when(rank("da", "a") < rank("db", "b"),
-        struct(col("a").as("s"), col("b").as("t"), rank("db", "b").as("rt")))
+        struct(col("a").as("s"), col("b").as("t")))
       .otherwise(
-        struct(col("b").as("s"), col("a").as("t"), rank("da", "a").as("rt")))
+        struct(col("b").as("s"), col("a").as("t")))
       .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
       .localCheckpoint(true)

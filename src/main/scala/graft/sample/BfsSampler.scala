@@ -133,7 +133,9 @@ object Sampling {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
     def hex4(f: Double): String =
-      if (f >= 1.0) "g" else f"${math.round(f * 65536).toInt}%04x"
+      // clamp: round(f·65536) hits 65536 for f ≥ ~0.9999924, which would
+      // format as the 5-char "10000" and break the 4-char string compare
+      if (f >= 1.0) "g" else f"${math.min(0xffff, math.round(f * 65536).toInt)}%04x"
     val coin = substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
     val threshold = fractions.foldLeft(lit(hex4(defaultFraction))) {
       case (acc, (stratum, f)) =>

@@ -102,9 +102,12 @@ object Similarity {
     withVec.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
         val cands = it.toArray.sortBy(c => (-c._3, c._2))
+        val vecs = cands.map(_._4.toArray)
         val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
-        val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val used = new Array[Boolean](cands.length)
+        // Running max cosine against the picked set, refreshed with only the
+        // newest pick each round: O(m·k·dim) total instead of O(m²·k·dim).
+        val maxDiv = new Array[Double](cands.length)
         def cosine(a: Array[Double], b: Array[Double]): Double = {
           var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -115,16 +118,22 @@ object Similarity {
           var i = 0
           while (i < cands.length) {
             if (!used(i)) {
-              val v = cands(i)._4.toArray
-              val div = if (pickedVecs.isEmpty) 0.0 else pickedVecs.map(cosine(v, _)).max
-              val s = lambda * cands(i)._3 - (1 - lambda) * div
+              val s = lambda * cands(i)._3 - (1 - lambda) * maxDiv(i)
               if (s > bestScore) { bestScore = s; best = i } // candidates pre-sorted: ties keep the earlier (higher cos, lower id)
+              else if (best == -1) best = i // NaN score (zero-norm vector → NaN cos) never wins a comparison; keep the first unused so selection can't dereference -1
             }
             i += 1
           }
           used(best) = true
-          pickedVecs += cands(best)._4.toArray
           picked += ((qid, cands(best)._2, cands(best)._3, picked.length + 1))
+          var j = 0
+          while (j < cands.length) {
+            if (!used(j)) {
+              val d = cosine(vecs(j), vecs(best))
+              if (d > maxDiv(j)) maxDiv(j) = d // NaN divergence compares false → treated as 0, matching the old max-over-set behavior on valid pairs
+            }
+            j += 1
+          }
         }
         picked.iterator
       }

@@ -56,4 +56,19 @@ class FeaturesSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("scd2 keeps a key's initial NULL-attribute version") {
+    // regression: lag()=NULL on the first row null-safe-equalled a NULL attr
+    // and the opening version (and its interval) vanished
+    val log = Seq(
+      (1L, "2024-01-01 00:00:00", None: Option[Long], 1L),
+      (1L, "2024-01-02 00:00:00", Some(10L), 2L))
+      .toDF("k", "t", "attr", "id").withColumn("ts", col("t").cast("timestamp"))
+    val out = Features.scd2(log, "k", "ts", "attr", "id")
+      .orderBy("valid_from_us").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(1) && !out(0).getBoolean(4)) // NULL version, closed
+    assert(out(0).getLong(3) == out(1).getLong(2)) // interval chains to v2
+    assert(out(1).getLong(1) == 10L && out(1).getBoolean(4))
+  }
 }

@@ -110,5 +110,11 @@ class SamplingSpec extends SparkSpec {
     // fraction edges: 0 drops everything, 1.0 keeps everything
     assert(Sampling.stratifiedSamplePortable(df, "lang", "id",
       Map("en" -> 0.0, "de" -> 1.0)).count() == 2000L)
+    // fractions within 1/65536 of 1.0 round to 65536 — must clamp to "ffff",
+    // not format as the 5-char "10000" (which kept only coins < '1')
+    val near1 = Sampling.stratifiedSamplePortable(df, "lang", "id",
+      Map("en" -> 0.999995), defaultFraction = 1.0)
+      .filter(col("lang") === "en").count()
+    assert(near1 >= 1990L, s"~all of 2000 en rows at f=0.999995, got $near1")
   }
 }

@@ -74,4 +74,21 @@ class SimilaritySpec extends SparkSpec {
       m = 2, lambda = 0.5).orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(m2 == Seq(1L, 3L))
   }
+
+  test("mmrRerank survives a zero-norm vector in the shortlist") {
+    // cosine against the zero vector is 0/0 = NaN; every MMR score involving
+    // it is NaN and must not derail selection (regression: best stayed -1)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // zero-norm
+      (3L, Array(0.5f, 0.5f)))
+      .toDF("id", "v")
+    val shortlist = Seq((0L, 1L, 0.99), (0L, 2L, 0.0), (0L, 3L, 0.7))
+      .toDF("query_id", "neighbor_id", "cos")
+    val out = Similarity.mmrRerank(shortlist, corpus, "id", "v", m = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(out.length == 3 && out.toSet == Set(1L, 2L, 3L))
+    assert(out.head == 1L) // relevance still leads
+  }
 }

@@ -1866,6 +1866,58 @@ object SparkEntry {
     },
     None)
 
+  /** Sliding-window token chunking (window 32, stride 24): the
+    * context-length-bounded training-sample cutter. Pure per-row explode —
+    * zero shuffles; the DuckDB restatement is generate_series over the
+    * same start arithmetic. */
+  private val qChunks = Q("chunk1_sliding_windows",
+    (s, d) => graft.text.Chunker.slidingChunks(t(s, d, "documents"),
+        "doc_id", "text", window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      st AS (SELECT doc_id, ts,
+          unnest(generate_series(1, greatest(1, len(ts) - 8), 24)) AS s
+        FROM tok)
+      SELECT doc_id, ((s - 1) // 24 + 1)::BIGINT AS chunk_id,
+        len(ts[s : s + 31])::BIGINT AS n_tokens,
+        array_to_string(ts[s : s + 31], ' ') AS chunk
+      FROM st ORDER BY doc_id, chunk_id"""))
+
+  /** Whole-word blocklist redaction over documents: scrub + per-doc hit
+    * count in one scan (content filtering for pretraining corpora). */
+  private val qRedact = Q("red1_blocklist_redact",
+    (s, d) => graft.text.Chunker.redactBlocklist(t(s, d, "documents"),
+        "doc_id", "text", Seq("hash", "join", "scan"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        len(regexp_extract_all(text, '(?i)\b(hash|join|scan)\b'))::BIGINT AS n_redacted,
+        regexp_replace(text, '(?i)\b(hash|join|scan)\b', '[REDACTED]', 'g') AS redacted
+      FROM documents ORDER BY doc_id"""))
+
+  /** Corpus-trained bigram-LM surprisal (add-1 smoothing) — the
+    * perplexity-style quality score; the model is plain aggregation, so
+    * the whole learned pipeline restates as SQL. */
+  private val qSurprisal = Q("lm1_bigram_surprisal",
+    (s, d) => graft.text.LangModel.bigramSurprisal(t(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+          AND len(string_split(lower(trim(text)), ' ')) >= 2),
+      bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM (SELECT doc_id, ts,
+            unnest(generate_series(1, len(ts) - 1)) AS i FROM tok)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      v AS (SELECT count(DISTINCT t) AS v
+        FROM (SELECT unnest(ts) AS t FROM tok)),
+      sc AS (SELECT bg.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS s
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        round(avg(s), 4) AS surprisal
+      FROM sc GROUP BY 1 ORDER BY doc_id"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1891,7 +1943,8 @@ object SparkEntry {
     qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,
-    qHeavyHitters, qGroupedQuantiles, qMmr)
+    qHeavyHitters, qGroupedQuantiles, qMmr,
+    qChunks, qRedact, qSurprisal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -32,7 +32,8 @@ class PlanQualitySpec extends SparkSpec {
   // construction nested loops, not bugs
   private val allowedNestedLoop = Set(
     "sim1_bruteforce_topk", "sim2_lsh_topk", "sim4_pq_topk", "sim6_mmr_topk",
-    "t6_tfidf_topk", "t7_bm25", "sk2_key_profile")
+    "t6_tfidf_topk", "t7_bm25", "sk2_key_profile",
+    "lm1_bigram_surprisal") // vocab-size V is a 1-row broadcast scalar
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

@@ -936,14 +936,10 @@ object SparkEntry {
     * representative — iterative min-label propagation on the Spark side,
     * a recursive transitive-closure CTE on the DuckDB side; identical pair
     * input (d3's oracle already hash-matches) ⇒ identical clusters. */
-  private val qDupClusters = Q("d6_dup_clusters",
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-      Dedup.dupClusters(docs, "doc_id", pairs).orderBy("doc_id")
-    },
-    Some("""WITH RECURSIVE
-      t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+  /** Shared CTE chain deriving (doc_id, rep, n_chars) clusters from the d3
+    * pair pipeline — the d6 oracle selects it directly; d8 windows over it. */
+  private val dupClusterCte =
+    """t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
       s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
           THEN [array_to_string(w, ' ')]
           ELSE list_transform(range(1, len(w)-1),
@@ -959,9 +955,37 @@ object SparkEntry {
       e AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
       reach AS (SELECT a, b FROM e
         UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-      rep AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
-      SELECT d.doc_id, least(coalesce(mn, d.doc_id), d.doc_id) AS rep
-      FROM documents d LEFT JOIN rep USING (doc_id) ORDER BY doc_id"""))
+      rep AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
+      cl AS (SELECT d.doc_id, least(coalesce(mn, d.doc_id), d.doc_id) AS rep, d.n_chars
+        FROM documents d LEFT JOIN rep USING (doc_id))"""
+
+  private val qDupClusters = Q("d6_dup_clusters",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.dupClusters(docs, "doc_id", pairs).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $dupClusterCte
+      SELECT doc_id, rep FROM cl ORDER BY doc_id"""))
+
+  /** Dedup-pipeline completion: which document SURVIVES each near-dup
+    * cluster — highest n_chars wins, ties to the lowest id (a quality
+    * policy, distinct from d6's structural min-id label). */
+  private val qCanonical = Q("d8_canonical_pick",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.canonicalPick(Dedup.dupClusters(docs, "doc_id", pairs),
+          docs, "doc_id", "n_chars")
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $dupClusterCte,
+      rk AS (SELECT rep AS cluster_id, doc_id, n_chars,
+          row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS rn,
+          count(*) OVER (PARTITION BY rep) AS n_members
+        FROM cl)
+      SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_quality, n_members
+      FROM rk WHERE rn = 1 ORDER BY cluster_id"""))
 
   /** MinHash+LSH and SimHash pipelines are hash-function-defined — no SQL
     * oracle can reproduce them; the driver applies the rows-only check and
@@ -1918,6 +1942,21 @@ object SparkEntry {
         round(avg(s), 4) AS surprisal
       FROM sc GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Character-distribution entropy per document — the gibberish/
+    * boilerplate band filter; only integer counts feed the logs. */
+  private val qCharEntropy = Q("t8_char_entropy",
+    (s, d) => graft.text.TextAnalysis.charEntropy(t(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c
+        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0)),
+      cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2)
+      SELECT doc_id, sum(n)::BIGINT AS n_chars_seen,
+        count(*)::BIGINT AS n_distinct_chars,
+        round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
+      FROM cnt GROUP BY 1 ORDER BY doc_id"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1944,7 +1983,7 @@ object SparkEntry {
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,
     qHeavyHitters, qGroupedQuantiles, qMmr,
-    qChunks, qRedact, qSurprisal)
+    qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -402,6 +402,28 @@ object Dedup {
       pairs.select(col("id1").as("src"), col("id2").as("dst")), maxIter)
       .withColumnRenamed("component", "rep")
 
+  /** Completes the dedup pipeline: given [[dupClusters]] output
+    * (id, rep), pick the one document to KEEP per cluster by a quality
+    * column (highest quality wins, ties to the lowest id — a policy
+    * choice, unlike the structural min-id `rep` label) and report
+    * cluster size. One join + one (rank, count) window pair sharing a
+    * single shuffle on `rep`; clusters are duplicate groups, so
+    * partitions are small by construction — no skew hazard.
+    * Output: (cluster_id, keep_id, keep_quality, n_members). */
+  def canonicalPick(clusters: DataFrame, docs: DataFrame, idCol: String,
+      qualityCol: String): DataFrame = {
+    val joined = clusters.join(
+      docs.select(col(idCol), col(qualityCol)), idCol)
+    val byCluster = Window.partitionBy(col("rep"))
+    val rank = byCluster.orderBy(col(qualityCol).desc, col(idCol))
+    joined
+      .withColumn("__rn", row_number().over(rank))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .select(col("rep").as("cluster_id"), col(idCol).as("keep_id"),
+        col(qualityCol).as("keep_quality"), col("n_members"))
+  }
+
   // ------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup pairs: LSH-bucketed then exact cosine

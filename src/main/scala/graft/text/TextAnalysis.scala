@@ -264,6 +264,30 @@ object TextAnalysis {
         round(col("n_hit") / col("n_shingles"), 4).as("contaminated_frac"))
   }
 
+  /** Per-document character-distribution entropy in nats — the classic
+    * gibberish/boilerplate signal (natural prose sits in a narrow band;
+    * repeated padding scores low, random noise high). Computed as
+    * H = ln N − (Σ n·ln n)/N over per-character counts, so only exact
+    * integer counts feed the logs (cross-engine-stable at 4 decimals).
+    * Shuffles (id, char) count pairs only — map-side combine bounds the
+    * exchange at docs × alphabet, never corpus character volume. Empty
+    * and NULL documents are excluded. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      .filter(col("__c") =!= "") // Java split keeps a trailing "" under limit -1
+    chars.groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("__N"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("__n") * log(col("__n"))).as("__nl"))
+      .select(col(idCol),
+        col("__N").cast("bigint").as("n_chars_seen"),
+        col("n_distinct_chars"),
+        round(log(col("__N")) - col("__nl") / col("__N"), 4).as("entropy"))
+  }
+
   /** Project a documents DataFrame to per-document analysis columns. */
   def analyze(docs: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

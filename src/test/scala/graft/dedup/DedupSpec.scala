@@ -212,6 +212,18 @@ class DedupSpec extends SparkSpec {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("canonicalPick keeps the highest-quality member, ties to lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "rep")
+    val quality = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L))
+      .toDF("doc_id", "q")
+    val out = Dedup.canonicalPick(clusters, quality, "doc_id", "q")
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cluster 1: 2 and 3 tie on quality 30 -> 2 (lower id) survives, size 3
+    assert(out.toSeq == Seq((1L, 2L, 30L, 3L), (4L, 4L, 7L, 1L)))
+  }
+
   test("embeddingNearDups buckets then verifies exact cosine") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -7,6 +7,21 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("charEntropy: closed forms — uniform, single-char, empty/NULL excluded") {
+    val docs = Seq(
+      (1L, "abab"),   // two chars, uniform: H = ln 2
+      (2L, "aaaa"),   // one char: H = 0
+      (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, BigDecimal(math.log(2)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 4L, 1L, 0.0)))
+  }
+
   test("tokenCount: blank strings count zero") {
     val out = Seq("one two  three", "", "   ", "solo").toDF("t")
       .select(TextAnalysis.tokenCount(col("t")).as("n")).as[Int].collect()

@@ -1957,6 +1957,150 @@ object SparkEntry {
         round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
       FROM cnt GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Greedy sequence packing: docs laid end-to-end per language, each
+    * assigned to the fixed-capacity training sequence where it starts
+    * (concat-and-chunk packing; one prefix-sum window per bucket). */
+  private val qPack = Q("pack1_sequence_packing",
+    (s, d) => graft.text.Chunker.packGreedy(t(s, d, "documents"),
+        "doc_id", "text", 64, "lang")
+      .orderBy("lang", "doc_id"),
+    Some("""WITH tok AS (SELECT lang, doc_id,
+        len(string_split(lower(trim(text)), ' ')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      c AS (SELECT lang, doc_id, n_tokens,
+        (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS st
+        FROM tok)
+      SELECT lang, doc_id, n_tokens::BIGINT AS n_tokens,
+        (st // 64)::BIGINT AS seq_id, (st % 64)::BIGINT AS seq_offset
+      FROM c ORDER BY lang, doc_id"""))
+
+  /** Length-bucketed batching: similar-length docs batched together,
+    * per-batch padding-waste report (the padded-inference economics). */
+  private val qLenBatches = Q("lb1_length_batches",
+    (s, d) => graft.text.Chunker.lengthBatches(t(s, d, "documents"),
+        "doc_id", "text", 8, 16)
+      .orderBy("len_bucket", "batch_id"),
+    Some("""WITH tok AS (SELECT doc_id,
+        len(string_split(lower(trim(text)), ' ')) AS n
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      b AS (SELECT doc_id, n, ((n + 15) // 16 * 16)::BIGINT AS len_bucket FROM tok),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY len_bucket ORDER BY doc_id) AS rn FROM b),
+      g AS (SELECT len_bucket, ((rn - 1) // 8)::BIGINT AS batch_id,
+          count(*)::BIGINT AS n_docs, max(n)::BIGINT AS max_tokens,
+          sum(n)::BIGINT AS sum_tokens
+        FROM r GROUP BY 1, 2)
+      SELECT len_bucket, batch_id, n_docs, max_tokens, sum_tokens,
+        round(1.0 - sum_tokens / (n_docs * max_tokens)::DOUBLE, 4) AS waste_frac
+      FROM g ORDER BY len_bucket, batch_id"""))
+
+  /** Temperature-flattened (α=0.5) multi-source mixing at half the corpus
+    * budget: rare sources upweighted, dominant ones down; integer-sqrt
+    * weights keep the keep-fractions engine-exact (see
+    * `Sampling.temperatureMix`), the per-row coin is the portable md5
+    * device, so the whole learned sampling plan restates as SQL. */
+  private val qTempMix = Q("mix1_temperature_mix",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = Sampling.temperatureMix(docs, "source", "doc_id", 0.5)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      s AS (SELECT sum(floor(sqrt(n))::BIGINT)::BIGINT AS s,
+          sum(n)::BIGINT AS tot FROM n),
+      f AS (SELECT n.source, n.n,
+          least(1.0::DOUBLE, (round(0.5 * s.tot)::BIGINT * floor(sqrt(n.n))::BIGINT)::DOUBLE
+            / (s.s * n.n)::DOUBLE) AS f
+        FROM n CROSS JOIN s),
+      th AS (SELECT source, n, CASE WHEN f >= 1.0 THEN 'g'
+          ELSE printf('%04x', least(65535, round(f * 65536)::BIGINT)) END AS th
+        FROM f),
+      kept AS (SELECT d.source, count(*)::BIGINT AS k
+        FROM documents d JOIN th ON d.source = th.source
+        WHERE substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) < th.th
+        GROUP BY 1)
+      SELECT th.source, th.n::BIGINT AS n_docs,
+        coalesce(kept.k, 0)::BIGINT AS n_kept
+      FROM th LEFT JOIN kept ON th.source = kept.source
+      ORDER BY th.source"""))
+
+  /** PII scrub over documents with synthetic contact strings woven in
+    * fixture-side (the corpus itself is PII-free): emails, IPv4s and
+    * phone numbers counted and redacted in one scan; both engines compose
+    * the identical input, so the scrubbed text is hash-compared. */
+  private val qPii = Q("pii1_pii_scan",
+    (s, d) => {
+      val composed = t(s, d, "documents").select(col("doc_id"), concat_ws(" ",
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("from 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+            lit(".25"))),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      ).as("text"))
+      TextAnalysis.piiScan(composed, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH composed AS (SELECT doc_id, concat_ws(' ', text,
+        CASE WHEN doc_id % 3 = 0
+          THEN concat('contact user', doc_id::VARCHAR, '@example.com') END,
+        CASE WHEN doc_id % 5 = 0
+          THEN concat('from 10.0.', (doc_id % 200)::VARCHAR, '.25') END,
+        CASE WHEN doc_id % 7 = 0
+          THEN concat('call +1-555-', lpad((doc_id % 10000)::VARCHAR, 4, '0')) END
+        ) AS text FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(text,
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+        len(regexp_extract_all(text,
+          '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(?:-[0-9]{4})?'))::BIGINT AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+          '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(?:-[0-9]{4})?', '[PHONE]', 'g')
+          AS redacted
+      FROM composed ORDER BY doc_id"""))
+
+  /** Winsorized price summary: clamp to the rounded [p05, p95] band, count
+    * the clamped tails, and report the winsorized mean through exact
+    * 1e-4-unit integer sums (summation-order-proof on both engines). */
+  private val qWinsorize = Q("wz1_winsorize",
+    (s, d) => {
+      val w = Quantiles.winsorize(t(s, d, "lineitem"), "l_extendedprice",
+        0.05, 0.95)
+      w.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo_bound"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("l_extendedprice") > col("hi_bound"), 1L)
+          .otherwise(0L)).as("n_high"),
+        min(col("lo_bound")).as("lo_bound"),
+        min(col("hi_bound")).as("hi_bound"),
+        round(sum(round(col("l_extendedprice_w") * 10000, 0))
+          / (lit(10000.0) * count(lit(1))), 4).as("mean_w"))
+    },
+    Some("""WITH b AS (SELECT
+        round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        round(quantile_cont(l_extendedprice, 0.95), 4) AS hi FROM lineitem)
+      SELECT count(*)::BIGINT AS n,
+        sum(CASE WHEN l_extendedprice < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+        sum(CASE WHEN l_extendedprice > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_high,
+        b.lo AS lo_bound, b.hi AS hi_bound,
+        round(sum(round(least(greatest(l_extendedprice, b.lo), b.hi) * 10000))
+          / (10000.0 * count(*)), 4) AS mean_w
+      FROM lineitem CROSS JOIN b GROUP BY b.lo, b.hi"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1983,7 +2127,8 @@ object SparkEntry {
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,
     qHeavyHitters, qGroupedQuantiles, qMmr,
-    qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy)
+    qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
+    qPack, qLenBatches, qTempMix, qPii, qWinsorize)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -80,6 +80,27 @@ object Quantiles {
         round(min(rawCol(c)), 2).as("lo"), round(max(rawCol(c)), 2).as("hi"))
   }
 
+  /** Winsorization: clamp `c` to its [pLo, pHi] interpolated percentiles —
+    * the outlier-taming step before scaling/normalizing features. Two
+    * phases: ONE percentile aggregation (bounded sorted-buffer state; swap
+    * in `percentile_approx` at 100 TB), boundaries rounded to 4 decimals
+    * (the [[equalFrequencyBins]] cross-engine-stability device), then one
+    * codegen clamp scan — no shuffle beyond the scalar agg. Output adds
+    * `<c>_w` (clamped value) plus constant `lo_bound`/`hi_bound` columns
+    * so downstream consumers (and oracles) see the boundaries used. */
+  def winsorize(df: DataFrame, c: String, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val qrow = df.agg(percentile(rawCol(c), lit(Array(pLo, pHi))).as("q")).head()
+    require(!qrow.isNullAt(0), s"winsorize: column `$c` has no non-NULL values")
+    val bounds = qrow.getSeq[Double](0).map(b =>
+      BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val (l, h) = (bounds(0), bounds(1))
+    df.withColumn(c + "_w", least(greatest(rawCol(c), lit(l)), lit(h)))
+      .withColumn("lo_bound", lit(l))
+      .withColumn("hi_bound", lit(h))
+  }
+
   /** Exact interpolated quantiles PER GROUP, long form
     * `(group, p, q)` — the distribution profile stratified by a dimension
     * (e.g. document length per language). One grouped aggregation; the

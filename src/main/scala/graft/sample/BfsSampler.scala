@@ -143,6 +143,39 @@ object Sampling {
     }
     df.filter(coin < threshold)
   }
+
+  /** Temperature-flattened corpus mixing (the multi-source sampling rule of
+    * multilingual/multi-domain LLM pretraining, α = 0.5): source `i` with
+    * `n_i` rows is resampled toward weight `√n_i / Σ√n_j`, which upweights
+    * rare sources and downweights dominant ones relative to proportional
+    * sampling. `targetFraction` sets the overall corpus budget; each
+    * source's keep fraction is `min(1, N·⌊√n_i⌋ / (Σ⌊√n_j⌋ · n_i))` with
+    * `N = round(targetFraction · Σn_j)`.
+    *
+    * Determinism across engines is designed in: the square roots go
+    * through ⌊√n⌋ so every product and sum stays an exact integer, and the
+    * single final division is one IEEE op — any engine computes the same
+    * keep fraction bit-for-bit, and the per-row coin is the md5 device of
+    * [[stratifiedSamplePortable]] (to which this delegates). The per-source
+    * counts are one aggregation collected to the driver — bounded by the
+    * number of sources, the same scalar-state class as Lloyd centroids.
+    * The filter itself is one codegen scan: no shuffle at any data size. */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+      targetFraction: Double, seed: String = "42"): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts: Map[String, Long] = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no rows to mix")
+    val isq = counts.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }
+    val sumIsq = isq.values.sum
+    val target = math.round(targetFraction * counts.values.sum)
+    val fractions = counts.map { case (s, n) =>
+      s -> math.min(1.0, (target * isq(s)).toDouble / (sumIsq * n).toDouble)
+    }
+    stratifiedSamplePortable(df, sourceCol, keyCol, fractions,
+      defaultFraction = 0.0, seed = seed)
+  }
 }
 
 class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text preparation: sliding-window chunking and blocklist
@@ -53,5 +54,66 @@ object Chunker {
     docs.select(col(idCol),
       regexp_count(col(textCol), lit(pat)).cast("bigint").as("n_redacted"),
       regexp_replace(col(textCol), pat, replacement).as("redacted"))
+  }
+
+  /** Greedy sequence packing (concat-and-chunk): documents are laid
+    * end-to-end in id order within each `bucketCol` group, and each doc is
+    * assigned to the fixed-`capacity` training sequence where it STARTS —
+    * the standard concatenation packing for LLM pretraining (splitting the
+    * overflow across the boundary is [[slidingChunks]]'s job downstream).
+    * Output: (bucket, id, n_tokens, seq_id, seq_offset) where `seq_offset`
+    * is the doc's start position inside its sequence.
+    *
+    * Packing is inherently a prefix sum, and this is its distributed
+    * shape: ONE shuffle on the bucket key, then a single sorted pass per
+    * bucket (running-total window). At 100 TB, bucket by (lang, shard) so
+    * each group is executor-sized; buckets pack independently and in
+    * parallel. NULL/blank documents carry no tokens and are dropped. */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Int, bucketCol: String): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol))
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(bucketCol), col(idCol),
+        size(split(lower(trim(col(textCol))), "\\s+")).cast("bigint").as("n_tokens"))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(bucketCol), col(idCol), col("n_tokens"),
+        floor(col("__start") / capacity).cast("bigint").as("seq_id"),
+        (col("__start") - floor(col("__start") / capacity) * capacity)
+          .cast("bigint").as("seq_offset"))
+  }
+
+  /** Length-bucketed batching for padded inference/training: round each
+    * document's token count up to a multiple of `bucketWidth`, then cut
+    * each length bucket into batches of `batchSize` docs in id order, and
+    * report per-batch padding economics (pad target = longest doc in the
+    * batch). Grouping similar lengths together is what keeps `waste_frac`
+    * (the fraction of padded positions that are padding) near zero — the
+    * whole point of length bucketing. Integer arithmetic until the final
+    * rounded division, so the numbers are engine-portable. Two shuffles:
+    * the per-bucket sort and the per-batch aggregate, both on bounded
+    * keys. */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, bucketWidth: Int = 16): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val n = size(split(lower(trim(col(textCol))), "\\s+")).cast("bigint")
+    val bucket = (floor((n + (bucketWidth - 1)) / bucketWidth) * bucketWidth)
+      .cast("bigint")
+    val w = Window.partitionBy(col("len_bucket")).orderBy(col(idCol))
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), n.as("n_tokens"), bucket.as("len_bucket"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / batchSize).cast("bigint"))
+      .groupBy(col("len_bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("len_bucket"), col("batch_id"), col("n_docs"),
+        col("max_tokens"), col("sum_tokens"),
+        round(lit(1.0) - col("sum_tokens") / (col("n_docs") * col("max_tokens")), 4)
+          .as("waste_frac"))
   }
 }

@@ -288,6 +288,35 @@ object TextAnalysis {
         round(log(col("__N")) - col("__nl") / col("__N"), 4).as("entropy"))
   }
 
+  /** Email pattern shared by [[piiScan]] — RE2-compatible (no lookaround),
+    * so the same pattern string runs under Java regex and DuckDB/RE2. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (word-anchored; no range check — a scrubber
+    * over-matches rather than leaks). */
+  val Ipv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** International-ish hyphenated phone: +CC-XXX-XXX[-XXXX]. */
+  val PhonePattern: String = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(?:-[0-9]{4})?"
+
+  /** PII scrubbing pass for pretraining corpora: count and redact emails,
+    * IPv4 addresses and hyphenated phone numbers in one scan. Pure per-row
+    * regex work — zero shuffles at any corpus size, and the patterns are
+    * RE2-safe so the exact same scrub restates on any engine. Redaction
+    * order is emails → IPs → phones (the patterns are mutually exclusive
+    * by construction: `@`, dots, leading `+`). NULL text stays NULL in
+    * every output column, the [[repetitionStats]] contract. */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    docs.select(col(idCol),
+      regexp_count(c, lit(EmailPattern)).cast("bigint").as("n_emails"),
+      regexp_count(c, lit(Ipv4Pattern)).cast("bigint").as("n_ips"),
+      regexp_count(c, lit(PhonePattern)).cast("bigint").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, EmailPattern, "[EMAIL]"),
+          Ipv4Pattern, "[IP]"),
+        PhonePattern, "[PHONE]").as("redacted"))
+  }
+
   /** Project a documents DataFrame to per-document analysis columns. */
   def analyze(docs: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -55,4 +55,18 @@ class QuantilesSpec extends SparkSpec {
     assert(out(0.5) == 50.5)
     assert(math.abs(out(1e-4) - (1 + 1e-4 * 99)) < 1e-9)
   }
+
+  test("winsorize clamps to rounded percentile bounds, passes the middle through") {
+    // values 1..100: p10 = 10.9, p90 = 90.1 (interpolated, already 4-dec)
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = Quantiles.winsorize(df, "v", 0.10, 0.90)
+    val rows = w.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.forall { case (_, _, lo, hi) => lo == 10.9 && hi == 90.1 })
+    assert(rows.filter(_._1 <= 10).forall(_._2 == 10.9), "low tail clamped")
+    assert(rows.filter(_._1 >= 91).forall(_._2 == 90.1), "high tail clamped")
+    assert(rows.filter(r => r._1 > 10.9 && r._1 < 90.1).forall(r => r._2 == r._1),
+      "mid-range values untouched")
+    intercept[IllegalArgumentException] { Quantiles.winsorize(df, "v", 0.9, 0.1) }
+  }
 }

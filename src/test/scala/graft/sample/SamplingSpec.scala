@@ -117,4 +117,29 @@ class SamplingSpec extends SparkSpec {
       .filter(col("lang") === "en").count()
     assert(near1 >= 1990L, s"~all of 2000 en rows at f=0.999995, got $near1")
   }
+
+  test("temperatureMix flattens source proportions toward sqrt weights") {
+    import spark.implicits._
+    // dominant source 'big' (3600 rows), rare source 'small' (400 rows)
+    val df = (1L to 4000L).map(i => (i, if (i <= 3600) "big" else "small"))
+      .toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "src", "id", targetFraction = 0.5)
+    val big = out.filter(col("src") === "big").count().toDouble
+    val small = out.filter(col("src") === "small").count().toDouble
+    // proportional sampling would keep big/small = 9:1; sqrt-weights keep
+    // 60:20 = 3:1 — the rare source's SHARE of the sample must grow
+    assert(small / (big + small) > 0.15,
+      s"rare source share should exceed its 10% corpus share, got ${small / (big + small)}")
+    // keep fractions: N=2000, isq=(60,20), S=80 -> f_big=2000*60/(80*3600)=0.4167
+    // f_small=2000*20/(80*400)=1.25 -> capped at 1.0: ALL small rows kept
+    assert(small == 400.0, s"rare source capped at keep-all, got $small")
+    assert(big > 1350 && big < 1650, s"~41.7% of 3600, got $big")
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(df.repartition(7), "src", "id", 0.5)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, "src", "id", 0.0)
+    }
+  }
 }

@@ -50,4 +50,44 @@ class ChunkerSpec extends SparkSpec {
       Chunker.redactBlocklist(docs, "doc_id", "text", Seq("a b")) // not word-like
     }
   }
+
+  test("packGreedy: docs assigned to the sequence where they start, per bucket") {
+    val docs = Seq(
+      (1L, "a b c", "en"),        // 3 tokens, starts at 0  -> seq 0, off 0
+      (2L, "d e f g", "en"),      // 4 tokens, starts at 3  -> seq 0, off 3
+      (3L, "h i j k l m", "en"),  // 6 tokens, starts at 7  -> seq 0, off 7 (spans into seq 1)
+      (4L, "n o", "en"),          // starts at 13           -> seq 1, off 5
+      (5L, "x y z", "de"),        // buckets pack independently: starts at 0
+      (6L, null: String, "en"),   // no tokens -> dropped
+      (7L, "   ", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Chunker.packGreedy(docs, "doc_id", "text", capacity = 8, "lang")
+      .orderBy("lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("de", 5L, 3L, 0L, 0L),
+      ("en", 1L, 3L, 0L, 0L), ("en", 2L, 4L, 0L, 3L),
+      ("en", 3L, 6L, 0L, 7L), ("en", 4L, 2L, 1L, 5L)))
+    intercept[IllegalArgumentException] {
+      Chunker.packGreedy(docs, "doc_id", "text", capacity = 0, "lang")
+    }
+  }
+
+  test("lengthBatches: similar lengths batch together, waste from batch max") {
+    // lengths 3,4 -> bucket 4 (wd 4); lengths 5,7,8 -> bucket 8
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"),
+      (3L, "a b c d e"), (4L, "a b c d e f g"), (5L, "a b c d e f g h"),
+      (6L, null: String)).toDF("doc_id", "text")
+    val out = Chunker.lengthBatches(docs, "doc_id", "text",
+        batchSize = 2, bucketWidth = 4)
+      .orderBy("len_bucket", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (4L, 0L, 2L, 4L, 7L, 0.125),        // docs 1,2: pad 3->4
+      (8L, 0L, 2L, 7L, 12L, 0.1429),      // docs 3,4: round(1 - 12/14, 4)
+      (8L, 1L, 1L, 8L, 8L, 0.0)))         // doc 5 alone: no padding
+  }
 }

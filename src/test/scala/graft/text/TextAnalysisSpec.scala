@@ -173,4 +173,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == Some((2L, 0L, 0.0)))
     assert(out(4L).isEmpty)
   }
+
+  test("piiScan counts and redacts emails, IPs, phones; NULL stays NULL") {
+    val docs = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@y.io please"),
+      (2L, "host 192.168.0.1 gateway 10.0.0.254"),
+      (3L, "call +1-555-0134 or +420-777-123-4567"),
+      (4L, "clean text, version 1.2 only"), // 1.2 must NOT match IPv4
+      (5L, null: String)).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2L &&
+      out(0).getString(4) == "mail [EMAIL] and [EMAIL] please")
+    assert(out(1).getLong(2) == 2L &&
+      out(1).getString(4) == "host [IP] gateway [IP]")
+    assert(out(2).getLong(3) == 2L &&
+      out(2).getString(4) == "call [PHONE] or [PHONE]")
+    assert((1 to 3).forall(i => out(3).getLong(i) == 0L) &&
+      out(3).getString(4) == "clean text, version 1.2 only")
+    assert((1 to 4).forall(out(4).isNullAt))
+  }
 }

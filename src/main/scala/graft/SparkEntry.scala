@@ -16,7 +16,7 @@ import graft.joins.TemporalJoins
 import graft.multimodal.Multimodal
 import graft.sample.{BfsSampler, Sampling}
 import graft.schema._
-import graft.similarity.{Ivf, Similarity}
+import graft.similarity.{Ivf, Quantize, Similarity}
 import graft.streaming.EventStream
 import graft.text.TextAnalysis
 
@@ -2101,6 +2101,104 @@ object SparkEntry {
           / (10000.0 * count(*)), 4) AS mean_w
       FROM lineitem CROSS JOIN b GROUP BY b.lo, b.hi"""))
 
+  /** Bloom-prefiltered incremental dedup: same inputs and oracle as `d7` —
+    * the output must be bit-identical to the plain anti-join (no false
+    * negatives), while only maybe-dup rows pay the join shuffle. */
+  private val qBloomDedup = Q("d9_bloom_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val history = Sampling.hashSample(docs, "doc_id", "40")
+        .select(fp.as("fp")).distinct()
+      Dedup.incrementalDedupBloom(docs.withColumn("fp", fp), history, "fp")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH hist AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+        FROM documents WHERE substr(md5(doc_id::VARCHAR),1,2) < '40')
+      SELECT d.doc_id FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM hist
+        WHERE hist.fp = md5(lower(trim(d.text))))
+      ORDER BY doc_id"""))
+
+  /** Symmetric int8 embedding quantization with per-vector scale and
+    * reconstruction-error report — every code and error hash-compared. */
+  private val qInt8 = Q("eq1_int8_quantize",
+    (s, d) => Quantize.int8(t(s, d, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id"),
+    Some("""WITH q AS (SELECT vec_id,
+        list_transform(embedding, x -> x::DOUBLE) AS v,
+        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+        FROM embeddings)
+      SELECT vec_id, len(v)::BIGINT AS n_dims, round(s, 6) AS scale,
+        CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+          -- + 0.0 normalizes IEEE -0.0 (DuckDB round keeps the sign bit,
+          -- Spark's BigDecimal-based round never emits it)
+          ELSE list_transform(v, x -> round(x / s) + 0.0) END AS codes,
+        CASE WHEN s = 0 THEN 0.0
+          ELSE round(list_max(list_transform(v,
+            x -> abs(round(x / s) * s - x))), 6) + 0.0 END AS max_abs_err
+      FROM q ORDER BY vec_id"""))
+
+  /** Three-mode feature scaling over l_quantity: min-max, z-score from
+    * exact integer-moment sums, robust from rounded median/MAD — every
+    * scaled row hash-compared. */
+  private val qScale = Q("sc1_feature_scaling",
+    (s, d) => Features.scaleFeatures(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""WITH s AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+        sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS s2,
+        count(l_quantity)::DOUBLE AS n FROM lineitem),
+      b AS (SELECT round(quantile_cont(l_quantity, 0.5), 4) AS med FROM lineitem),
+      m AS (SELECT round(quantile_cont(abs(l_quantity - b.med), 0.5), 4) AS mad
+        FROM lineitem CROSS JOIN b)
+      SELECT l_orderkey, l_linenumber, l_quantity,
+        round((l_quantity - s.mn) / (s.mx - s.mn), 4) AS l_quantity_minmax,
+        round((l_quantity - s.s1/s.n)
+          / sqrt((s.s2 - s.s1*s.s1/s.n) / (s.n - 1)), 4) AS l_quantity_zscore,
+        round((l_quantity - b.med) / m.mad, 4) AS l_quantity_robust
+      FROM lineitem CROSS JOIN s CROSS JOIN b CROSS JOIN m
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** One-pass observed QA metrics: the expectations ride on an existing
+    * count action via Dataset.observe — no second scan; the report is the
+    * collected metric map. */
+  private val qObserved = Q("dq2_observed_metrics",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val checks = Seq[graft.analyze.DataQuality.Check](
+        graft.analyze.DataQuality.NotNull("text"),
+        graft.analyze.DataQuality.InRange("n_chars", 0, 300),
+        graft.analyze.DataQuality.InSet("lang", Seq("en", "de")),
+        graft.analyze.DataQuality.Matches("source", "^src1[0-9]$"))
+      val (inst, obs) = graft.analyze.DataQuality.observed(docs, checks)
+      val nRows = inst.count() // the action the metrics ride on
+      val m = obs.get
+      import s.implicits._
+      checks.map(c => (c.name, m(c.name).asInstanceOf[Long]))
+        .toDF("expectation", "violations")
+        .withColumn("rows_scanned", lit(nRows))
+        .orderBy("expectation")
+    },
+    Some("""WITH m AS (SELECT count(*)::BIGINT AS n,
+        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+        sum(CASE WHEN n_chars IS NOT NULL
+          AND (n_chars < 0 OR n_chars > 300) THEN 1 ELSE 0 END)::BIGINT AS v1,
+        sum(CASE WHEN lang IS NOT NULL
+          AND lang NOT IN ('en','de') THEN 1 ELSE 0 END)::BIGINT AS v2,
+        sum(CASE WHEN source IS NOT NULL AND NOT regexp_matches(source,
+          '^src1[0-9]$') THEN 1 ELSE 0 END)::BIGINT AS v3
+        FROM documents)
+      SELECT * FROM (
+        SELECT 'not_null(text)' AS expectation, v0 AS violations,
+          n AS rows_scanned FROM m
+        UNION ALL SELECT 'in_range(n_chars,0.0,300.0)', v1, n FROM m
+        UNION ALL SELECT 'in_set(lang)', v2, n FROM m
+        UNION ALL SELECT 'matches(source)', v3, n FROM m)
+      ORDER BY expectation"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -2128,7 +2226,8 @@ object SparkEntry {
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,
     qHeavyHitters, qGroupedQuantiles, qMmr,
     qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
-    qPack, qLenBatches, qTempMix, qPii, qWinsorize)
+    qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
+    qScale, qObserved)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

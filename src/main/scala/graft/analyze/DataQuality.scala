@@ -83,4 +83,26 @@ object DataQuality {
     }
     (scanPart.toSeq ++ refParts).reduce(_ unionAll _)
   }
+
+  /** Zero-extra-cost instrumentation: attach the row-local checks to an
+    * existing action via `Dataset.observe`, so the QA report materializes
+    * as a side effect of whatever job already runs (the write, the count)
+    * — at 100 TB the difference between "quality-checked" and "scanned
+    * twice". Read `observation.get` AFTER the action completes; metric
+    * names are the check names. Only single-scan checks qualify:
+    * `Unique` (distinct aggregate — disallowed inside observe) and
+    * `RefIntegrity` (needs its own join) are rejected — run those
+    * through [[run]]. */
+  def observed(df: DataFrame, checks: Seq[Check],
+      name: String = "graft_dq"): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = checks.map {
+      case c @ (_: NotNull | _: InRange | _: InSet | _: Matches) =>
+        coalesce(violationAgg(c).get, lit(0L)).as(c.name)
+      case c => throw new IllegalArgumentException(
+        s"observed() supports single-scan checks only, got ${c.name}")
+    }
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
 }

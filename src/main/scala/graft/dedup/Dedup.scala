@@ -465,4 +465,32 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** Bloom-prefiltered incremental dedup — the 100 TB shape of the
+    * fingerprint anti-join: build ONE Bloom sketch over the historical
+    * fingerprint set (a treeAggregate; the sketch is a reusable artifact —
+    * at scale, build it once per ingest epoch, not per batch), probe each
+    * incoming row with a codegen bit test
+    * ([[graft.functions.BloomMightContain]]), and send ONLY the maybe-dup
+    * rows through the exact anti-join. No false negatives, so the output
+    * is bit-identical to a plain `left_anti` — but the join's shuffle
+    * carries ~(dups + fpp·new) rows instead of the whole incoming batch,
+    * and definite-new rows never leave their scan stage.
+    *
+    * NULL fingerprints are genuinely new (NULL never equals a history
+    * key): they bypass the probe and are kept, matching `left_anti`
+    * null-key semantics. `expectedItems <= 0` counts the history first
+    * (one extra cheap pass; pass the known cardinality to skip it). */
+  def incrementalDedupBloom(incoming: DataFrame, history: DataFrame,
+      fpCol: String, expectedItems: Long = 0L, fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(history.count(), 1L)
+    val bloom = history.stat.bloomFilter(fpCol, n, fpp)
+    val probe = graft.functions.BloomMightContain.probe(col(fpCol), bloom)
+    val definiteNew = incoming.filter(col(fpCol).isNull || !probe)
+    val maybeDup = incoming.filter(probe)
+      .join(history.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+    definiteNew.unionByName(maybeDup)
+  }
 }

@@ -55,4 +55,39 @@ object Features {
         unix_micros(lead(col(tsCol), 1).over(w)).as("valid_to_us"))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
+
+  /** Column scaling for feature engineering — min-max, z-score and robust
+    * (median/MAD) variants added in one codegen scan after two bounded
+    * aggregation passes (moments + quantiles; at 100 TB, swap the exact
+    * percentiles for `percentile_approx` — the scan shape is unchanged).
+    *
+    * Deterministic by construction instead of by luck: mean and stddev
+    * come from exact Σx / Σx² integer-moment sums (order-proof when the
+    * feature is integer-valued — Spark's builtin `stddev` merges Welford
+    * states in partition order and is NOT cross-engine-stable), and the
+    * robust boundaries (median, MAD) are rounded to 4 decimals before
+    * use, the [[graft.analyze.Quantiles.winsorize]] device. Scaled
+    * outputs round to 4 decimals. */
+  def scaleFeatures(df: DataFrame, c: String): DataFrame = {
+    val x = col(c).cast("double")
+    val r = df.agg(min(x).as("mn"), max(x).as("mx"), sum(x).as("s1"),
+      sum(x * x).as("s2"), count(x).as("n")).head()
+    require(!r.isNullAt(0), s"scaleFeatures: column `$c` has no non-NULL values")
+    val (mn, mx, s1, s2) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    val n = r.getLong(4).toDouble
+    require(n >= 2, "need at least two non-NULL rows")
+    require(mx > mn, s"constant column `$c` cannot be scaled")
+    val mean = s1 / n
+    val sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    require(sd > 0, s"zero variance in `$c`")
+    def round4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val med = round4(df.agg(percentile(x, lit(0.5))).head().getDouble(0))
+    val mad = round4(df.agg(percentile(abs(x - med), lit(0.5))).head().getDouble(0))
+    require(mad > 0, s"zero MAD in `$c` — more than half the values equal the median")
+    df.withColumn(c + "_minmax", round((x - mn) / (mx - mn), 4))
+      .withColumn(c + "_zscore", round((x - mean) / sd, 4))
+      .withColumn(c + "_robust", round((x - med) / mad, 4))
+  }
 }

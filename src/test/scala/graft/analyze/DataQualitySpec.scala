@@ -40,4 +40,20 @@ class DataQualitySpec extends SparkSpec {
     val out = report(Seq(RefIntegrity("id", parent, "pid")))
     assert(out == Map("ref_integrity(id)" -> 1L)) // id=3 orphaned; NULL id skipped
   }
+
+  test("observed metrics agree with run() and cost no extra scan semantics") {
+    val checks = Seq[Check](NotNull("id"), InRange("v", 0, 100),
+      InSet("cat", Seq("a", "b")), Matches("tag", "^ok-"))
+    val (inst, obs) = DataQuality.observed(df, checks)
+    inst.count() // the existing action the metrics ride on
+    val viaObserve = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    assert(viaObserve == report(checks))
+    // shuffle-needing checks are rejected, not silently mis-measured
+    intercept[IllegalArgumentException] {
+      DataQuality.observed(df, Seq(Unique(Seq("id"))))
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.observed(df, Seq(RefIntegrity("id", Seq(1L).toDF("pid"), "pid")))
+    }
+  }
 }

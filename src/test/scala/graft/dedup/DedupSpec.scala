@@ -235,4 +235,25 @@ class DedupSpec extends SparkSpec {
     // the deterministic planes — but (1,3)/(2,3) (orthogonal) must never pass
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
+
+  test("incrementalDedupBloom is bit-identical to the plain anti-join") {
+    val incoming = Seq(
+      (1L, "seen before"), (2L, "brand new"), (3L, "also seen"),
+      (4L, "fresh stuff"), (5L, null: String)) // NULL fp must be kept
+      .toDF("id", "fp")
+    val history = Seq("seen before", "also seen", "old thing").toDF("fp")
+    val expected = incoming.join(history, Seq("fp"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaBloom = Dedup.incrementalDedupBloom(incoming, history, "fp")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == expected && expected == Seq(2L, 4L, 5L))
+    // long-typed fingerprints go through the mightContainLong path
+    val incL = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "fp")
+    val histL = Seq(10L, 30L).toDF("fp")
+    assert(Dedup.incrementalDedupBloom(incL, histL, "fp", expectedItems = 2)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupBloom(incL, histL, "fp", fpp = 0.0)
+    }
+  }
 }

@@ -71,4 +71,23 @@ class FeaturesSpec extends SparkSpec {
     assert(out(0).getLong(3) == out(1).getLong(2)) // interval chains to v2
     assert(out(1).getLong(1) == 10L && out(1).getBoolean(4))
   }
+
+  test("scaleFeatures: three modes from closed-form stats") {
+    // values 1..5: min 1, max 5, mean 3, sd sqrt(2.5), median 3, MAD 1
+    val df = (1 to 5).map(_.toDouble).toDF("x")
+    val out = Features.scaleFeatures(df, "x").orderBy("x").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._2).toSeq == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    val expectedZ = Seq(-2, -1, 0, 1, 2).map(k =>
+      BigDecimal(k / math.sqrt(2.5)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.map(_._3).toSeq == expectedZ)
+    assert(out.map(_._4).toSeq == Seq(-2.0, -1.0, 0.0, 1.0, 2.0)) // (x-3)/1
+    // degenerate inputs fail fast rather than emit NaN columns
+    intercept[IllegalArgumentException] {
+      Features.scaleFeatures(Seq(7.0, 7.0, 7.0).toDF("x"), "x") // constant
+    }
+    intercept[IllegalArgumentException] {
+      Features.scaleFeatures(Seq(1.0, 1.0, 1.0, 9.0).toDF("x"), "x") // MAD 0
+    }
+  }
 }

@@ -1,0 +1,32 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8: scale from max magnitude, codes in [-127,127], error bounded") {
+    // max magnitude 127 makes scale exactly 1.0, so the code arithmetic is
+    // binary-exact and the half-way rounding case (0.5 -> 1) is pinned
+    val vecs = Seq(
+      (1L, Array(127.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),      // zero vector: all-zero codes, no error
+      (3L, Array(1.0f))                   // scale = 1/127; code 127, err ~1e-16 -> 0
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.int8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L)
+    assert(r1.getDouble(2) == 1.0)
+    assert(r1.getSeq[Double](3) == Seq(127.0, -2.0, 1.0)) // 0.5 rounds half-up to 1
+    assert(r1.getDouble(4) == 0.5, "error bounded by scale/2, attained at the half-way code")
+
+    val r2 = out(1)
+    assert(r2.getDouble(2) == 0.0 && r2.getSeq[Double](3) == Seq(0.0, 0.0, 0.0)
+      && r2.getDouble(4) == 0.0)
+
+    val r3 = out(2)
+    assert(r3.getSeq[Double](3) == Seq(127.0) && r3.getDouble(4) == 0.0)
+  }
+}

@@ -41,6 +41,16 @@ for name in sorted(os.listdir(out_dir)):
     if len(a) != len(b):
         results[name] = f"ROWS-MISMATCH: mine={len(a)} oracle={len(b)}"
         continue
+    # list/array cells (e.g. embedding vectors, code arrays) are unhashable
+    # for pandas sorting — canonicalize them to strings on both sides first
+    for df_ in (a, b):
+        for c in df_.columns:
+            if df_[c].dtype == object and df_[c].map(
+                    lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__len__")
+                    and not isinstance(v, str)).any():
+                df_[c] = df_[c].map(
+                    lambda v: str([float(x) for x in v]) if v is not None
+                    and not isinstance(v, (str, bytes, float, int)) else v)
     a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
     bad = []

@@ -2199,6 +2199,92 @@ object SparkEntry {
         UNION ALL SELECT 'matches(source)', v3, n FROM m)
       ORDER BY expectation"""))
 
+  /** Fuzzy entity matching: supplier names within edit distance 1,
+    * length-banded candidates, thresholded-levenshtein verify. */
+  private val qFuzzy = Q("fz1_fuzzy_match",
+    (s, d) => {
+      val sup = t(s, d, "supplier")
+      graft.joins.FuzzyJoin.editDistanceJoin(sup, "s_suppkey", sup,
+          "s_suppkey", "s_name", 1)
+        .filter(col("id1") < col("id2"))
+        .orderBy("id1", "id2")
+    },
+    Some("""SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        levenshtein(a.s_name, b.s_name)::INTEGER AS dist
+      FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      WHERE levenshtein(a.s_name, b.s_name) <= 1
+      ORDER BY id1, id2"""))
+
+  /** Consecutive-day activity streaks per user (gaps-and-islands via the
+    * rownumber-difference device; one window + one aggregate). */
+  private val qStreaks = Q("bs1_activity_streaks",
+    (s, d) => graft.analyze.Behavior.streaks(events(s, d), "user_id", "ts")
+      .orderBy("user_id", "streak_start"),
+    Some("""WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      r AS (SELECT user_id, day,
+          row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM days)
+      SELECT user_id, min(day)::VARCHAR AS streak_start,
+        max(day)::VARCHAR AS streak_end, count(*)::BIGINT AS streak_days
+      FROM r GROUP BY user_id, day - rn::INTEGER ORDER BY user_id, streak_start"""))
+
+  /** Hourly OHLC bars per user over the event stream — open/close picked
+    * by lexicographic struct min/max (one aggregate, no window sort).
+    * Oracle windows order by epoch_us(ts): the engine's timestamps are
+    * microsecond-floored from the ns parquet values, so the tie-break
+    * must compare at the same precision. */
+  private val qBars = Q("bar1_hourly_bars",
+    (s, d) => graft.analyze.Behavior.ohlcBars(events(s, d), "user_id", "ts",
+        "event_id", "value")
+      .orderBy("user_id", "bar_start"),
+    Some("""WITH e AS (SELECT user_id,
+        epoch(date_trunc('hour', ts))::BIGINT AS bar_start,
+        epoch_us(ts) AS tus, event_id, value FROM events),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id, bar_start
+            ORDER BY tus, event_id) AS ra,
+          row_number() OVER (PARTITION BY user_id, bar_start
+            ORDER BY tus DESC, event_id DESC) AS rd
+        FROM e)
+      SELECT user_id, bar_start,
+        round(min(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        round(max(value), 4) AS high, round(min(value), 4) AS low,
+        round(min(CASE WHEN rd = 1 THEN value END), 4) AS close,
+        count(*)::BIGINT AS n_events
+      FROM r GROUP BY 1, 2 ORDER BY user_id, bar_start"""))
+
+  /** Tokenizer encode: corpus-derived top-50 vocab (frequency-ranked,
+    * token tiebreak — the freq1 ranking), documents mapped to token-id
+    * sequences with OOV → −1; every id sequence hash-compared. */
+  private val qTokEncode = Q("tok1_encode_tokens",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("tid",
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("token"))) - 1).cast("int"))
+        .filter(col("tid") < 50)
+        .select("token", "tid")
+      graft.text.Chunker.encodeTokens(docs, "doc_id", "text", vocab,
+          "token", "tid")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      tokc AS (SELECT unnest(ts) AS tk FROM t),
+      vocab AS (SELECT tk, tid FROM (
+        SELECT tk, (row_number() OVER (ORDER BY count(*) DESC, tk) - 1)::INTEGER AS tid
+        FROM tokc GROUP BY tk) WHERE tid < 50),
+      pos AS (SELECT doc_id, ts[i] AS tk, i
+        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM t)),
+      enc AS (SELECT p.doc_id, p.i, coalesce(v.tid, -1)::INTEGER AS tid
+        FROM pos p LEFT JOIN vocab v ON p.tk = v.tk)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        list(tid ORDER BY i) AS token_ids
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -2227,7 +2313,7 @@ object SparkEntry {
     qHeavyHitters, qGroupedQuantiles, qMmr,
     qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
-    qScale, qObserved)
+    qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

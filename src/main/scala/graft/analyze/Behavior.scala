@@ -70,4 +70,40 @@ object Behavior {
         floor(datediff(col("__day"), col("__cohort")) / 7).cast("int").as("week_offset"))
       .agg(count_distinct(col(userCol)).as("users"))
   }
+
+  /** Consecutive-day activity streaks (gaps-and-islands): one row per
+    * maximal run of days on which the key was active. The classic
+    * rownumber-difference device — `day − row_number` is constant within
+    * an island — so the whole thing is ONE per-key window sort over the
+    * deduped (key, day) set plus a grouped aggregate; no self-join, no
+    * iteration, at any scale. */
+  def streaks(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__day"))
+    events.select(col(keyCol), to_date(col(tsCol)).as("__day")).distinct()
+      .withColumn("__anchor", date_sub(col("__day"), row_number().over(w)))
+      .groupBy(col(keyCol), col("__anchor"))
+      .agg(min(col("__day")).cast("string").as("streak_start"),
+        max(col("__day")).cast("string").as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .drop("__anchor")
+  }
+
+  /** Hourly OHLC bars per key — event-stream downsampling (the shape a
+    * metrics/trading pipeline reduces ticks with). Open/close are picked
+    * by lexicographic struct min/max over (ts, tie, value) — one grouped
+    * aggregate, ONE shuffle, no window sort; `tie` totalizes the order
+    * under timestamp collisions. */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val pick = struct(col(tsCol), col(tieCol), col(valueCol).as("__v"))
+    events
+      .groupBy(col(keyCol),
+        unix_timestamp(date_trunc("hour", col(tsCol))).as("bar_start"))
+      .agg(round(min(pick).getField("__v"), 4).as("open"),
+        round(max(col(valueCol)), 4).as("high"),
+        round(min(col(valueCol)), 4).as("low"),
+        round(max(pick).getField("__v"), 4).as("close"),
+        count(lit(1)).as("n_events"))
+  }
 }

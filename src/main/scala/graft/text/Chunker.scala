@@ -84,6 +84,34 @@ object Chunker {
           .cast("bigint").as("seq_offset"))
   }
 
+  /** Tokenizer encode: map each document's tokens to integer ids through a
+    * broadcast vocabulary table (token → id), out-of-vocabulary tokens to
+    * `unkId` — the corpus → token-id-sequences step in front of packing/
+    * chunking. One broadcast hash join on the exploded tokens (the vocab
+    * is model-sized, not corpus-sized) and one per-doc re-assembly
+    * aggregate; order is restored by sorting (pos, id) structs, so the
+    * result is partitioning-independent. Output: (id, n_tokens,
+    * token_ids). NULL/blank docs are dropped (no token stream exists). */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, tokenCol: String, tokenIdCol: String,
+      unkId: Int = -1): DataFrame = {
+    val tok = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("__p", "__tk")))
+    tok
+      .join(broadcast(vocab.select(col(tokenCol).as("__tk"),
+        col(tokenIdCol).as("__tid"))), Seq("__tk"), "left")
+      .select(col(idCol),
+        struct(col("__p"),
+          coalesce(col("__tid"), lit(unkId)).cast("int").as("__t")).as("__e"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(col("__e"))),
+        e => e.getField("__t")).as("token_ids"))
+      .select(col(idCol), size(col("token_ids")).cast("bigint").as("n_tokens"),
+        col("token_ids"))
+  }
+
   /** Length-bucketed batching for padded inference/training: round each
     * document's token count up to a multiple of `bucketWidth`, then cut
     * each length bucket into batches of `batchSize` docs in id order, and

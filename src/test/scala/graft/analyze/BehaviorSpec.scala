@@ -68,4 +68,35 @@ class BehaviorSpec extends SparkSpec {
     assert(out(("2024-01-03", 0)) == 1)
     assert(out.size == 3)
   }
+
+  test("streaks: islands split on missing days, multi-event days dedupe") {
+    val df = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 18:00:00"), // one day
+      (1L, "2024-01-02 12:00:00"), (1L, "2024-01-03 12:00:00"), // streak of 3
+      (1L, "2024-01-05 12:00:00"),                              // gap -> new streak
+      (2L, "2024-01-10 00:00:00"))
+      .toDF("user_id", "t").withColumn("ts", col("t").cast("timestamp"))
+    val out = Behavior.streaks(df, "user_id", "ts")
+      .orderBy("user_id", "streak_start").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-01-10", "2024-01-10", 1L)))
+  }
+
+  test("ohlcBars: open/close by (ts, tie) order, high/low over the bar") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:05", 2L, 30.0), // same ts as event 1: tie -> event 1 opens
+      (1L, "2024-01-01 10:00:05", 1L, 10.0),
+      (1L, "2024-01-01 10:59:59", 3L, 5.0),  // close; also the low
+      (1L, "2024-01-01 11:00:00", 4L, 7.0))  // next bar
+      .toDF("user_id", "t", "event_id", "value")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val out = Behavior.ohlcBars(df, "user_id", "ts", "event_id", "value")
+      .orderBy("bar_start").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(out(0) == ((10.0, 30.0, 5.0, 5.0, 3L))) // open=tie-winner, high, low, close
+    assert(out(1) == ((7.0, 7.0, 7.0, 7.0, 1L)))
+  }
 }

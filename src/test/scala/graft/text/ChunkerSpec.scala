@@ -74,6 +74,23 @@ class ChunkerSpec extends SparkSpec {
     }
   }
 
+  test("encodeTokens: vocab ids in position order, OOV to unkId, repartition-stable") {
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "dog zzz"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val vocab = Seq(("the", 0), ("cat", 1), ("sat", 2), ("on", 3), ("mat", 4),
+      ("dog", 5)).toDF("token", "tid")
+    val out = Chunker.encodeTokens(docs, "doc_id", "text", vocab, "token", "tid")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, Seq(0, 1, 2, 3, 0, 4)),
+      (2L, 2L, Seq(5, -1)))) // zzz is OOV; NULL doc dropped
+    val again = Chunker.encodeTokens(docs.repartition(7), "doc_id", "text",
+        vocab, "token", "tid")
+      .orderBy("doc_id").collect().map(r => r.getSeq[Int](2))
+    assert(again.toSeq == out.map(_._3).toSeq)
+  }
+
   test("lengthBatches: similar lengths batch together, waste from batch max") {
     // lengths 3,4 -> bucket 4 (wd 4); lengths 5,7,8 -> bucket 8
     val docs = Seq(

@@ -2285,6 +2285,51 @@ object SparkEntry {
         list(tid ORDER BY i) AS token_ids
       FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** PSI drift between all lineitems (reference) and the discounted
+    * subpopulation (current) over price deciles — every bin term a ratio
+    * of exact integer counts. */
+  private val qPsi = Q("dr1_psi_drift", { (s, d) =>
+      val li = t(s, d, "lineitem")
+      Quantiles.psiDrift(li, li.filter(col("l_discount") > 0.05),
+          "l_extendedprice", 10)
+        .orderBy("bin")
+    }, {
+      val qs = (1 until 10)
+        .map(p => s"round(quantile_cont(l_extendedprice, 0.$p), 4)")
+        .mkString("[", ", ", "]")
+      Some(s"""WITH q AS (SELECT $qs AS bs FROM lineitem),
+        rc AS (SELECT len(list_filter(q.bs, x -> l.l_extendedprice > x)) + 1 AS bin,
+            count(*) AS n_ref FROM lineitem l CROSS JOIN q GROUP BY 1),
+        cc AS (SELECT len(list_filter(q.bs, x -> l.l_extendedprice > x)) + 1 AS bin,
+            count(*) AS n_cur FROM lineitem l CROSS JOIN q
+          WHERE l.l_discount > 0.05 GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(1, 10)) AS bin),
+        j AS (SELECT sp.bin, coalesce(rc.n_ref, 0) AS n_ref,
+            coalesce(cc.n_cur, 0) AS n_cur
+          FROM sp LEFT JOIN rc ON sp.bin = rc.bin LEFT JOIN cc ON sp.bin = cc.bin),
+        t AS (SELECT sum(n_ref + 1)::BIGINT AS tr, sum(n_cur + 1)::BIGINT AS tc FROM j)
+        SELECT j.bin::INTEGER AS bin, j.n_ref::BIGINT AS n_ref,
+          j.n_cur::BIGINT AS n_cur,
+          round((((j.n_ref + 1) / t.tr::DOUBLE) - ((j.n_cur + 1) / t.tc::DOUBLE))
+            * ln(((j.n_ref + 1) / t.tr::DOUBLE) / ((j.n_cur + 1) / t.tc::DOUBLE)), 6)
+            AS psi_term
+        FROM j CROSS JOIN t ORDER BY bin""")
+    })
+
+  /** Rolling 7-day active users over the event stream (explode-to-window
+    * instead of a per-day self-join). */
+  private val qWau = Q("wau1_rolling_actives",
+    (s, d) => graft.analyze.Behavior.rollingActives(events(s, d), "user_id", "ts")
+      .orderBy("report_day"),
+    Some("""WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+      x AS (SELECT d.user_id, d.day + t.i::INTEGER AS rd
+        FROM days d, range(0, 7) t(i))
+      SELECT rd::VARCHAR AS report_day,
+        count(DISTINCT user_id)::BIGINT AS active_users
+      FROM x, b WHERE rd >= b.lo AND rd <= b.hi
+      GROUP BY rd ORDER BY report_day"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -2313,7 +2358,7 @@ object SparkEntry {
     qHeavyHitters, qGroupedQuantiles, qMmr,
     qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
-    qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode)
+    qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -89,6 +89,28 @@ object Behavior {
       .drop("__anchor")
   }
 
+  /** Rolling 7-day active users (DAU→WAU): each (user, active-day) pair
+    * contributes to the 7 report days it falls inside, so the sliding
+    * distinct-count becomes one explode + one distinct aggregate — no
+    * per-day self-join, no quadratic window. Report days are clipped to
+    * the observed range (no phantom trailing days). Exchange is bounded
+    * by active-pairs × window, and the distinct agg is the standard
+    * two-phase hash shape. */
+  def rollingActives(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val days = events.select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
+    val bounds = days.agg(min(col("__day")).as("lo"), max(col("__day")).as("hi")).head()
+    val (lo, hi) = (bounds.getDate(0), bounds.getDate(1))
+    days
+      .select(col(userCol),
+        explode(sequence(col("__day"),
+          date_add(col("__day"), windowDays - 1))).as("report_day"))
+      .filter(col("report_day") >= lit(lo) && col("report_day") <= lit(hi))
+      .groupBy(col("report_day").cast("string").as("report_day"))
+      .agg(count_distinct(col(userCol)).as("active_users"))
+  }
+
   /** Hourly OHLC bars per key — event-stream downsampling (the shape a
     * metrics/trading pipeline reduces ticks with). Open/close are picked
     * by lexicographic struct min/max over (ts, tie, value) — one grouped

@@ -101,6 +101,48 @@ object Quantiles {
       .withColumn("hi_bound", lit(h))
   }
 
+  /** Population Stability Index between a reference and a current sample
+    * of the same column — THE drift monitor a production feature pipeline
+    * runs per release. Bin boundaries are the reference sample's `k`
+    * equal-frequency percentiles (rounded to 4 decimals, the
+    * [[equalFrequencyBins]] cross-engine device); both populations are
+    * bucketed with one codegen filter-HOF scan each, and every PSI term
+    * `(p−q)·ln(p/q)` is a ratio of exact integer counts — deterministic
+    * on any engine. Long form: one row per bin with both counts and the
+    * term (sum the column for the headline PSI; ≥0.2 conventionally
+    * means action). Laplace-smoothed (+1 per bin) so empty bins don't
+    * produce infinities. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, c: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val ps = (1 until k).map(_.toDouble / k)
+    val refRaw = ref.filter(rawCol(c).isNotNull)
+    val qrow = refRaw.agg(percentile(rawCol(c), lit(ps.toArray)).as("q")).head()
+    require(!qrow.isNullAt(0), s"psiDrift: reference `$c` has no non-NULL values")
+    val bounds = qrow.getSeq[Double](0).map(b =>
+      BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val arr = array(bounds.map(lit): _*)
+    def binned(df: DataFrame, out: String) = df
+      .filter(rawCol(c).isNotNull)
+      .groupBy((size(filter(arr, x => rawCol(c) > x)) + 1).cast("int").as("bin"))
+      .agg(count(lit(1)).as(out))
+    // left side is a literal bin spine so bins empty in BOTH samples still
+    // report (smoothed) — the report shape never depends on the data
+    import ref.sparkSession.implicits._
+    val base = (1 to k).toDF("bin")
+    val joined = base
+      .join(binned(refRaw, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totR = sum(col("n_ref") + 1).over()
+    val totC = sum(col("n_cur") + 1).over()
+    joined
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (((col("n_ref") + 1) / totR) - ((col("n_cur") + 1) / totC)).as("__d"),
+        log(((col("n_ref") + 1) / totR) / ((col("n_cur") + 1) / totC)).as("__l"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__d") * col("__l"), 6).as("psi_term"))
+  }
+
   /** Exact interpolated quantiles PER GROUP, long form
     * `(group, p, q)` — the distribution profile stratified by a dimension
     * (e.g. document length per language). One grouped aggregation; the

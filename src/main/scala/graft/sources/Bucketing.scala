@@ -39,4 +39,27 @@ object Bucketing {
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-file compaction — the file-count governance lever. Streaming
+    * micro-batches and fine-grained partitioned writes accrete files far
+    * smaller than a scan-efficient parquet target, and at 100 TB the
+    * resulting metadata/open-cost dominates reads long before data volume
+    * does. One pass: repartition to ⌈rows / targetRecordsPerFile⌉ output
+    * shards (with `maxRecordsPerFile` as the hard per-file backstop) and
+    * rewrite. The row count is taken from the input (one cheap
+    * metadata-friendly job) — pass `knownRows` to skip it when the caller
+    * already counted. Returns the number of rows written. */
+  def compact(df: DataFrame, outPath: String, targetRecordsPerFile: Long,
+      knownRows: Long = -1L): Long = {
+    require(targetRecordsPerFile >= 1,
+      s"targetRecordsPerFile must be >= 1, got $targetRecordsPerFile")
+    val rows = if (knownRows >= 0) knownRows else df.count()
+    val shards = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    require(shards <= Int.MaxValue, "shard count overflows Int")
+    df.repartition(shards.toInt)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(outPath)
+    rows
+  }
 }

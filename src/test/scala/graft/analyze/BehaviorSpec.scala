@@ -85,6 +85,21 @@ class BehaviorSpec extends SparkSpec {
       (2L, "2024-01-10", "2024-01-10", 1L)))
   }
 
+  test("rollingActives: each active day feeds 7 report days, range clipped") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"), // dedupes
+      (2L, "2024-01-05 10:00:00"),
+      (3L, "2024-01-10 10:00:00"))
+      .toDF("user_id", "t").withColumn("ts", col("t").cast("timestamp"))
+    val out = Behavior.rollingActives(df, "user_id", "ts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("2024-01-01") == 1) // user 1 only
+    assert(out("2024-01-05") == 2) // users 1 (day 1 + 4 < 7) and 2
+    assert(out("2024-01-08") == 1) // user 1 aged out, user 2 still in
+    assert(out("2024-01-10") == 2) // users 2 (Jan 5 + 5 < 7) and 3
+    assert(!out.contains("2024-01-11") && !out.contains("2023-12-31"))
+  }
+
   test("ohlcBars: open/close by (ts, tie) order, high/low over the bar") {
     val df = Seq(
       (1L, "2024-01-01 10:00:05", 2L, 30.0), // same ts as event 1: tie -> event 1 opens

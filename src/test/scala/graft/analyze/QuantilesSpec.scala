@@ -69,4 +69,19 @@ class QuantilesSpec extends SparkSpec {
       "mid-range values untouched")
     intercept[IllegalArgumentException] { Quantiles.winsorize(df, "v", 0.9, 0.1) }
   }
+
+  test("psiDrift: identical populations score ~0, shifted ones score high") {
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val same = Quantiles.psiDrift(ref, ref, "v", 4).collect()
+    assert(same.length == 4)
+    assert(math.abs(same.map(_.getDouble(3)).sum) < 1e-9, "self-PSI ~ 0")
+    assert(same.forall(r => r.getLong(1) == r.getLong(2)))
+    // current population concentrated in the top quartile -> large PSI
+    val cur = (751 to 1000).map(_.toDouble).toDF("v")
+    val drift = Quantiles.psiDrift(ref, cur, "v", 4).collect()
+    assert(drift.map(_.getDouble(3)).sum > 0.2, "shifted population must alarm")
+    // empty current bins survive via the literal spine + smoothing
+    assert(drift.count(_.getLong(2) == 0L) == 3)
+    intercept[IllegalArgumentException] { Quantiles.psiDrift(ref, cur, "v", 1) }
+  }
 }

@@ -73,4 +73,24 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_g")
     }
   }
+
+  test("compact: many small files collapse to the target count, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val smallDir = s"$dir/small"
+    val outDir = s"$dir/compacted"
+    val df = (1L to 1000L).toDF("id")
+    df.repartition(25).write.parquet(smallDir) // the small-file problem
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(smallDir) == 25)
+    val read = spark.read.parquet(smallDir)
+    val rows = Bucketing.compact(read, outDir, targetRecordsPerFile = 500)
+    assert(rows == 1000L)
+    assert(parquetFiles(outDir) == 2) // ceil(1000/500)
+    assert(spark.read.parquet(outDir).agg(sum($"id")).head().getLong(0)
+      == 500L * 1001L)
+    intercept[IllegalArgumentException] {
+      Bucketing.compact(read, outDir, targetRecordsPerFile = 0)
+    }
+  }
 }

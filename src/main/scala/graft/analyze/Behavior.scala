@@ -100,13 +100,16 @@ object Behavior {
       windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val days = events.select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
-    val bounds = days.agg(min(col("__day")).as("lo"), max(col("__day")).as("hi")).head()
-    val (lo, hi) = (bounds.getDate(0), bounds.getDate(1))
+    // range clip rides in-plan as a cross join with the 1-row bounds
+    // aggregate (broadcast) — fully lazy, and the distinct scan is not
+    // recomputed for a driver-side bounds action
+    val bounds = days.agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
     days
       .select(col(userCol),
         explode(sequence(col("__day"),
           date_add(col("__day"), windowDays - 1))).as("report_day"))
-      .filter(col("report_day") >= lit(lo) && col("report_day") <= lit(hi))
+      .crossJoin(broadcast(bounds))
+      .filter(col("report_day") >= col("__lo") && col("report_day") <= col("__hi"))
       .groupBy(col("report_day").cast("string").as("report_day"))
       .agg(count_distinct(col(userCol)).as("active_users"))
   }

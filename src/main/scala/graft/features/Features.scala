@@ -70,8 +70,11 @@ object Features {
     * outputs round to 4 decimals. */
   def scaleFeatures(df: DataFrame, c: String): DataFrame = {
     val x = col(c).cast("double")
+    // pass 1: moments AND median share one scan; only the MAD pass
+    // genuinely depends on a prior result (the rounded median)
     val r = df.agg(min(x).as("mn"), max(x).as("mx"), sum(x).as("s1"),
-      sum(x * x).as("s2"), count(x).as("n")).head()
+      sum(x * x).as("s2"), count(x).as("n"),
+      percentile(x, lit(0.5)).as("med")).head()
     require(!r.isNullAt(0), s"scaleFeatures: column `$c` has no non-NULL values")
     val (mn, mx, s1, s2) = (r.getDouble(0), r.getDouble(1),
       r.getDouble(2), r.getDouble(3))
@@ -83,7 +86,7 @@ object Features {
     require(sd > 0, s"zero variance in `$c`")
     def round4(v: Double) =
       BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val med = round4(df.agg(percentile(x, lit(0.5))).head().getDouble(0))
+    val med = round4(r.getDouble(5))
     val mad = round4(df.agg(percentile(abs(x - med), lit(0.5))).head().getDouble(0))
     require(mad > 0, s"zero MAD in `$c` — more than half the values equal the median")
     df.withColumn(c + "_minmax", round((x - mn) / (mx - mn), 4))

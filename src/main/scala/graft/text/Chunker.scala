@@ -72,7 +72,10 @@ object Chunker {
   def packGreedy(docs: DataFrame, idCol: String, textCol: String,
       capacity: Int, bucketCol: String): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    // ROWS frame, not the default RANGE: duplicate ids within a bucket
+    // must still get distinct prefix sums (RANGE is peer-inclusive)
     val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(bucketCol), col(idCol),

@@ -42,15 +42,23 @@ for name in sorted(os.listdir(out_dir)):
         results[name] = f"ROWS-MISMATCH: mine={len(a)} oracle={len(b)}"
         continue
     # list/array cells (e.g. embedding vectors, code arrays) are unhashable
-    # for pandas sorting — canonicalize them to strings on both sides first
-    for df_ in (a, b):
-        for c in df_.columns:
-            if df_[c].dtype == object and df_[c].map(
-                    lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__len__")
-                    and not isinstance(v, str)).any():
-                df_[c] = df_[c].map(
-                    lambda v: str([float(x) for x in v]) if v is not None
-                    and not isinstance(v, (str, bytes, float, int)) else v)
+    # for pandas sorting — canonicalize them to strings on both sides first.
+    # NULL elements map through as-is; a failure marks this query BAD
+    # instead of aborting the whole gate.
+    def canon_cell(v):
+        if v is None or isinstance(v, (str, bytes, float, int)):
+            return v
+        return str([None if x is None else float(x) for x in v])
+    try:
+        for df_ in (a, b):
+            for c in df_.columns:
+                if df_[c].dtype == object and df_[c].map(
+                        lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__len__")
+                        and not isinstance(v, str)).any():
+                    df_[c] = df_[c].map(canon_cell)
+    except Exception as e:
+        results[name] = f"CANON-FAIL: {str(e)[:200]}"
+        continue
     a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
     b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
     bad = []

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion robustness for corpus pipelines: JSONL with corrupt-line
+  * quarantine, and schema-drift-tolerant parquet reads. At 100 TB both
+  * failure modes are certainties, not edge cases — a crawler emits some
+  * malformed JSON every hour, and a year of parquet snapshots never shares
+  * one schema. Both readers keep every byte: bad rows are ROUTED, never
+  * dropped silently.
+  */
+object Ingest {
+
+  /** Read line-delimited JSON against a REQUIRED schema, splitting clean
+    * rows from quarantined ones. PERMISSIVE mode parses what it can and
+    * captures each malformed line verbatim in the corrupt column; the
+    * split is two filters over one cached parse (callers unpersist the
+    * handle when done — at scale, write both sides out instead and let
+    * the scan stream). Schema inference is deliberately not offered: on a
+    * large corpus an inference pass is a full extra scan, and a drifting
+    * inferred schema breaks downstream consumers — declare the contract.
+    */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+      schema: StructType,
+      corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema must not already contain `$corruptCol`")
+    val withCorrupt = schema.add(corruptCol, "string")
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache()
+    val good = parsed.filter(col(corruptCol).isNull)
+      .drop(corruptCol)
+    val bad = parsed.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (good, bad)
+  }
+
+  /** Read a set of parquet paths whose schemas drifted across writes and
+    * present them as ONE target schema. Each path is aligned
+    * independently — missing columns arrive as NULLs, extra columns are
+    * dropped, and physical types are CAST to the target (which
+    * `mergeSchema` refuses to do: int32 vs int64 across snapshots is a
+    * merge error, not a widening) — then the aligned reads union. Schema
+    * discovery touches only parquet footers; the alignment is a
+    * projection on each scan, not a rewrite, and the union is plan-level
+    * (no shuffle). Column order is the target's. */
+  def readEvolved(spark: SparkSession, target: StructType,
+      paths: String*): DataFrame = {
+    require(paths.nonEmpty, "need at least one path")
+    paths.map { p =>
+      val df = spark.read.parquet(p)
+      val have = df.columns.toSet
+      df.select(target.fields.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+}

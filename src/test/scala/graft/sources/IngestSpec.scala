@@ -1,0 +1,60 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType, DoubleType}
+
+import graft.SparkSpec
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readJsonlQuarantined: clean rows parse, malformed lines quarantine verbatim") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val f = s"$dir/part.jsonl"
+    Files.writeString(java.nio.file.Paths.get(f),
+      """{"id": 1, "text": "ok one"}
+        |{"id": 2, "text": "ok two"}
+        |{broken json line
+        |{"id": "not-a-number", "text": 3}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val (good, bad) = Ingest.readJsonlQuarantined(spark, f, schema)
+    try {
+      val g = good.orderBy("id").collect()
+      assert(g.length == 2 && g(0).getLong(0) == 1L && g(1).getString(1) == "ok two")
+      val b = bad.as[String].collect()
+      assert(b.length == 2)
+      assert(b.exists(_.contains("{broken json line")), "raw line preserved verbatim")
+      assert(b.exists(_.contains("not-a-number")), "type-mismatch rows quarantine too")
+    } finally spark.catalog.clearCache()
+    // reserved column collision is rejected up front
+    intercept[IllegalArgumentException] {
+      Ingest.readJsonlQuarantined(spark, f,
+        StructType(Seq(StructField("_corrupt_record", StringType))))
+    }
+  }
+
+  test("readEvolved: drifted snapshots align to the target schema") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // v1 snapshot: no `score` column yet; id written as int
+    Seq((1, "a"), (2, "b")).toDF("id", "text")
+      .write.parquet(s"$dir/v1")
+    // v2 snapshot: gained `score`, id widened to long, extra junk column
+    Seq((3L, "c", 0.5, "junk")).toDF("id", "text", "score", "legacy")
+      .write.parquet(s"$dir/v2")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("score", DoubleType)))
+    val out = Ingest.readEvolved(spark, target, s"$dir/v1", s"$dir/v2")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "text", "score"))
+    assert(out.schema("id").dataType == LongType)
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2), "v1 rows carry NULL score")
+    assert(rows(2).getDouble(2) == 0.5)
+    assert(!out.columns.contains("legacy"), "junk columns dropped")
+  }
+}

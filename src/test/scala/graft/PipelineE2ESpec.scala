@@ -55,4 +55,42 @@ class PipelineE2ESpec extends SparkSpec {
       assert(feats.select("doc_id").distinct().count() == train.count())
     }
   }
+
+  test("scrub -> mix -> encode -> pack: the pretraining prep flow composes") {
+    import graft.text.Chunker
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+
+    // 1. PII scrub — redacted text feeds everything downstream
+    val scrubbed = TextAnalysis.piiScan(docs, "doc_id", "text")
+      .select(col("doc_id"), col("redacted").as("text"))
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+
+    // 2. temperature-flattened source mixing at half budget
+    val mixed = Sampling.temperatureMix(scrubbed, "source", "doc_id", 0.5)
+    val nMixed = mixed.count()
+    assert(nMixed > 0 && nMixed < docs.count())
+
+    // 3. tokenizer encode against a corpus-derived vocab
+    val vocab = mixed
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("tid", (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))) - 1).cast("int"))
+      .filter(col("tid") < 30).select("token", "tid")
+    val encoded = Chunker.encodeTokens(mixed, "doc_id", "text", vocab, "token", "tid")
+    assert(encoded.count() == nMixed)
+
+    // 4. greedy sequence packing per language
+    val packed = Chunker.packGreedy(mixed, "doc_id", "text", 64, "lang")
+    assert(packed.count() == nMixed)
+    // packing invariant: within a bucket, offsets are consistent with
+    // token counts — every doc starts inside its assigned sequence
+    assert(packed.filter(col("seq_offset") < 0 || col("seq_offset") >= 64).isEmpty)
+    // encode/pack agree on every doc's token count (same tokenization)
+    val disagree = encoded.select(col("doc_id"), col("n_tokens").as("a"))
+      .join(packed.select(col("doc_id"), col("n_tokens").as("b")), "doc_id")
+      .filter(col("a") =!= col("b"))
+    assert(disagree.isEmpty)
+  }
 }

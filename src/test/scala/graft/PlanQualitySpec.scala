@@ -33,7 +33,8 @@ class PlanQualitySpec extends SparkSpec {
   private val allowedNestedLoop = Set(
     "sim1_bruteforce_topk", "sim2_lsh_topk", "sim4_pq_topk", "sim6_mmr_topk",
     "t6_tfidf_topk", "t7_bm25", "sk2_key_profile",
-    "lm1_bigram_surprisal") // vocab-size V is a 1-row broadcast scalar
+    "lm1_bigram_surprisal", // vocab-size V is a 1-row broadcast scalar
+    "wau1_rolling_actives") // date-range clip vs the 1-ROW bounds aggregate
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

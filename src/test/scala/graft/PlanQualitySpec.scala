@@ -104,4 +104,19 @@ class PlanQualitySpec extends SparkSpec {
       assert(smj.isEmpty, s"${smj.length} sort-merge joins at sf0.001 — a dimension stopped broadcasting")
     }
   }
+
+  test("the bloom probe filter stays inside WholeStageCodegen") {
+    withStaticPlans {
+      val p = plan("d9_bloom_incremental")
+      val codegenStages = p.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      val probeInCodegen = codegenStages.exists(_.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          f.condition.exists(_.isInstanceOf[graft.functions.BloomMightContain])
+      }.exists(identity))
+      assert(probeInCodegen,
+        "graft_bloom_might_contain filter fell out of whole-stage codegen")
+    }
+  }
 }

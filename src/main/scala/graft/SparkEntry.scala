@@ -1773,7 +1773,7 @@ object SparkEntry {
     },
     Some("""WITH a AS (SELECT
         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn,
-        (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_uq,
+        (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS v_uq,
         sum(CASE WHEN o_totalprice IS NOT NULL
           AND (o_totalprice < 1000 OR o_totalprice > 300000)
           THEN 1 ELSE 0 END)::BIGINT AS v_rg,
@@ -2258,15 +2258,7 @@ object SparkEntry {
   private val qTokEncode = Q("tok1_encode_tokens",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val toks = docs
-        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .withColumn("tid",
-          (row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("n").desc, col("token"))) - 1).cast("int"))
-        .filter(col("tid") < 50)
-        .select("token", "tid")
+      val vocab = graft.text.Chunker.topKVocab(docs, "text", 50)
       graft.text.Chunker.encodeTokens(docs, "doc_id", "text", vocab,
           "token", "tid")
         .orderBy("doc_id")

@@ -68,11 +68,17 @@ object Skew {
       sum(col("__c")).as("__n"), count(lit(1)).as("n_keys"),
       max(col("__c")).as("max_key_rows"),
       stddev_samp(col("__c")).as("__sd"), avg(col("__c")).as("__mean"))
-    counts.join(broadcast(totals))
-      .groupBy(col("__n"), col("n_keys"), col("max_key_rows"), col("__sd"), col("__mean"))
-      .agg((-sum((col("__c") / col("__n")) * log(col("__c") / col("__n")))).as("__h"))
-      .select(col("__n").as("n_rows"), col("n_keys"), col("max_key_rows"),
-        round(col("max_key_rows") / col("__n"), 6).as("max_share"),
+    // plain global aggregate over the cross join (every row carries the
+    // same 1-row totals, so first() is deterministic) — not a groupBy on
+    // floating-point columns, which only "worked" because the broadcast
+    // side was a single row
+    counts.crossJoin(broadcast(totals))
+      .agg(first(col("__n")).as("n_rows"), first(col("n_keys")).as("n_keys"),
+        first(col("max_key_rows")).as("max_key_rows"),
+        first(col("__sd")).as("__sd"), first(col("__mean")).as("__mean"),
+        (-sum((col("__c") / col("__n")) * log(col("__c") / col("__n")))).as("__h"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        round(col("max_key_rows") / col("n_rows"), 6).as("max_share"),
         round(col("__sd") / col("__mean"), 4).as("count_cv"),
         round(col("__h"), 4).as("entropy_nats"))
   }

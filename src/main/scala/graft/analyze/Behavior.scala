@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * user's (ts, stage) sequence with a codegen'd array `aggregate` (no
   * self-join per stage — at 100 TB an n-stage funnel as n joins is n scans
   * and n shuffles; here it is one of each), and cohort retention joins a
-  * broadcast first-seen table (one row per user — small relative to the
-  * event log it summarizes).
+  * first-seen table (one row per user — small relative to the event log
+  * it summarizes, auto-broadcast by Catalyst when it fits).
   */
 object Behavior {
 
@@ -59,13 +59,17 @@ object Behavior {
     * cohort), counted per whole-week offset from it — the activity decay
     * curve per acquisition cohort. Day-arithmetic only (`days / 7` floor),
     * no week-boundary truncation semantics to disagree over between
-    * engines. The first-seen table is one row per user and broadcast.
+    * engines. The first-seen table is one row per user — Catalyst
+    * broadcasts it when it fits, shuffles it when it doesn't.
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val first = events.groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("__cohort"))
+    // no forced broadcast: first-seen is one row per DISTINCT USER, which
+    // at large scale exceeds the broadcast limit — let Catalyst/AQE pick
+    // (it still broadcasts whenever the user set is actually small)
     events.select(col(userCol), to_date(col(tsCol)).as("__day"))
-      .join(broadcast(first), userCol)
+      .join(first, userCol)
       .groupBy(col("__cohort").cast("string").as("cohort_day"),
         floor(datediff(col("__day"), col("__cohort")) / 7).cast("int").as("week_offset"))
       .agg(count_distinct(col(userCol)).as("users"))

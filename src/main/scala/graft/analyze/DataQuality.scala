@@ -18,8 +18,11 @@ object DataQuality {
   final case class NotNull(col: String) extends Check {
     val name = s"not_null($col)"
   }
-  /** `cols` form a key: violations = rows beyond the first per key
-    * (NULL-containing keys count per the underlying distinct). */
+  /** `cols` form a key: violations = non-NULL-key rows beyond the first
+    * per key. NULL-containing keys never violate (SQL UNIQUE semantics:
+    * NULLs compare as never-equal) — and this is also exactly
+    * `count(rows with key) − count(DISTINCT key)`, the restatement any
+    * SQL oracle writes. */
   final case class Unique(cols: Seq[String]) extends Check {
     val name = s"unique(${cols.mkString(",")})"
   }
@@ -47,7 +50,12 @@ object DataQuality {
     case NotNull(col0) =>
       Some(sum(when(col(col0).isNull, 1L).otherwise(0L)))
     case Unique(cols0) =>
-      Some(count(lit(1)) - count_distinct(struct(cols0.map(col): _*)))
+      // struct() is never NULL even over NULL fields, so a bare
+      // count_distinct(struct(...)) would count NULL keys as values;
+      // mask NULL-containing keys out of BOTH counts instead
+      val anyNull = cols0.map(col(_).isNull).reduce(_ || _)
+      Some(sum(when(anyNull, 0L).otherwise(1L)) -
+        count_distinct(when(!anyNull, struct(cols0.map(col): _*))))
     case InRange(col0, lo, hi) =>
       Some(sum(when(col(col0).isNotNull &&
         (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L)))

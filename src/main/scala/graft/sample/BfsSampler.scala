@@ -164,8 +164,12 @@ object Sampling {
       targetFraction: Double, seed: String = "42"): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0, 1], got $targetFraction")
-    val counts: Map[String, Long] = df.groupBy(col(sourceCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val countRows = df.groupBy(col(sourceCol)).count().collect()
+    require(!countRows.exists(_.isNullAt(0)),
+      s"NULL values in `$sourceCol` — a NULL stratum can't be routed by the " +
+        "per-source coin; fill or filter before mixing")
+    val counts: Map[String, Long] =
+      countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "no rows to mix")
     val isq = counts.map { case (s, n) => s -> math.sqrt(n.toDouble).toLong }
     val sumIsq = isq.values.sum

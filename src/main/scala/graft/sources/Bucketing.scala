@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table co-location: the shuffle-elimination story for repeated
   * big-big joins at 100 TB. Two tables written with the SAME bucket key
@@ -48,16 +49,27 @@ object Bucketing {
     * shards (with `maxRecordsPerFile` as the hard per-file backstop) and
     * rewrite. The row count is taken from the input (one cheap
     * metadata-friendly job) — pass `knownRows` to skip it when the caller
-    * already counted. Returns the number of rows written. */
+    * already counted. Returns the number of rows written.
+    *
+    * If the input carries a sort/cluster layout worth keeping (a
+    * [[graft.functions.ZOrder.clusterBy]] key, an ingest-time sort), pass
+    * it as `layoutCols`: the rewrite then range-partitions and re-sorts
+    * on that key, so per-file min/max stats stay tight and data skipping
+    * survives the compaction. The default round-robin shuffle is
+    * layout-destroying by construction — fine for unordered corpora,
+    * silently widens every file's key span otherwise. */
   def compact(df: DataFrame, outPath: String, targetRecordsPerFile: Long,
-      knownRows: Long = -1L): Long = {
+      knownRows: Long = -1L, layoutCols: Seq[String] = Nil): Long = {
     require(targetRecordsPerFile >= 1,
       s"targetRecordsPerFile must be >= 1, got $targetRecordsPerFile")
     val rows = if (knownRows >= 0) knownRows else df.count()
     val shards = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
     require(shards <= Int.MaxValue, "shard count overflows Int")
-    df.repartition(shards.toInt)
-      .write.mode("overwrite")
+    val shaped =
+      if (layoutCols.isEmpty) df.repartition(shards.toInt)
+      else df.repartitionByRange(shards.toInt, layoutCols.map(c => col(c)): _*)
+        .sortWithinPartitions(layoutCols.map(c => col(c)): _*)
+    shaped.write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .parquet(outPath)
     rows

@@ -13,18 +13,27 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
+  /** A quarantined read: `good` parsed rows, `bad` raw malformed lines,
+    * and the shared cached parse both derive from. Call [[release]] when
+    * both sides have been consumed — the cache is pinned until then. */
+  final case class QuarantinedJsonl(good: DataFrame, bad: DataFrame,
+      parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
   /** Read line-delimited JSON against a REQUIRED schema, splitting clean
     * rows from quarantined ones. PERMISSIVE mode parses what it can and
     * captures each malformed line verbatim in the corrupt column; the
-    * split is two filters over one cached parse (callers unpersist the
-    * handle when done — at scale, write both sides out instead and let
-    * the scan stream). Schema inference is deliberately not offered: on a
-    * large corpus an inference pass is a full extra scan, and a drifting
-    * inferred schema breaks downstream consumers — declare the contract.
+    * split is two filters over one cached parse, and the returned handle
+    * owns the cache lifecycle (`release()` when done — at scale, write
+    * both sides out in one job, then release). Schema inference is
+    * deliberately not offered: on a large corpus an inference pass is a
+    * full extra scan, and a drifting inferred schema breaks downstream
+    * consumers — declare the contract.
     */
   def readJsonlQuarantined(spark: SparkSession, path: String,
       schema: StructType,
-      corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+      corruptCol: String = "_corrupt_record"): QuarantinedJsonl = {
     require(!schema.fieldNames.contains(corruptCol),
       s"schema must not already contain `$corruptCol`")
     val withCorrupt = schema.add(corruptCol, "string")
@@ -38,7 +47,7 @@ object Ingest {
       .drop(corruptCol)
     val bad = parsed.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"))
-    (good, bad)
+    QuarantinedJsonl(good, bad, parsed)
   }
 
   /** Read a set of parquet paths whose schemas drifted across writes and

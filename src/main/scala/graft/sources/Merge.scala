@@ -20,7 +20,13 @@ object Merge {
     * @param keyCols    identity columns
     * @param versionCol optional ordering column — highest version wins;
     *                   the update batch wins version ties (and everything,
-    *                   when None) */
+    *                   when None). Duplicate keys WITHIN the update batch
+    *                   that still tie after (version, batch) resolve by
+    *                   greatest remaining-column content — deterministic
+    *                   under any partitioning, instead of
+    *                   whichever-row-shuffled-first (only fully-identical
+    *                   rows remain tied, where the choice is immaterial).
+    *                   Unorderable column types (maps) skip this tiebreak. */
   def upsert(current: DataFrame, updates: DataFrame, keyCols: Seq[String],
       versionCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
@@ -28,7 +34,16 @@ object Merge {
       s"schemas differ: ${current.columns.toSeq} vs ${updates.columns.toSeq}")
     val tagged = current.withColumn("__src", lit(0))
       .unionAll(updates.withColumn("__src", lit(1)))
-    val order = versionCol.map(v => col(v).desc).toSeq :+ col("__src").desc
+    val others = current.columns
+      .filterNot(c => keyCols.contains(c) || versionCol.contains(c))
+    val contentTiebreak =
+      if (others.nonEmpty && others.forall(c =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(current.schema(c).dataType)))
+        Seq(struct(others.map(col): _*).desc)
+      else Seq.empty
+    val order = versionCol.map(v => col(v).desc).toSeq ++
+      (col("__src").desc +: contentTiebreak)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -87,6 +87,25 @@ object Chunker {
           .cast("bigint").as("seq_offset"))
   }
 
+  /** Corpus-derived top-`k` vocabulary: whitespace tokens ranked by
+    * frequency (count desc, token asc — the heavy-hitters tiebreak), ids
+    * 0..k−1. THE tokenization + ranking contract shared by
+    * [[encodeTokens]] callers — one definition, so the whitespace regex
+    * and tiebreak can't drift between the vocab builder and the encoder.
+    * The global rank window runs over the distinct-token set (vocab-sized,
+    * not corpus-sized). Output: (token, tid, n). */
+  def topKVocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("tid", (row_number().over(
+        Window.orderBy(col("n").desc, col("token"))) - 1).cast("int"))
+      .filter(col("tid") < k)
+      .select("token", "tid", "n")
+  }
+
   /** Tokenizer encode: map each document's tokens to integer ids through a
     * broadcast vocabulary table (token → id), out-of-vocabulary tokens to
     * `unkId` — the corpus → token-id-sequences step in front of packing/

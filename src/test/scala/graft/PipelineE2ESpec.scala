@@ -71,13 +71,7 @@ class PipelineE2ESpec extends SparkSpec {
     assert(nMixed > 0 && nMixed < docs.count())
 
     // 3. tokenizer encode against a corpus-derived vocab
-    val vocab = mixed
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .withColumn("tid", (row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("token"))) - 1).cast("int"))
-      .filter(col("tid") < 30).select("token", "tid")
+    val vocab = Chunker.topKVocab(mixed, "text", 30)
     val encoded = Chunker.encodeTokens(mixed, "doc_id", "text", vocab, "token", "tid")
     assert(encoded.count() == nMixed)
 

@@ -28,6 +28,16 @@ class DataQualitySpec extends SparkSpec {
     assert(out("matches(tag)") == 1)
   }
 
+  test("unique: NULL-containing keys never violate (SQL UNIQUE semantics)") {
+    // two NULL ids + a duplicated id 1: only the id=1 duplicate violates,
+    // and the count matches the count(rows with key) - count(DISTINCT key)
+    // device any SQL oracle writes
+    val d = Seq(Some(1L), Some(1L), None, None, Some(3L)).toDF("id")
+    val out = DataQuality.run(d, Seq(Unique(Seq("id"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("unique(id)") == 1L)
+  }
+
   test("clean data reports all zeros") {
     val out = report(Seq(NotNull("v"), InRange("v", 0, 1000)))
       .filterNot(_._1.startsWith("not_null"))

@@ -92,5 +92,20 @@ class BucketingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Bucketing.compact(read, outDir, targetRecordsPerFile = 0)
     }
+    // layout-preserving mode: per-file key ranges stay disjoint, so
+    // min/max skipping survives the compaction
+    val sortedDir = s"$dir/sorted"
+    Bucketing.compact(read, sortedDir, targetRecordsPerFile = 250,
+      layoutCols = Seq("id"))
+    val ranges = spark.read.parquet(sortedDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"id").as("lo"), max($"id").as("hi"))
+      .orderBy("lo")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlapping file ranges: $a $b")
+      case _ =>
+    }
   }
 }

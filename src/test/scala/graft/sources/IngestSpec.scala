@@ -21,15 +21,15 @@ class IngestSpec extends SparkSpec {
         |""".stripMargin)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
-    val (good, bad) = Ingest.readJsonlQuarantined(spark, f, schema)
+    val q = Ingest.readJsonlQuarantined(spark, f, schema)
     try {
-      val g = good.orderBy("id").collect()
+      val g = q.good.orderBy("id").collect()
       assert(g.length == 2 && g(0).getLong(0) == 1L && g(1).getString(1) == "ok two")
-      val b = bad.as[String].collect()
+      val b = q.bad.as[String].collect()
       assert(b.length == 2)
       assert(b.exists(_.contains("{broken json line")), "raw line preserved verbatim")
       assert(b.exists(_.contains("not-a-number")), "type-mismatch rows quarantine too")
-    } finally spark.catalog.clearCache()
+    } finally q.release() // the handle owns the cache — no global clearCache hammer
     // reserved column collision is rejected up front
     intercept[IllegalArgumentException] {
       Ingest.readJsonlQuarantined(spark, f,

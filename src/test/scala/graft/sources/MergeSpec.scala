@@ -22,6 +22,18 @@ class MergeSpec extends SparkSpec {
     assert(out(2L) == "B") // tie goes to the update batch
   }
 
+  test("duplicate keys inside the update batch resolve deterministically") {
+    val cur = Seq((1L, "old")).toDF("k", "v")
+    // two updates for the same key, no version column: greatest content wins
+    val upd = Seq((1L, "v1"), (1L, "v2")).toDF("k", "v")
+    val picks = (1 to 5).map { i =>
+      Merge.upsert(cur, upd.repartition(i + 1), Seq("k"))
+        .collect().map(r => r.getString(1)).toSeq
+    }
+    assert(picks.forall(_ == Seq("v2")),
+      s"winner must not depend on partitioning: $picks")
+  }
+
   test("composite keys and schema mismatch rejection") {
     val cur = Seq((1L, 1L, "a")).toDF("k1", "k2", "v")
     val upd = Seq((1L, 2L, "x")).toDF("k1", "k2", "v")

@@ -2322,6 +2322,54 @@ object SparkEntry {
       FROM x, b WHERE rd >= b.lo AND rd <= b.hi
       GROUP BY rd ORDER BY report_day"""))
 
+  /** Int8-quantized ANN anchored exact: with the shortlist covering the
+    * whole corpus the code-space scan degrades to brute force and the
+    * exact re-rank makes the output identical to `sim1`'s contract —
+    * the quantization path's correctness gate (recall at bounded
+    * shortlists is QuantizeSpec's job). */
+  private val qInt8TopK = Q("sim7_int8_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Quantize.int8TopK(emb.filter(col("vec_id") < 5), emb, "vec_id",
+          "embedding", k = 3, shortlist = 1 << 20, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+      SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 3
+      ORDER BY query_id, neighbor_id"""))
+
+  /** Global clustering coefficient of the part co-purchase graph —
+    * 3·triangles/wedges from the tc1 edge list plus one degree pass. */
+  private val qClustCoeff = Q("tc2_clustering_coeff",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.Triangles.globalClusteringCoefficient(e, "u", "v")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      t AS (SELECT count(*)::BIGINT AS triangles FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      d AS (SELECT x, count(*) AS d FROM
+        (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      w AS (SELECT (sum(d * (d - 1)) / 2)::BIGINT AS wedges FROM d)
+      SELECT t.triangles, w.wedges,
+        round(3.0 * t.triangles / w.wedges, 6) AS global_coeff
+      FROM t CROSS JOIN w"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -2350,7 +2398,8 @@ object SparkEntry {
     qHeavyHitters, qGroupedQuantiles, qMmr,
     qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
-    qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau)
+    qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
+    qInt8TopK, qClustCoeff)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -56,4 +56,23 @@ object Triangles {
         .otherwise(size(array_intersect(col("ns"), col("nt")))).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("triangles")) // empty graph: 0, not NULL
   }
+
+  /** Global clustering coefficient `3·triangles / wedges` — the one-number
+    * "how cliquey is this graph" summary (wedges = Σ d(d−1)/2 over vertex
+    * degrees). Same input contract as [[count]]: each undirected edge once
+    * in either orientation, no self-loops. The degree pass is one
+    * aggregation over 2|E| rows; d(d−1) is even, so the wedge count stays
+    * an exact integer. Output: one row (triangles, wedges, global_coeff). */
+  def globalClusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val tri = count(edges, srcCol, dstCol)
+    val deg = edges.select(col(srcCol).as("__x"))
+      .unionAll(edges.select(col(dstCol).as("__x")))
+      .groupBy(col("__x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("__d"))
+    val wed = deg.agg(coalesce((sum(col("__d") * (col("__d") - 1)) / 2)
+      .cast("bigint"), lit(0L)).as("wedges"))
+    tri.crossJoin(wed)
+      .select(col("triangles"), col("wedges"),
+        round(lit(3.0) * col("triangles") / col("wedges"), 6).as("global_coeff"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar embedding quantization — the storage/bandwidth half of ANN at
@@ -35,5 +36,51 @@ object Quantize {
         round(col("__s"), 6).as("scale"),
         col("codes"),
         round(col("max_abs_err"), 6).as("max_abs_err"))
+  }
+
+  /** ANN top-k over the int8 codes — the search half of the quantization
+    * story: the approximate scan runs entirely on the 4×-smaller code
+    * arrays, ranking by CODE-SPACE COSINE (the per-vector scales cancel
+    * out of the ratio, and code norms are precomputed once per row — a
+    * raw code dot product would rank by magnitude and lose recall the
+    * moment norms vary), a per-query `shortlist` survives, and ONLY the
+    * shortlist touches the full-precision vectors for an exact cosine
+    * re-rank — so reported scores are always true, and the shortlist size
+    * is the single recall/cost dial (shortlist ≥ corpus degrades to exact
+    * brute force, the oracle anchor; the [[Pq]] ADC device). Queries
+    * broadcast; the corpus never shuffles until the shortlist. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int,
+      roundDigits: Int = -1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val q8 = int8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("codes").as("__qc"),
+        sqrt(Similarity.dot(col("codes"), col("codes"))).as("__qn"))
+    val c8 = int8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes").as("__cc"),
+        sqrt(Similarity.dot(col("codes"), col("codes"))).as("__cn"))
+    val approx = c8.crossJoin(broadcast(q8))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__a",
+        Similarity.dot(col("__qc"), col("__cc")) / (col("__qn") * col("__cn")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("__a").desc, col("neighbor_id"))
+    val cands = approx.withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val rawCos = Similarity.cosine(col("__qv"), col("__cv"))
+    val exact = cands
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos",
+        if (roundDigits >= 0) round(rawCos, roundDigits) else rawCos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 }

@@ -34,7 +34,9 @@ class PlanQualitySpec extends SparkSpec {
     "sim1_bruteforce_topk", "sim2_lsh_topk", "sim4_pq_topk", "sim6_mmr_topk",
     "t6_tfidf_topk", "t7_bm25", "sk2_key_profile",
     "lm1_bigram_surprisal", // vocab-size V is a 1-row broadcast scalar
-    "wau1_rolling_actives") // date-range clip vs the 1-ROW bounds aggregate
+    "wau1_rolling_actives", // date-range clip vs the 1-ROW bounds aggregate
+    "sim7_int8_topk", // broadcast tiny query side, like the other ANN paths
+    "tc2_clustering_coeff") // two 1-ROW aggregates cross-joined
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

@@ -28,4 +28,16 @@ class TrianglesSpec extends SparkSpec {
     val es = (1L to 10L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L))
     assert(tri(es) == 2)
   }
+
+  test("globalClusteringCoefficient: closed forms on triangle and star") {
+    import spark.implicits._
+    // K3: 1 triangle, 3 wedges -> coefficient 1.0
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val c3 = Triangles.globalClusteringCoefficient(k3, "u", "v").head()
+    assert(c3.getLong(0) == 1L && c3.getLong(1) == 3L && c3.getDouble(2) == 1.0)
+    // star on 4 leaves: 0 triangles, C(4,2)=6 wedges -> 0.0
+    val star = (1L to 4L).map(i => (0L, i)).toDF("u", "v")
+    val cs = Triangles.globalClusteringCoefficient(star, "u", "v").head()
+    assert(cs.getLong(0) == 0L && cs.getLong(1) == 6L && cs.getDouble(2) == 0.0)
+  }
 }

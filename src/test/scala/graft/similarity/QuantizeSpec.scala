@@ -29,4 +29,31 @@ class QuantizeSpec extends SparkSpec {
     val r3 = out(2)
     assert(r3.getSeq[Double](3) == Seq(127.0) && r3.getDouble(4) == 0.0)
   }
+
+  test("int8TopK: unbounded shortlist equals brute force; bounded keeps recall") {
+    // points on an arc (cosine = angle gap, well separated) with varying
+    // norms — a raw-dot shortlist would rank the big-norm vectors first;
+    // the code-space COSINE must rank by angle
+    val vecs = (0L until 60L).map { i =>
+      val theta = i * 1.5 * math.Pi / 180.0
+      val r = (1 + i % 3).toDouble
+      (i, Array((r * math.cos(theta)).toFloat, (r * math.sin(theta)).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 2)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding",
+        k = 5, roundDigits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val anchored = Quantize.int8TopK(queries, vecs, "vec_id", "embedding",
+        k = 5, shortlist = 1 << 20, roundDigits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(anchored == exact, "full shortlist must reproduce brute force")
+    val bounded = Quantize.int8TopK(queries, vecs, "vec_id", "embedding",
+        k = 5, shortlist = 15, roundDigits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bounded & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"bounded-shortlist recall $recall below 0.8")
+    intercept[IllegalArgumentException] {
+      Quantize.int8TopK(queries, vecs, "vec_id", "embedding", k = 5, shortlist = 3)
+    }
+  }
 }

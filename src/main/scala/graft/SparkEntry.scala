@@ -2370,6 +2370,54 @@ object SparkEntry {
         round(3.0 * t.triangles / w.wedges, 6) AS global_coeff
       FROM t CROSS JOIN w"""))
 
+  /** Smoothed target encoding of return flag against quantity (m=10) —
+    * the encoder table itself, every sum an exact integer. */
+  private val qTargetEnc = Q("fe2_target_encoding",
+    (s, d) => Features.targetEncode(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", m = 10.0)
+      .orderBy("category"),
+    Some("""WITH t AS (SELECT sum(l_quantity) AS s, count(l_quantity) AS n
+        FROM lineitem),
+      g AS (SELECT l_returnflag AS category, sum(l_quantity) AS sy,
+          count(l_quantity) AS n FROM lineitem GROUP BY 1)
+      SELECT g.category, g.n::BIGINT AS n,
+        round((g.sy + 10.0 * (t.s / t.n)) / (g.n + 10.0), 6) AS encoded
+      FROM g CROSS JOIN t ORDER BY g.category"""))
+
+  /** Intra-corpus boilerplate fraction per document (3-gram shingles
+    * shared with at least one other doc). */
+  private val qBoilerplate = Q("t9_boilerplate",
+    (s, d) => TextAnalysis.boilerplate(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      ds AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      f AS (SELECT sh, count(*) AS df FROM ds GROUP BY 1),
+      pd AS (SELECT d.doc_id, count(*) AS n_shingles,
+          sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        FROM ds d JOIN f ON d.sh = f.sh GROUP BY 1)
+      SELECT doc.doc_id, pd.n_shingles, pd.n_shared,
+        round(pd.n_shared / pd.n_shingles::DOUBLE, 4) AS boilerplate_frac
+      FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
+      ORDER BY doc.doc_id"""))
+
+  /** Grouped mode (non-NULL, ties to smallest value): quantity mode per
+    * return flag — the grouped form of the a11 imputation statistic. */
+  private val qGroupedMode = Q("a19_grouped_mode",
+    (s, d) => graft.analyze.Olap.modePerGroup(t(s, d, "lineitem"),
+        "l_returnflag", "l_quantity")
+      .orderBy("l_returnflag"),
+    Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY n DESC, l_quantity) AS rn FROM c)
+      SELECT l_returnflag, l_quantity AS mode, n::BIGINT AS n
+      FROM r WHERE rn = 1 ORDER BY l_returnflag"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -2399,7 +2447,7 @@ object SparkEntry {
     qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
-    qInt8TopK, qClustCoeff)
+    qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -62,4 +62,21 @@ object Olap {
         (lit(lo) + col("bucket") * w).as("lo"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Per-group mode of the NON-NULL values, ties to the smallest value —
+    * the grouped form of the A11 imputation statistic. One grouped count
+    * + one per-group window over the (group, value) count table (bounded
+    * by distinct pairs, not data volume). NULLs are excluded up front:
+    * NULL ordering in a tiebreak is exactly where engines disagree
+    * (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST), so the contract
+    * keeps them out of the race. */
+  def modePerGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("n").desc, col(valCol))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valCol).as("mode"), col("n"))
+  }
 }

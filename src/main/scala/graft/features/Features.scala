@@ -56,6 +56,28 @@ object Features {
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 
+  /** Smoothed target (mean) encoding of a categorical column — the
+    * classic high-cardinality categorical featurizer: category →
+    * `(Σy_cat + m·ȳ) / (n_cat + m)`, shrinking rare categories toward the
+    * global mean. Returns the ENCODER TABLE (category, n, encoded) —
+    * apply it with a broadcast join, persist it beside the model (the
+    * train-time table must encode serving traffic too). One grouped
+    * aggregation + one scalar aggregate; with an integer-valued target
+    * every sum is exact, so the encoder restates as SQL bit-for-bit.
+    * Rows with a NULL target contribute to neither count. */
+  def targetEncode(df: DataFrame, catCol: String, yCol: String,
+      m: Double): DataFrame = {
+    require(m >= 0, s"smoothing m must be >= 0, got $m")
+    val y = col(yCol).cast("double")
+    val t0 = df.agg(sum(y).as("s"), count(y).as("n")).head()
+    require(!t0.isNullAt(0), s"targetEncode: `$yCol` has no non-NULL values")
+    val prior = m * (t0.getDouble(0) / t0.getLong(1))
+    df.groupBy(col(catCol).as("category"))
+      .agg(sum(y).as("__sy"), count(y).as("__n"))
+      .select(col("category"), col("__n").as("n"),
+        round((col("__sy") + prior) / (col("__n") + m), 6).as("encoded"))
+  }
+
   /** Column scaling for feature engineering — min-max, z-score and robust
     * (median/MAD) variants added in one codegen scan after two bounded
     * aggregation passes (moments + quantiles; at 100 TB, swap the exact

@@ -264,6 +264,30 @@ object TextAnalysis {
         round(col("n_hit") / col("n_shingles"), 4).as("contaminated_frac"))
   }
 
+  /** Intra-corpus boilerplate score: the fraction of a document's distinct
+    * n-gram shingles that also occur in at least one OTHER document — high
+    * values flag templated/navigational text (the complement of novelty;
+    * [[contamination]] is the same shape against an external benchmark).
+    * Since per-doc shingles are distinct, a shingle's document frequency
+    * IS its occurrence count, so one groupBy over the inverted index and
+    * one join back suffice — exchange bounded by distinct (doc, shingle)
+    * pairs. NULL-text docs survive with NULL stats (the
+    * [[repetitionStats]] contract). */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val docSh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.dedup.Dedup.wordShingles(col(textCol), n)).as("__sh"))
+    val freq = docSh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    val perDoc = docSh.join(freq, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        round(col("n_shared") / col("n_shingles"), 4).as("boilerplate_frac"))
+  }
+
   /** Per-document character-distribution entropy in nats — the classic
     * gibberish/boilerplate signal (natural prose sits in a narrow band;
     * repeated padding scores low, random noise high). Computed as

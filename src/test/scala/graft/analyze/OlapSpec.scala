@@ -63,4 +63,17 @@ class OlapSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out == Map(0L -> 0L, 1L -> 1L)) // only the real 5.0 counted (bucket 1)
   }
+
+  test("modePerGroup: ties go to the smallest value, NULLs excluded") {
+    val df = Seq(
+      ("g1", Some(3L)), ("g1", Some(3L)), ("g1", Some(1L)),
+      ("g2", Some(5L)), ("g2", Some(2L)), // tie at count 1 -> 2 wins
+      ("g3", None: Option[Long]), ("g3", Some(9L)))
+      .toDF("g", "v")
+    val out = Olap.modePerGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("g1") == ((3L, 2L)))
+    assert(out("g2") == ((2L, 1L))) // smallest value on a count tie
+    assert(out("g3") == ((9L, 1L))) // NULL never competes
+  }
 }

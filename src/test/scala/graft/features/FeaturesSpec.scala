@@ -72,6 +72,20 @@ class FeaturesSpec extends SparkSpec {
     assert(out(1).getLong(1) == 10L && out(1).getBoolean(4))
   }
 
+  test("targetEncode shrinks rare categories toward the global mean") {
+    // global mean 3.0; 'a' has 4 values mean 2.0, 'b' one value 7.0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0), ("b", 7.0))
+      .toDF("cat", "y")
+    val out = Features.targetEncode(df, "cat", "y", m = 2.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // a: (8 + 2*3)/(4+2) = 14/6 = 2.333333; b: (7 + 6)/(1+2) = 4.333333
+    assert(out("a") == ((4L, 2.333333)))
+    assert(out("b") == ((1L, 4.333333)))
+    // b sits far closer to the global mean than its raw mean 7.0
+    assert(math.abs(out("b")._2 - 3.0) < math.abs(7.0 - 3.0))
+    intercept[IllegalArgumentException] { Features.targetEncode(df, "cat", "y", -1) }
+  }
+
   test("scaleFeatures: three modes from closed-form stats") {
     // values 1..5: min 1, max 5, mean 3, sd sqrt(2.5), median 3, MAD 1
     val df = (1 to 5).map(_.toDouble).toDF("x")

@@ -174,6 +174,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("boilerplate: shared shingles counted, unique docs score 0, NULL survives") {
+    val docs = Seq(
+      (1L, Some("the quick brown fox")),   // shingles {the quick brown, quick brown fox}
+      (2L, Some("the quick brown cat")),   // shares "the quick brown" with doc 1
+      (3L, Some("entirely different words here")),
+      (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1), r.getLong(2), r.getDouble(3))))).toMap
+    assert(out(1L) == Some((2L, 1L, 0.5)))
+    assert(out(2L) == Some((2L, 1L, 0.5)))
+    assert(out(3L) == Some((2L, 0L, 0.0)))
+    assert(out(4L).isEmpty)
+  }
+
   test("piiScan counts and redacts emails, IPs, phones; NULL stays NULL") {
     val docs = Seq(
       (1L, "mail a.b+c@sub.example.org and x@y.io please"),

@@ -2418,6 +2418,34 @@ object SparkEntry {
       SELECT l_returnflag, l_quantity AS mode, n::BIGINT AS n
       FROM r WHERE rn = 1 ORDER BY l_returnflag"""))
 
+  /** Row-level quarantine: orders violating any row-local expectation,
+    * annotated with the name-sorted reason list — every routed row and
+    * its evidence hash-compared. */
+  private val qQuarantine = Q("dq3_quarantine_rows",
+    (s, d) => {
+      import graft.analyze.DataQuality._
+      val (_, bad) = quarantine(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        Seq(InRange("o_totalprice", 1000, 300000),
+          InSet("o_orderstatus", Seq("O", "F")),
+          Matches("o_orderpriority", "^[1-3]-")))
+      bad.orderBy("o_orderkey")
+    },
+    Some("""WITH f AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        o_orderpriority,
+        concat_ws(',',
+          CASE WHEN o_totalprice IS NOT NULL
+            AND (o_totalprice < 1000 OR o_totalprice > 300000)
+            THEN 'in_range(o_totalprice,1000.0,300000.0)' END,
+          CASE WHEN o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O','F') THEN 'in_set(o_orderstatus)' END,
+          CASE WHEN o_orderpriority IS NOT NULL
+            AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+            THEN 'matches(o_orderpriority)' END) AS violated
+        FROM orders)
+      SELECT * FROM f WHERE violated <> '' ORDER BY o_orderkey"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -2447,7 +2475,8 @@ object SparkEntry {
     qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
-    qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode)
+    qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
+    qQuarantine)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

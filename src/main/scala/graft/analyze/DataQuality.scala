@@ -92,6 +92,36 @@ object DataQuality {
     (scanPart.toSeq ++ refParts).reduce(_ unionAll _)
   }
 
+  /** Row-level quarantine routing — the counting report's structured-data
+    * sibling of [[graft.sources.Ingest.readJsonlQuarantined]]: split `df`
+    * into rows passing every row-local check and rows failing at least
+    * one, the latter annotated with a deterministic `violated` reason
+    * string (failed check names, name-sorted, comma-joined). Violating
+    * rows are ROUTED with evidence, never silently dropped or merely
+    * counted. One codegen predicate per check in a single scan; the two
+    * sides are complementary filters over it. Shuffle-needing checks
+    * (`Unique`, `RefIntegrity`) are rejected — their "violating rows"
+    * need joins, not row predicates. */
+  def quarantine(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "need at least one check")
+    val preds: Seq[(String, Column)] = checks.map {
+      case c @ NotNull(col0) => c.name -> col(col0).isNull
+      case c @ InRange(col0, lo, hi) =>
+        c.name -> (col(col0).isNotNull && (col(col0) < lo || col(col0) > hi))
+      case c @ InSet(col0, vs) =>
+        c.name -> (col(col0).isNotNull && !col(col0).isin(vs: _*))
+      case c @ Matches(col0, re) =>
+        c.name -> (col(col0).isNotNull && !col(col0).rlike(re))
+      case c => throw new IllegalArgumentException(
+        s"quarantine() supports row-local checks only, got ${c.name}")
+    }.sortBy(_._1)
+    val violated = concat_ws(",",
+      preds.map { case (n, p) => when(p, lit(n)) }: _*)
+    val flagged = df.withColumn("violated", violated)
+    (flagged.filter(col("violated") === "").drop("violated"),
+      flagged.filter(col("violated") =!= ""))
+  }
+
   /** Zero-extra-cost instrumentation: attach the row-local checks to an
     * existing action via `Dataset.observe`, so the QA report materializes
     * as a side effect of whatever job already runs (the write, the count)

@@ -51,6 +51,24 @@ class DataQualitySpec extends SparkSpec {
     assert(out == Map("ref_integrity(id)" -> 1L)) // id=3 orphaned; NULL id skipped
   }
 
+  test("quarantine routes violating rows with name-sorted reasons") {
+    val checks = Seq[Check](NotNull("id"), InRange("v", 0, 100),
+      InSet("cat", Seq("a", "b")), Matches("tag", "^ok-"))
+    val (clean, bad) = DataQuality.quarantine(df, checks)
+    // clean + bad partition the input; clean carries no extra column
+    assert(clean.count() + bad.count() == df.count())
+    assert(!clean.columns.contains("violated"))
+    val reasons = bad.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(4)).toMap
+    // the all-bad row fails three checks, reasons sorted by check name
+    assert(reasons(-1L) ==
+      "in_range(v,0.0,100.0),in_set(cat),matches(tag),not_null(id)")
+    assert(!reasons.contains(3L), "NULL value columns don't fail value checks")
+    intercept[IllegalArgumentException] {
+      DataQuality.quarantine(df, Seq(Unique(Seq("id"))))
+    }
+  }
+
   test("observed metrics agree with run() and cost no extra scan semantics") {
     val checks = Seq[Check](NotNull("id"), InRange("v", 0, 100),
       InSet("cat", Seq("a", "b")), Matches("tag", "^ok-"))

@@ -2446,6 +2446,64 @@ object SparkEntry {
         FROM orders)
       SELECT * FROM f WHERE violated <> '' ORDER BY o_orderkey"""))
 
+  /** Gap sessions through Spark's native session_window (the declarative
+    * twin of st3's stateful sessionize); epoch-µs bounds so the half-open
+    * merge semantics compare exactly against the SQL islands form. */
+  private val qSessionWindow = Q("st5_session_window",
+    (s, d) => EventStream.sessionWindows(events(s, d), "user_id", "ts",
+        "10 minutes")
+      .orderBy("user_id", "session_start_us"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      l AS (SELECT user_id, t,
+          lag(t) OVER (PARTITION BY user_id ORDER BY t) AS p FROM e),
+      m AS (SELECT user_id, t, CASE WHEN p IS NULL
+          OR t - p > 600000000 THEN 1 ELSE 0 END AS brk FROM l),
+      g AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
+          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m)
+      SELECT user_id, min(t) AS session_start_us,
+        max(t) + 600000000 AS session_end_us, count(*)::BIGINT AS n_events
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us"""))
+
+  /** Higher-moment profile of quantity: skewness/kurtosis from exact
+    * integer power sums (builtin skewness/kurtosis are merge-order-
+    * dependent — deliberately avoided). */
+  private val qMoments = Q("a20_moments",
+    (s, d) => graft.analyze.Moments.profile(t(s, d, "lineitem"), "l_quantity"),
+    Some("""WITH s AS (SELECT count(l_quantity)::DOUBLE AS n,
+        sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS s2,
+        sum(l_quantity*l_quantity*l_quantity) AS s3,
+        sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4 FROM lineitem),
+      m AS (SELECT n, s1/n AS m1, s2/n - (s1/n)*(s1/n) AS mp2,
+        s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS mp3,
+        s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+          - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS mp4 FROM s)
+      SELECT n::BIGINT AS n, round(m1, 6) AS mean, round(mp2, 6) AS var_pop,
+        round(mp3 / pow(mp2, 1.5), 6) AS skewness,
+        round(mp4 / (mp2*mp2) - 3, 6) AS kurtosis_excess FROM m"""))
+
+  /** Referentially-consistent pseudonymization: customer keys and the
+    * orders FK hash identically, so the join still works across the
+    * de-identified tables — per-pseudonym order counts hash-compared. */
+  private val qPseudonymize = Q("ps1_pseudonymize",
+    (s, d) => {
+      val cust = TextAnalysis.pseudonymize(
+        t(s, d, "customer").select(col("c_custkey")), Seq("c_custkey"), "42")
+      val ords = TextAnalysis.pseudonymize(
+        t(s, d, "orders").select(col("o_custkey")), Seq("o_custkey"), "42")
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left")
+        .groupBy(col("c_custkey").as("pseudonym"))
+        .agg(count(col("o_custkey")).as("n_orders"))
+        .orderBy("pseudonym")
+    },
+    Some("""WITH c AS (SELECT sha256('42:' || c_custkey::VARCHAR) AS pseudonym,
+        c_custkey FROM customer),
+      o AS (SELECT sha256('42:' || o_custkey::VARCHAR) AS p2 FROM orders)
+      SELECT c.pseudonym, count(o.p2)::BIGINT AS n_orders
+      FROM c LEFT JOIN o ON c.pseudonym = o.p2
+      GROUP BY 1 ORDER BY pseudonym"""))
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -2476,7 +2534,7 @@ object SparkEntry {
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
-    qQuarantine)
+    qQuarantine, qSessionWindow, qMoments, qPseudonymize)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -193,4 +193,23 @@ object EventStream {
         col("event_type"),
         col("n"),
         round(col("sum_value"), 4).as("sum_value"))
+
+  /** Gap sessions via Spark's NATIVE `session_window` — the declarative
+    * twin of [[sessionizeBatch]]'s stateful form: one groupBy, Catalyst
+    * owns the merge, and the identical expression lifts to Structured
+    * Streaming (where the engine also handles state eviction). Session
+    * end is `last event + gap`, and the merge boundary is INCLUSIVE: an
+    * event at exactly the previous session's end still extends it
+    * (measured Spark behavior — a new session needs `gap STRICTLY
+    * exceeded`). Output in epoch micros so the boundary semantics
+    * compare exactly. */
+  def sessionWindows(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
 }

@@ -264,6 +264,21 @@ object TextAnalysis {
         round(col("n_hit") / col("n_shingles"), 4).as("contaminated_frac"))
   }
 
+  /** Keyed pseudonymization: replace identifier columns with
+    * `sha2(salt:value)` digests — referentially CONSISTENT (the same
+    * value hashes identically everywhere, so joins still work across
+    * pseudonymized tables) yet irreversible without the salt; rotating
+    * the salt severs all linkage at once (the crypto-shredding lever).
+    * The privacy sibling of [[piiScan]]: scan redacts free text, this
+    * de-identifies structured keys. Pure per-row expressions, NULLs stay
+    * NULL. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to pseudonymize")
+    cols.foldLeft(df)((d, c) => d.withColumn(c,
+      when(col(c).isNotNull,
+        sha2(concat_ws(":", lit(salt), col(c).cast("string")), 256))))
+  }
+
   /** Intra-corpus boilerplate score: the fraction of a document's distinct
     * n-gram shingles that also occur in at least one OTHER document — high
     * values flag templated/navigational text (the complement of novelty;

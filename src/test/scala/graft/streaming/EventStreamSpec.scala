@@ -243,4 +243,25 @@ class EventStreamSpec extends SparkSpec {
       assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("sessionWindows: native session_window merges within-gap, splits at gap") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), // session A
+      (1L, "2024-01-01 10:09:59"), // 9:59 gap -> merges (and extends A)
+      (1L, "2024-01-01 10:19:59"), // gap EXACTLY 10:00 -> still merges (inclusive)
+      (1L, "2024-01-01 10:30:00"), // 10:01 gap -> new session
+      (2L, "2024-01-01 12:00:00"))
+      .toDF("user_id", "t").withColumn("ts", col("t").cast("timestamp"))
+    val out = EventStream.sessionWindows(ev, "user_id", "ts", "10 minutes")
+      .orderBy("user_id", "session_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3)
+    val us = (s: String) => java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(out(0) == ((1L, us("2024-01-01 10:00:00"),
+      us("2024-01-01 10:29:59"), 3L))) // end = last event + gap; boundary merges
+    assert(out(1) == ((1L, us("2024-01-01 10:30:00"),
+      us("2024-01-01 10:40:00"), 1L)))
+    assert(out(2)._1 == 2L && out(2)._4 == 1L)
+  }
 }

@@ -174,6 +174,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("pseudonymize: consistent digests preserve joins, NULLs stay NULL") {
+    val a = Seq((Some(1L), "x"), (Some(2L), "y"), (None: Option[Long], "z"))
+      .toDF("id", "v")
+    val p = TextAnalysis.pseudonymize(a, Seq("id"), "s3cret")
+    val rows = p.orderBy("v").collect()
+    assert(rows(0).getString(0).length == 64) // sha-256 hex
+    assert(rows(2).isNullAt(0))
+    // same value -> same pseudonym across independent tables (join-safe)
+    val b = TextAnalysis.pseudonymize(
+      Seq(1L).toDF("id"), Seq("id"), "s3cret")
+    assert(p.join(b, "id").count() == 1)
+    // different salt severs linkage entirely
+    val c = TextAnalysis.pseudonymize(Seq(1L).toDF("id"), Seq("id"), "other")
+    assert(p.join(c, "id").count() == 0)
+  }
+
   test("boilerplate: shared shingles counted, unique docs score 0, NULL survives") {
     val docs = Seq(
       (1L, Some("the quick brown fox")),   // shingles {the quick brown, quick brown fox}

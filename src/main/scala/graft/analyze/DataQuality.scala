@@ -104,6 +104,10 @@ object DataQuality {
     * need joins, not row predicates. */
   def quarantine(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
     require(checks.nonEmpty, "need at least one check")
+    require(!df.columns.contains("violated"),
+      "input already has a `violated` column (re-quarantining routed " +
+        "rows?) — rename or drop it first; silently overwriting it would " +
+        "lose the prior evidence")
     val preds: Seq[(String, Column)] = checks.map {
       case c @ NotNull(col0) => c.name -> col(col0).isNull
       case c @ InRange(col0, lo, hi) =>

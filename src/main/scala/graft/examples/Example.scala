@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analyze.SchemaAnalyzer
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
 import graft.convert.TableConverter
-import graft.graph.{EdgeType, RelGraph}
+import graft.graph.RelGraph
 import graft.pipeline.{Blueprint, Metrics}
 import graft.schema._
 
@@ -49,32 +49,32 @@ object Example {
       println(s"  $t: ${kinds.mkString(", ")}  fks=${ts.foreignKeys.size}")
     }
 
-    // 2. row ids + per-table feature conversion (target popped)
-    def withId(t: String): DataFrame = {
-      val ts = schema(t)
-      val order = if (ts.primaryKey.nonEmpty) ts.primaryKey else cat.table(t).columns.toSeq
-      RelGraph.withRowId(cat.table(t), order)
+    // 2. FK graph (row ids in PK order + every FK as an edge list) — ONE
+    // id assignment serves both the graph and the feature frames below.
+    // FKs pointing outside the analyzed table subset are pruned first
+    // (the registry declares them; this run didn't load their targets).
+    val present = schema.tables.keySet
+    val pruned = Schema(scala.collection.immutable.ListMap(
+      schema.tables.toSeq.map { case (t, ts) =>
+        t -> ts.copy(foreignKeys = ts.foreignKeys.filter(fk => present(fk.refTable)))
+      }: _*))
+    val graph = RelGraph.build(pruned,
+      pruned.tables.keys.map(t => t -> cat.table(t)).toMap)
+    graph.edges.foreach { case (et, e) =>
+      println(s"  edge ${et.src}->${et.dst}: ${e.count()} rows")
     }
+
+    // 3. per-table feature conversion (target popped) over the id'd nodes
     val conv = new TableConverter()
     val frames: Map[String, (DataFrame, Map[String, ColumnDef])] =
-      schema.tables.keys.map { t =>
+      graph.nodes.map { case (t, withId) =>
         val target = if (t == "orders") Some("o_totalprice") else None
-        t -> conv.convertTable(withId(t), schema(t), target,
+        t -> conv.convertTable(withId, schema(t), target,
           keep = Seq(RelGraph.RowId))
-      }.toMap
+      }
     frames.foreach { case (t, (_, defs)) =>
       println(s"  $t -> ${defs.size} feature columns")
     }
-
-    // 3. FK graph over the same row-id assignment
-    val nodesRaw = schema.tables.keys.map(t => t -> withId(t)).toMap
-    val edges = schema.edgeTypes
-      .filter { case (t, fk) => nodesRaw.contains(t) && nodesRaw.contains(fk.refTable) }
-      .map { case (t, fk) =>
-        EdgeType(t, fk.columns.mkString("_"), fk.refTable) ->
-          RelGraph.fkEdges(nodesRaw(t), nodesRaw(fk.refTable), fk)
-      }.toMap
-    edges.foreach { case (et, e) => println(s"  edge ${et.src}->${et.dst}: ${e.count()} rows") }
 
     // 4. one message-passing round + closed-form fitted readout
     val nodes = frames.map { case (t, (df, defs)) =>
@@ -82,10 +82,10 @@ object Example {
       t -> df.select(col(RelGraph.RowId).as("id"),
         array(featCols.map(col): _*).as("feat"))
     }
-    val out = Blueprint.forward(nodes, edges,
+    val out = Blueprint.forward(nodes, graph.edges,
       Blueprint.Config(layers = 1, aggr = "mean"))
     val dim = frames("orders")._2.size
-    val y = nodesRaw("orders").select(col(RelGraph.RowId).as("id"),
+    val y = graph.nodes("orders").select(col(RelGraph.RowId).as("id"),
       col("o_totalprice").as("y"))
     val untrained = Blueprint.decodeLinear(out("orders"), Array.fill(dim)(1.0), 0.0)
     val m0 = Metrics.regression(untrained.join(y, "id"), "score", "y").head()

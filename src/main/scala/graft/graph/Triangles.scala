@@ -65,9 +65,14 @@ object Triangles {
     * an exact integer. Output: one row (triangles, wedges, global_coeff). */
   def globalClusteringCoefficient(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val tri = count(edges, srcCol, dstCol)
-    val deg = edges.select(col(srcCol).as("__x"))
-      .unionAll(edges.select(col(dstCol).as("__x")))
+    // materialize the (possibly expensive) upstream edge derivation ONCE —
+    // both the triangle count and the degree pass read it, and without
+    // this the tc2 co-purchase self-join executed twice per call
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint(true)
+    val tri = count(e, "u", "v")
+    val deg = e.select(col("u").as("__x"))
+      .unionAll(e.select(col("v").as("__x")))
       .groupBy(col("__x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("__d"))
     val wed = deg.agg(coalesce((sum(col("__d") * (col("__d") - 1)) / 2)
       .cast("bigint"), lit(0L)).as("wedges"))

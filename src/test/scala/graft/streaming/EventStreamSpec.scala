@@ -245,14 +245,15 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("sessionWindows: native session_window merges within-gap, splits at gap") {
-    import org.apache.spark.sql.functions.col
+    // inputs as Timestamp objects, expectations via the same getTime —
+    // both instant-based, so the test holds under any JVM default TZ
     val ev = Seq(
-      (1L, "2024-01-01 10:00:00"), // session A
-      (1L, "2024-01-01 10:09:59"), // 9:59 gap -> merges (and extends A)
-      (1L, "2024-01-01 10:19:59"), // gap EXACTLY 10:00 -> still merges (inclusive)
-      (1L, "2024-01-01 10:30:00"), // 10:01 gap -> new session
-      (2L, "2024-01-01 12:00:00"))
-      .toDF("user_id", "t").withColumn("ts", col("t").cast("timestamp"))
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")), // session A
+      (1L, Timestamp.valueOf("2024-01-01 10:09:59")), // 9:59 gap -> merges
+      (1L, Timestamp.valueOf("2024-01-01 10:19:59")), // EXACTLY 10:00 -> still merges (inclusive)
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00")), // 10:01 gap -> new session
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("user_id", "ts")
     val out = EventStream.sessionWindows(ev, "user_id", "ts", "10 minutes")
       .orderBy("user_id", "session_start_us").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

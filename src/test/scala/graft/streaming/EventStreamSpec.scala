@@ -244,6 +244,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindows lifts to a watermarked stream unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // the IDENTICAL expression on a watermarked source: append mode only
+    // emits sessions the watermark has sealed
+    val q = EventStream.sessionWindows(
+        mem.toDF().toDF("user_id", "ts").withWatermark("ts", "0 seconds"),
+        "user_id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("native_sessions").count() == 0) // still open
+      mem.addData((1L, t("2024-01-01 11:00:00"))) // watermark seals session 1
+      q.processAllAvailable()
+      val closed = spark.table("native_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(closed == Seq((1L, 2L))) // first session emitted with 2 events
+    } finally q.stop()
+  }
+
   test("sessionWindows: native session_window merges within-gap, splits at gap") {
     // inputs as Timestamp objects, expectations via the same getTime —
     // both instant-based, so the test holds under any JVM default TZ

@@ -50,6 +50,33 @@ object Ingest {
     QuarantinedJsonl(good, bad, parsed)
   }
 
+  /** CSV twin of [[readJsonlQuarantined]]: PERMISSIVE parse against a
+    * declared schema with malformed lines captured verbatim and routed,
+    * never dropped. Same handle-owned cache lifecycle. `header = true`
+    * skips a leading header row; multiline fields are deliberately OFF
+    * (multiline CSV breaks input splitting — at 100 TB a file must be
+    * splittable, so upstream should quote-escape newlines instead). */
+  def readCsvQuarantined(spark: SparkSession, path: String,
+      schema: StructType, header: Boolean = false,
+      corruptCol: String = "_corrupt_record"): QuarantinedJsonl = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema must not already contain `$corruptCol`")
+    val withCorrupt = schema.add(corruptCol, "string")
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("header", header.toString)
+      .option("enforceSchema", "true")
+      .csv(path)
+      .cache()
+    val good = parsed.filter(col(corruptCol).isNull)
+      .drop(corruptCol)
+    val bad = parsed.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    QuarantinedJsonl(good, bad, parsed)
+  }
+
   /** Read a set of parquet paths whose schemas drifted across writes and
     * present them as ONE target schema. Each path is aligned
     * independently — missing columns arrive as NULLs, extra columns are

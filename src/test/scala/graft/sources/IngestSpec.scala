@@ -37,6 +37,26 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("readCsvQuarantined: type mismatches quarantine, clean rows parse") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val f = s"$dir/part.csv"
+    Files.writeString(java.nio.file.Paths.get(f),
+      """id,text
+        |1,hello
+        |oops,world
+        |2,bye
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val q = Ingest.readCsvQuarantined(spark, f, schema, header = true)
+    try {
+      assert(q.good.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      val b = q.bad.as[String].collect()
+      assert(b.length == 1 && b.head.contains("oops,world"),
+        s"malformed line kept verbatim: ${b.toSeq}")
+    } finally q.release()
+  }
+
   test("readEvolved: drifted snapshots align to the target schema") {
     val dir = Files.createTempDirectory("graft_evolve").toString
     // v1 snapshot: no `score` column yet; id written as int

@@ -2504,6 +2504,26 @@ object SparkEntry {
       FROM c LEFT JOIN o ON c.pseudonym = o.p2
       GROUP BY 1 ORDER BY pseudonym"""))
 
+  /** k-core of the part co-purchase graph — iterative peel to the unique
+    * fixpoint (rows-only: no SQL restatement exists for an
+    * iterate-to-fixpoint; determinism is pinned by KCoreSpec instead).
+    * k=70 sits just below this uniform graph's sharp degeneracy
+    * transition at sf0.01 (degrees 42-206, median 115; k=70 peels 29
+    * vertices, k=90 cascades to empty) so the query exercises a real
+    * multi-round peel. */
+  private val qKCore = Q("kc1_kcore",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.KCore.vertices(e, "u", "v", k = 70)
+        .orderBy("id")
+    },
+    None)
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -2534,7 +2554,7 @@ object SparkEntry {
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
-    qQuarantine, qSessionWindow, qMoments, qPseudonymize)
+    qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -1,0 +1,45 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition — the standard graph-pruning pass (drop everything
+  * that cannot sit in a subgraph of minimum degree k) run before
+  * community/cohesion analysis. Same iterative Spark shape as
+  * [[graft.dedup.Dedup.connectedComponents]]: each peel round is one
+  * degree aggregate + two semi-joins, eagerly localCheckpointed so
+  * lineage stays flat; rounds are bounded by the peel depth (≤ vertex
+  * count, in practice a handful). The fixpoint is unique, so the output
+  * is deterministic under any partitioning.
+  */
+object KCore {
+
+  /** Vertices of the k-core of the undirected simple graph `edges` (each
+    * edge once, either orientation, no self-loops). Output: (id, degree)
+    * — the surviving vertices with their degree INSIDE the core. Empty
+    * when no k-core exists. */
+  def vertices(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // symmetrize once: per-vertex degree = outdegree in the doubled list
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint(true)
+    var iter = 0
+    var stable = false
+    while (iter < maxIter && !stable) {
+      val deg = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+      val weak = deg.filter(col("__d") < k).select(col("a"))
+      if (weak.isEmpty) stable = true
+      else {
+        e = e
+          .join(weak, Seq("a"), "left_anti")
+          .join(weak.withColumnRenamed("a", "b"), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+        iter += 1
+      }
+    }
+    require(stable, s"k-core peel did not converge within $maxIter rounds")
+    e.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+  }
+}

@@ -28,7 +28,8 @@ class EntrySmokeSpec extends SparkSpec {
     assert(rowsOnly == Set("w6_random_split", "d2_minhash_neardups",
       "d4_simhash_neardups", "d4b_simhash128_neardups", "d5_embedding_neardups",
       "sim2_lsh_topk", "t4_text_embed_stub", "mm2_decode_batched",
-      "pr1_pagerank", "sim6_mmr_topk"))
+      "pr1_pagerank", "sim6_mmr_topk",
+      "kc1_kcore")) // iterate-to-fixpoint peel: no SQL restatement
     // and no oracle exists without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

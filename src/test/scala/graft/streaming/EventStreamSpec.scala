@@ -244,6 +244,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + Merge.upsert is the continuous CDC apply loop") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Merge
+    val mem = MemoryStream[(Long, String, Long)] // (key, value, version)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // seed snapshot
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+      .write.parquet(s"$dir/snap")
+    val q = mem.toDF().toDF("k", "v", "ver").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val current = spark.read.parquet(s"$dir/snap")
+        Merge.upsert(current, batch, Seq("k"), Some("ver"))
+          .write.mode("overwrite").parquet(s"$dir/next")
+        // atomic-swap stand-in: re-point the snapshot (a real deployment
+        // writes to a versioned dir and flips a manifest)
+        spark.read.parquet(s"$dir/next").write.mode("overwrite")
+          .parquet(s"$dir/snap")
+      }
+      .start()
+    try {
+      mem.addData((2L, "B2", 2L), (3L, "c", 1L)) // update + insert
+      q.processAllAvailable()
+      mem.addData((2L, "stale", 1L)) // stale version must lose
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$dir/snap")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("sessionWindows lifts to a watermarked stream unchanged") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]

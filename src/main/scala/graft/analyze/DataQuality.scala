@@ -96,7 +96,9 @@ object DataQuality {
     * sibling of [[graft.sources.Ingest.readJsonlQuarantined]]: split `df`
     * into rows passing every row-local check and rows failing at least
     * one, the latter annotated with a deterministic `violated` reason
-    * string (failed check names, name-sorted, comma-joined). Violating
+    * string (failed check names, name-sorted, ';'-joined — check names
+    * themselves contain commas, e.g. `in_range(col,lo,hi)`, so ';' keeps
+    * the evidence string unambiguously splittable downstream). Violating
     * rows are ROUTED with evidence, never silently dropped or merely
     * counted. One codegen predicate per check in a single scan; the two
     * sides are complementary filters over it. Shuffle-needing checks
@@ -119,7 +121,7 @@ object DataQuality {
       case c => throw new IllegalArgumentException(
         s"quarantine() supports row-local checks only, got ${c.name}")
     }.sortBy(_._1)
-    val violated = concat_ws(",",
+    val violated = concat_ws(";",
       preds.map { case (n, p) => when(p, lit(n)) }: _*)
     val flagged = df.withColumn("violated", violated)
     (flagged.filter(col("violated") === "").drop("violated"),

@@ -53,7 +53,7 @@ object Ivf {
   private def cellExpr(vecCol: Column, cents: Array[Array[Double]]): Column = {
     val scores = cents.map { c =>
       val normSq = c.map(x => x * x).sum
-      lit(normSq) - lit(2.0) * Similarity.dot(vecCol, array(c.map(lit): _*))
+      lit(normSq) - lit(2.0) * Similarity.dot(vecCol, Similarity.litVec(c))
     }
     val arr = array(scores: _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
@@ -71,7 +71,7 @@ object Ivf {
       cents: Array[Array[Double]], nProbe: Int): Column = {
     val probeScores = cents.map { c =>
       val normSq = c.map(x => x * x).sum
-      lit(normSq) - lit(2.0) * Similarity.dot(qv, array(c.map(lit): _*))
+      lit(normSq) - lit(2.0) * Similarity.dot(qv, Similarity.litVec(c))
     }
     val scoreStructs = array(probeScores.zipWithIndex.map { case (s, i) =>
       struct(s.as("s"), lit(i).as("i"))

@@ -53,7 +53,7 @@ object Pq {
   private def codeExpr(sub: Column, book: Array[Array[Double]]): Column = {
     val scores = book.map { c =>
       val normSq = c.map(x => x * x).sum
-      lit(normSq) - lit(2.0) * Similarity.dot(sub, array(c.map(lit): _*))
+      lit(normSq) - lit(2.0) * Similarity.dot(sub, Similarity.litVec(c))
     }
     val arr = array(scores: _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
@@ -82,13 +82,30 @@ object Pq {
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(j => seeds.map(_.slice(j * subDim, (j + 1) * subDim)))
     (1 to iters).foreach { _ =>
-      // one pass: explode to (subspace, subvector), assign, mean per code
+      // one pass: explode to (subspace, subvector), assign, mean per code.
+      // The assignment is DATA-driven, not code-driven: the codebooks ride
+      // along as one nested literal indexed by j, scored with higher-order
+      // functions whose generated code is constant-size. Unrolling the
+      // m·ksub argmin dots into expressions (the first-cut shape) grew the
+      // generated method past janino's 64 KB limit at realistic m/ksub and
+      // silently dropped the whole pass to interpreted mode — worse than
+      // the HOF lambda dispatch this trades it for, and training touches a
+      // bounded sample anyway. The SEARCH paths keep the unrolled codegen
+      // (their per-query LUT is m·ksub wide, compiled fine, and hot).
+      val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val normsLit = typedLit(books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
       val subs = unit.select(explode(array((0 until m).map { j =>
-        val sv = subVec(col(vecCol), j, subDim)
-        struct(lit(j).as("j"), codeExpr(sv, books(j)).as("c"), sv.as("v"))
+        struct(lit(j).as("j"), subVec(col(vecCol), j, subDim).as("v"))
       }: _*)).as("s"))
-      val means = subs.groupBy(col("s.j"), col("s.c"))
-        .agg(VectorAgg.vecMean(col("s.v")).as("mean"))
+        .select(col("s.j").as("__j"), col("s.v").as("__sv"))
+      val scores = zip_with(
+        element_at(booksLit, col("__j") + 1),
+        element_at(normsLit, col("__j") + 1),
+        (c, ns) => ns - lit(2.0) * Similarity.dot(col("__sv"), c))
+      val assigned = subs.withColumn("__c",
+        (array_position(scores, array_min(scores)) - 1).cast("int"))
+      val means = assigned.groupBy(col("__j"), col("__c"))
+        .agg(VectorAgg.vecMean(col("__sv")).as("mean"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
       books = Array.tabulate(m)(j =>
@@ -128,7 +145,7 @@ object Pq {
   private def adcLutCol(qv: Column, cb: Codebooks): Column =
     array((0 until cb.m).map { j =>
       array(cb.books(j).map(c =>
-        Similarity.dot(subVec(qv, j, cb.subDim), array(c.map(lit): _*))): _*)
+        Similarity.dot(subVec(qv, j, cb.subDim), Similarity.litVec(c))): _*)
     }: _*)
 
   private def adcApprox(lut: Column, codes: Column, cb: Codebooks): Column =

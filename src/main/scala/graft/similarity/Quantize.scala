@@ -60,7 +60,14 @@ object Quantize {
     val c8 = int8(corpus, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes").as("__cc"),
         sqrt(Similarity.dot(col("codes"), col("codes"))).as("__cn"))
-    val approx = c8.crossJoin(broadcast(q8))
+    // Zero vectors (int8() maps them to all-zero codes) would make the
+    // cosine 0/0 = NaN, and Spark ranks NaN above every real score — so a
+    // zero query or corpus row would permanently occupy top-k slots with
+    // cos = NaN. Drop zero-norm rows from the scan; a zero code norm is
+    // equivalent to a zero raw vector, so the exact re-rank below can
+    // never see a NaN pair either (the mmrRerank zero-norm device).
+    val approx = c8.filter(col("__cn") > 0)
+      .crossJoin(broadcast(q8.filter(col("__qn") > 0)))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__a",
         Similarity.dot(col("__qc"), col("__cc")) / (col("__qn") * col("__cn")))

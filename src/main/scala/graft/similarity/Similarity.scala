@@ -33,6 +33,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** A constant vector as ONE `Literal` node (backed by a single
+    * `ArrayData` the generated code merely references), never
+    * `array(xs.map(lit): _*)` — a `CreateArray` of d literals codegens
+    * d element stores + a `GenericArrayData` construction PER SITE, and a
+    * codebook/centroid spine holds hundreds of such sites, which is
+    * exactly how the PQ/IVF scoring projection blew past janino's 64 KB
+    * method limit and silently fell back to interpreted mode. */
+  def litVec(xs: Array[Double]): Column = typedLit(xs)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Unit-normalize a vector column given its precomputed norm column.
@@ -159,7 +168,7 @@ object Similarity {
     require(nPlanes <= 63, "signature packs into one long")
     val planes = hyperplanes(nPlanes, dim, seed)
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = litVec(plane)
       when(dot(vecCol, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

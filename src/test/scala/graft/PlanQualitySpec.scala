@@ -121,4 +121,24 @@ class PlanQualitySpec extends SparkSpec {
         "graft_bloom_might_contain filter fell out of whole-stage codegen")
     }
   }
+
+  test("ANN scoring stages compile under janino's 64 KB method limit") {
+    // Runtime falls back to interpreted mode SILENTLY when a generated
+    // method exceeds 64 KB (the round-6 regression: the PQ codebook spine
+    // codegen'd element-by-element) — so compile every WholeStageCodegen
+    // stage of the ANN-family plans here and fail loudly instead. The
+    // margin check (< half the limit) catches growth before it tips over.
+    withStaticPlans {
+      val annQueries = Seq("sim1_bruteforce_topk", "sim3_ivf_topk",
+        "sim4_pq_topk", "sim5_ivfpq_topk", "sim7_int8_topk",
+        "eq1_int8_quantize")
+      val oversized = annQueries.flatMap { name =>
+        org.apache.spark.sql.GraftCodegenProbe.compileStages(plan(name))
+          .filter(_._2 > 32 * 1024)
+          .map { case (stage, size) => s"$name/$stage: $size bytes" }
+      }
+      assert(oversized.isEmpty,
+        s"generated methods near/over the 64 KB janino limit: $oversized")
+    }
+  }
 }

@@ -60,9 +60,11 @@ class DataQualitySpec extends SparkSpec {
     assert(!clean.columns.contains("violated"))
     val reasons = bad.collect()
       .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(4)).toMap
-    // the all-bad row fails three checks, reasons sorted by check name
+    // the all-bad row fails three checks, reasons sorted by check name and
+    // ';'-joined — check names themselves contain commas, so ';' keeps the
+    // evidence string unambiguously splittable
     assert(reasons(-1L) ==
-      "in_range(v,0.0,100.0),in_set(cat),matches(tag),not_null(id)")
+      "in_range(v,0.0,100.0);in_set(cat);matches(tag);not_null(id)")
     assert(!reasons.contains(3L), "NULL value columns don't fail value checks")
     intercept[IllegalArgumentException] {
       DataQuality.quarantine(df, Seq(Unique(Seq("id"))))

@@ -56,4 +56,27 @@ class QuantizeSpec extends SparkSpec {
       Quantize.int8TopK(queries, vecs, "vec_id", "embedding", k = 5, shortlist = 3)
     }
   }
+
+  test("int8TopK: zero vectors never surface as NaN-scored neighbors") {
+    // a zero corpus vector has cosine 0/0 = NaN against everything; Spark
+    // orders NaN above every real double, so without the zero-norm filter
+    // it would permanently occupy a top-k slot
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)),  // zero corpus vector
+      (3L, Array(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.int8TopK(vecs.filter($"vec_id" === 0L), vecs,
+        "vec_id", "embedding", k = 3, shortlist = 10, roundDigits = 6)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !r.getDouble(2).isNaN), "no NaN scores")
+    assert(!out.map(_.getLong(1)).contains(2L), "zero vector excluded")
+    // a zero QUERY has no defined neighbors — it yields no rows, not NaNs
+    val zq = Quantize.int8TopK(vecs.filter($"vec_id" === 2L), vecs,
+        "vec_id", "embedding", k = 3, shortlist = 10)
+      .collect()
+    assert(zq.isEmpty, "zero query produces no NaN-ranked rows")
+  }
 }

@@ -92,6 +92,12 @@ class BucketingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Bucketing.compact(read, outDir, targetRecordsPerFile = 0)
     }
+    // in-place compaction (outPath == input source path) is rejected up
+    // front — mode("overwrite") onto the live input would be data loss
+    val inPlace = intercept[IllegalArgumentException] {
+      Bucketing.compact(read, smallDir, targetRecordsPerFile = 500)
+    }
+    assert(inPlace.getMessage.contains("in-place"))
     // layout-preserving mode: per-file key ranges stay disjoint, so
     // min/max skipping survives the compaction
     val sortedDir = s"$dir/sorted"

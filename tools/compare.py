@@ -41,26 +41,16 @@ for name in sorted(os.listdir(out_dir)):
     if len(a) != len(b):
         results[name] = f"ROWS-MISMATCH: mine={len(a)} oracle={len(b)}"
         continue
-    # list/array cells (e.g. embedding vectors, code arrays) are unhashable
-    # for pandas sorting — canonicalize them to strings on both sides first.
-    # NULL elements map through as-is; a failure marks this query BAD
-    # instead of aborting the whole gate.
-    def canon_cell(v):
-        if v is None or isinstance(v, (str, bytes, float, int)):
-            return v
-        return str([None if x is None else float(x) for x in v])
+    # NO array canonicalization here — the driver's gate sorts rows by all
+    # columns and crashes on array cells ("unhashable type: numpy.ndarray").
+    # A registered query must project arrays to scalars/strings itself;
+    # if it doesn't, fail it here exactly like the driver would.
     try:
-        for df_ in (a, b):
-            for c in df_.columns:
-                if df_[c].dtype == object and df_[c].map(
-                        lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__len__")
-                        and not isinstance(v, str)).any():
-                    df_[c] = df_[c].map(canon_cell)
+        a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
+        b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
     except Exception as e:
-        results[name] = f"CANON-FAIL: {str(e)[:200]}"
+        results[name] = f"UNSORTABLE (driver would crash): {str(e)[:200]}"
         continue
-    a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
-    b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
     bad = []
     for c in a.columns:
         av, bv = a[c], b[c]

@@ -762,6 +762,49 @@ object SparkEntry {
     },
     Some(fitClassifierOracle))
 
+  /** bp4's oracle: the N-step GD recurrence unrolled into one CTE chain
+    * per step — gradient CTE (the same per-row sigmoid expression and sum
+    * order as [[graft.pipeline.Blueprint.fitLogisticGD]]'s agg pass) then
+    * weight-update CTE (op order pinned to `w − lr·(g/n)`). Generated by
+    * the same loop index so Spark and DuckDB run structurally identical
+    * arithmetic; cross-engine drift is summation-order + exp ulps, orders
+    * below the round-6 contract (bp2's Cramer-oracle device). */
+  private def fitGdOracle(steps: Int, lr: Double): String = {
+    val sig = (w: String) => s"1.0/(1.0+exp(-(x1*$w.w1 + x2*$w.w2 + $w.b)))"
+    val chain = (1 to steps).map { i =>
+      val p = sig("w")
+      s"""g$i AS (SELECT sum(($p - y)*x1) AS g1, sum(($p - y)*x2) AS g2,
+          sum($p - y) AS gb FROM d, w${i - 1} w),
+        w$i AS (SELECT w.w1 - $lr*(g.g1/n.n) AS w1, w.w2 - $lr*(g.g2/n.n) AS w2,
+          w.b - $lr*(g.gb/n.n) AS b FROM w${i - 1} w, g$i g, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT l_quantity::DOUBLE AS x1, l_linenumber::DOUBLE AS x2,
+        CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
+      $chain
+      SELECT round(w1, 6) AS w_quantity, round(w2, 6) AS w_linenumber,
+        round(b, 6) AS bias FROM w$steps"""
+  }
+
+  /** Gradient-trained logistic readout (the reference's train-loop stage):
+    * 3 full-batch GD steps, each ONE distributed agg pass. */
+  private val qFitGd = Q("bp4_fit_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val (w, b) = Blueprint.fitLogisticGD(li, "feat", "y", dim = 2,
+        steps = 3, lr = 0.01)
+      import s.implicits._
+      Seq((w(0), w(1), b)).toDF("__w0", "__w1", "__b")
+        .select(round(col("__w0"), 6).as("w_quantity"),
+          round(col("__w1"), 6).as("w_linenumber"),
+          round(col("__b"), 6).as("bias"))
+    },
+    Some(fitGdOracle(steps = 3, lr = 0.01)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private val qEmbedStub = Q("t4_text_embed_stub",
@@ -1154,6 +1197,47 @@ object SparkEntry {
     },
     None)
 
+  /** REAL image decode (javax.imageio): deterministic two-band PNGs are
+    * encoded per nation row executor-side, then decoded back by
+    * [[Multimodal.decodeImageStats]] — the reported geometry and
+    * per-channel means come ONLY from actual PNG decode, while the oracle
+    * knows them in closed form from the construction (PNG is lossless;
+    * integer pixel sums / one IEEE division are bit-identical to DuckDB's
+    * rational formula because correctly-rounded division of equal exact
+    * rationals is unique). */
+  private val qImageDecode = Q("mm3_image_decode",
+    (s, d) => {
+      import s.implicits._
+      val media = t(s, d, "nation").select(
+          col("n_nationkey").cast("long").as("id"),
+          (lit(4) + pmod(col("n_nationkey"), lit(5))).cast("int").as("w"),
+          (lit(3) + pmod(col("n_regionkey"), lit(4))).cast("int").as("h"),
+          pmod(col("n_nationkey") * 37, lit(256)).cast("int").as("r1"),
+          pmod(col("n_nationkey") * 59, lit(256)).cast("int").as("g1"),
+          pmod(col("n_nationkey") * 83, lit(256)).cast("int").as("b1"),
+          pmod(col("n_nationkey") * 101, lit(256)).cast("int").as("r2"),
+          pmod(col("n_nationkey") * 131, lit(256)).cast("int").as("g2"),
+          pmod(col("n_nationkey") * 151, lit(256)).cast("int").as("b2"))
+        .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+        .map { case (id, w, h, r1, g1, b1, r2, g2, b2) =>
+          (id, Multimodal.encodeTwoBandPng(w, h, (r1, g1, b1), (r2, g2, b2)))
+        }
+        .toDF("media_id", "data")
+      Multimodal.decodeImageStats(media).orderBy("media_id")
+    },
+    Some("""WITH s AS (SELECT n_nationkey::BIGINT AS media_id,
+        (4 + n_nationkey % 5)::INT AS width,
+        (3 + n_regionkey % 4)::INT AS height,
+        (n_nationkey * 37) % 256 AS r1, (n_nationkey * 59) % 256 AS g1,
+        (n_nationkey * 83) % 256 AS b1, (n_nationkey * 101) % 256 AS r2,
+        (n_nationkey * 131) % 256 AS g2, (n_nationkey * 151) % 256 AS b2
+        FROM nation)
+      SELECT media_id, width, height,
+        ((height // 2) * r1 + (height - height // 2) * r2)::DOUBLE / height AS mean_r,
+        ((height // 2) * g1 + (height - height // 2) * g2)::DOUBLE / height AS mean_g,
+        ((height // 2) * b1 + (height - height // 2) * b2)::DOUBLE / height AS mean_b
+      FROM s ORDER BY media_id"""))
+
   /** Stateful running totals (mapGroupsWithState) — on a bounded input the
     * final state per key equals the plain aggregate, which IS the oracle. */
   private val qRunningTotals = Q("st2_running_totals",
@@ -1518,6 +1602,42 @@ object SparkEntry {
         .orderBy("id")
     },
     None)
+
+  /** pr1's oracle anchor: the same iterate-to-fixpoint loop on a literal
+    * 4-cycle, where every iteration's arithmetic is EXACT — (1−d) is exact
+    * by Sterbenz, /4 and ·0.25 are power-of-two scalings, and the two
+    * addends sum to the representable 1/4 — so ranks stay bit-exactly
+    * 0.25 and the closed-form expected output IS the oracle. The big
+    * rows-only pr1 stays the scale exercise; this row moves the loop's
+    * SEMANTICS (damping, contribution split, convergence plumbing) under
+    * the driver gate. */
+  private val qPageRankAnchor = Q("pr1b_pagerank_anchor",
+    (s, d) => {
+      import s.implicits._
+      val vertices = (1L to 4L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+      graft.graph.PageRank.run(vertices, "id", edges, iters = 5, validate = true)
+        .select(col("id"), col("rank").as("pr"))
+        .orderBy("id")
+    },
+    Some("""SELECT * FROM (VALUES (1::BIGINT, 0.25::DOUBLE),
+      (2::BIGINT, 0.25::DOUBLE), (3::BIGINT, 0.25::DOUBLE),
+      (4::BIGINT, 0.25::DOUBLE)) AS t(id, pr) ORDER BY id"""))
+
+  /** kc1's oracle anchor: the distributed peel on a literal triangle+tail
+    * graph whose unique fixpoint is closed-form (peel 5 then 4; the
+    * triangle survives at k=2 with degree 2 each) — integer degrees, no
+    * float anywhere, expected output stated as VALUES. */
+  private val qKCoreAnchor = Q("kc1b_kcore_anchor",
+    (s, d) => {
+      import s.implicits._
+      val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("u", "v")
+      graft.graph.KCore.vertices(e, "u", "v", k = 2).orderBy("id")
+    },
+    Some("""SELECT * FROM (VALUES (1::BIGINT, 2::BIGINT),
+      (2::BIGINT, 2::BIGINT), (3::BIGINT, 2::BIGINT)) AS t(id, degree)
+      ORDER BY id"""))
 
   /** Hierarchical rollup with explicit subtotal labels and grouping_id —
     * ONE aggregate over the expanded grouping sets. */
@@ -2122,19 +2242,24 @@ object SparkEntry {
       ORDER BY doc_id"""))
 
   /** Symmetric int8 embedding quantization with per-vector scale and
-    * reconstruction-error report — every code and error hash-compared. */
+    * reconstruction-error report — every code and error hash-compared.
+    * Codes are integer-valued by construction, so the registered query
+    * projects the array to a comma-joined string of integers (the driver
+    * gate sorts rows by all columns and cannot hash raw array cells — the
+    * t4b scalar-projection device). */
   private val qInt8 = Q("eq1_int8_quantize",
     (s, d) => Quantize.int8(t(s, d, "embeddings"), "vec_id", "embedding")
+      .withColumn("codes",
+        concat_ws(",", transform(col("codes"), x => x.cast("long"))))
       .orderBy("vec_id"),
     Some("""WITH q AS (SELECT vec_id,
         list_transform(embedding, x -> x::DOUBLE) AS v,
         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
         FROM embeddings)
       SELECT vec_id, len(v)::BIGINT AS n_dims, round(s, 6) AS scale,
-        CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
-          -- + 0.0 normalizes IEEE -0.0 (DuckDB round keeps the sign bit,
-          -- Spark's BigDecimal-based round never emits it)
-          ELSE list_transform(v, x -> round(x / s) + 0.0) END AS codes,
+        CASE WHEN s = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+          ELSE array_to_string(list_transform(v,
+            x -> round(x / s)::BIGINT), ',') END AS codes,
         CASE WHEN s = 0 THEN 0.0
           ELSE round(list_max(list_transform(v,
             x -> abs(round(x / s) * s - x))), 6) + 0.0 END AS max_abs_err
@@ -2254,13 +2379,16 @@ object SparkEntry {
 
   /** Tokenizer encode: corpus-derived top-50 vocab (frequency-ranked,
     * token tiebreak — the freq1 ranking), documents mapped to token-id
-    * sequences with OOV → −1; every id sequence hash-compared. */
+    * sequences with OOV → −1; every id sequence hash-compared as a
+    * comma-joined string (the driver gate cannot hash raw array cells —
+    * the t4b scalar-projection device). */
   private val qTokEncode = Q("tok1_encode_tokens",
     (s, d) => {
       val docs = t(s, d, "documents")
       val vocab = graft.text.Chunker.topKVocab(docs, "text", 50)
       graft.text.Chunker.encodeTokens(docs, "doc_id", "text", vocab,
           "token", "tid")
+        .withColumn("token_ids", concat_ws(",", col("token_ids")))
         .orderBy("doc_id")
     },
     Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
@@ -2274,7 +2402,7 @@ object SparkEntry {
       enc AS (SELECT p.doc_id, p.i, coalesce(v.tid, -1)::INTEGER AS tid
         FROM pos p LEFT JOIN vocab v ON p.tk = v.tk)
       SELECT doc_id, count(*)::BIGINT AS n_tokens,
-        list(tid ORDER BY i) AS token_ids
+        string_agg(tid, ',' ORDER BY i) AS token_ids
       FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
   /** PSI drift between all lineitems (reference) and the discounted
@@ -2434,7 +2562,7 @@ object SparkEntry {
     },
     Some("""WITH f AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
         o_orderpriority,
-        concat_ws(',',
+        concat_ws(';',
           CASE WHEN o_totalprice IS NOT NULL
             AND (o_totalprice < 1000 OR o_totalprice > 300000)
             THEN 'in_range(o_totalprice,1000.0,300000.0)' END,
@@ -2538,15 +2666,16 @@ object SparkEntry {
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
-    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qEmbedStub, qEmbedTable, qDuration,
+    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qSimhash, qSimhash128, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,
     qTextQuality, qLangId, qFingerprint,
-    qMedia, qDecode, qHourly, qRunningTotals, qSessions,
+    qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
     qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
+    qPageRankAnchor, qKCoreAnchor,
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,
     qHeavyHitters, qGroupedQuantiles, qMmr,

@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extract run as partition-parallel
   * batch transforms.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): `stubDecodeFeatures` produces a deterministic fake feature
-  * vector derived from the bytes. The Spark-side plumbing — schema,
-  * partitioning, batch iterator shape — is real and tested; swapping the
-  * stub for a JNI/ONNX decoder changes one function.
+  * The IMAGE path is real: encode / decode / stat / resize run on the
+  * JDK's built-in `javax.imageio` codecs (PNG, BMP, GIF, JPEG — no
+  * external libraries), partition-parallel in the same batch shape as
+  * [[decodeBatched]]. Audio/video codecs don't ship in the JVM, so their
+  * decode remains the deterministic hash fallback (`stubDecodeFeatures` /
+  * `stubBatchCodec`) behind the same pluggable batch-codec signature —
+  * swapping in a JNI/ONNX decoder changes one function.
   */
 object Multimodal {
 
@@ -97,11 +99,107 @@ object Multimodal {
       }
     }
 
-  /** ??? STUB ??? — image resize: updates the metadata struct to the target
-    * dimensions and derives a deterministic fake payload of plausible size
-    * (payload scales with pixel count). The metadata bookkeeping, payload
-    * re-emission, and schema preservation are the real plumbing; swap the
-    * byte transform for an actual resampler. */
+  // ---------------------------------------------------------------- images
+  // Real codecs via the JDK's javax.imageio — available in every JVM, no
+  // external dependency, headless-safe.
+
+  /** Encode a horizontal two-band RGB image (rows [0, h/2) in color1, the
+    * rest in color2) to PNG bytes — the deterministic fixture generator for
+    * decode tests and oracle queries: PNG is lossless, so the decoded
+    * per-channel means are closed-form in (w, h, colors). Runs inside
+    * executor-side maps (pure function of its arguments). */
+  def encodeTwoBandPng(width: Int, height: Int,
+      rgb1: (Int, Int, Int), rgb2: (Int, Int, Int)): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val p1 = (rgb1._1 << 16) | (rgb1._2 << 8) | rgb1._3
+    val p2 = (rgb2._1 << 16) | (rgb2._2 << 8) | rgb2._3
+    var y = 0
+    while (y < height) {
+      val p = if (y < height / 2) p1 else p2
+      var x = 0
+      while (x < width) { img.setRGB(x, y, p); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode: each payload through `javax.imageio.ImageIO.read`
+    * (PNG/BMP/GIF/JPEG), reporting actual decoded dimensions and exact
+    * per-channel pixel means — the geometry/stat pass a curation pipeline
+    * runs before filtering or resizing. Same partition-parallel batched
+    * iterator as [[decodeBatched]] (batches bound peak decoded-pixel
+    * memory per task); undecodable payloads fail loudly with the media id
+    * rather than silently skewing corpus stats.
+    *
+    * @return (media_id, width, height, mean_r, mean_g, mean_b) */
+  def decodeImageStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < px.length) {
+            sr += (px(i) >> 16) & 0xff; sg += (px(i) >> 8) & 0xff; sb += px(i) & 0xff
+            i += 1
+          }
+          val n = w.toLong * h
+          (id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        })
+      }
+      .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** REAL image resize via JDK `Graphics2D` bilinear scaling + PNG
+    * re-encode: data and metadata are rewritten to the target geometry.
+    * Executor-side, batched like [[decodeImageStats]]. The output format is
+    * normalized to PNG regardless of input codec (the usual corpus-prep
+    * normalization step). */
+  def resizeImages(df: DataFrame, width: Int, height: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(width >= 1 && height >= 1, s"bad target ${width}x$height")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val dst = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          (id, out.toByteArray)
+        })
+      }
+      .toDF("media_id", "data")
+      .withColumn("meta", struct(
+        lit("image/png").as("format"), lit(width).as("width"),
+        lit(height).as("height"), lit(0L).as("duration_ms")))
+  }
+
+  /** Metadata-only resize used where no decodable payload exists (the
+    * audio/video analogue of [[resizeImages]]): updates the metadata struct
+    * to the target dimensions and derives a deterministic placeholder
+    * payload. For real images use [[resizeImages]]. */
   def stubResize(df: DataFrame, width: Int, height: Int): DataFrame = {
     val fakeBytes = sha2(concat(col("data").cast("string"),
       lit(s"${width}x$height")), 256).cast("binary")

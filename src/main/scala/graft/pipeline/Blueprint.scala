@@ -98,7 +98,7 @@ object Blueprint {
     * Weights as literals → broadcast-free, codegen-friendly. */
   def decodeLinear(target: DataFrame, weights: Array[Double], bias: Double): DataFrame =
     target.select(col("id"),
-      (Similarity.dot(col("feat"), array(weights.map(lit): _*)) + bias).as("score"))
+      (Similarity.dot(col("feat"), Similarity.litVec(weights)) + bias).as("score"))
 
   /** F21-style classification readout: per-class scores → softmax + argmax. */
   def decodeClasses(target: DataFrame, classWeights: Seq[Array[Double]]): DataFrame =
@@ -110,7 +110,7 @@ object Blueprint {
       biases: Seq[Double]): DataFrame = {
     require(classWeights.length == biases.length, "one bias per class")
     val scores = array(classWeights.zip(biases).map { case (w, b) =>
-      Similarity.dot(col("feat"), array(w.map(lit): _*)) + lit(b)
+      Similarity.dot(col("feat"), Similarity.litVec(w)) + lit(b)
     }: _*)
     target.select(col("id"), scores.as("scores"))
       .withColumn("probs", Similarity.softmaxArray(col("scores")))
@@ -172,6 +172,49 @@ object Blueprint {
       val w = solveLinearSystem(a, b)
       (w.take(dim), w(dim))
     }
+  }
+
+  /** Gradient-trained logistic readout — the train-LOOP capability of the
+    * reference's Lightning fit stage (main.py:307-323) in distributed
+    * form, complementing the closed-form [[fitLinearDecoder]]: full-batch
+    * gradient descent on logistic loss, where EVERY step is exactly one
+    * distributed aggregation pass (the gradient `Σ (σ(w·x+b) − y)·x` and
+    * `Σ (σ(w·x+b) − y)` with map-side partial aggregation — a (dim+2)-value
+    * shuffle per step) followed by a driver-side scalar weight update. The
+    * weights enter the next step's plan as literals, so no broadcast or
+    * state distribution is needed and the per-step scan is pure codegen.
+    * Mini-batching at 100 TB = a deterministic [[graft.sample.Sampling]]
+    * filter composed in front per step; the loop shape is unchanged.
+    *
+    * Update rule (op order pinned for engine-parity restatement):
+    * `w_i ← w_i − lr·(g_i/n + l2·w_i)`, bias unpenalized. Weights start at
+    * zero, so step 1's gradient is exact-integer arithmetic for integer
+    * features; later steps are dominated by σ = 1/(1+exp(−m)), whose
+    * cross-engine error is ulp-level — orders below the round-6 contract.
+    */
+  def fitLogisticGD(df: DataFrame, featCol: String, yCol: String, dim: Int,
+      steps: Int, lr: Double, l2: Double = 0.0): (Array[Double], Double) = {
+    require(dim >= 1, "need at least one feature")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    val w = Array.fill(dim)(0.0)
+    var b = 0.0
+    (1 to steps).foreach { _ =>
+      val margin = (0 until dim).map(i => x(i) * lit(w(i))).reduce(_ + _) + lit(b)
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val sums = (0 until dim).map(i => sum((p - y) * x(i)).as(s"g_$i")) ++
+        Seq(sum(p - y).as("g_b"), count(lit(1)).cast("double").as("n"))
+      val row = df.agg(sums.head, sums.tail: _*).collect()(0)
+      val n = row.getDouble(row.fieldIndex("n"))
+      require(n > 0, "cannot fit on an empty DataFrame")
+      (0 until dim).foreach { i =>
+        w(i) = w(i) - lr * (row.getDouble(row.fieldIndex(s"g_$i")) / n + l2 * w(i))
+      }
+      b = b - lr * (row.getDouble(row.fieldIndex("g_b")) / n)
+    }
+    (w, b)
   }
 
   /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:

@@ -157,14 +157,29 @@ object Sampling {
     * single final division is one IEEE op — any engine computes the same
     * keep fraction bit-for-bit, and the per-row coin is the md5 device of
     * [[stratifiedSamplePortable]] (to which this delegates). The per-source
-    * counts are one aggregation collected to the driver — bounded by the
-    * number of sources, the same scalar-state class as Lloyd centroids.
-    * The filter itself is one codegen scan: no shuffle at any data size. */
+    * counts are one aggregation collected to the driver — sound ONLY while
+    * `sourceCol` is a genuinely low-cardinality partition key (language,
+    * domain, dataset name: the scalar-state class of Lloyd centroids).
+    * `maxSources` enforces that contract: a caller who mixes on a
+    * data-sized key (doc id, url) gets a clear IllegalArgumentException at
+    * `maxSources + 1` collected rows instead of a driver OOM at
+    * data-cardinality rows. The filter itself is one codegen scan: no
+    * shuffle at any data size. */
   def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
-      targetFraction: Double, seed: String = "42"): DataFrame = {
+      targetFraction: Double, seed: String = "42",
+      maxSources: Int = 100000): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0, 1], got $targetFraction")
-    val countRows = df.groupBy(col(sourceCol)).count().collect()
+    require(maxSources >= 1, s"maxSources must be >= 1, got $maxSources")
+    // limit(maxSources + 1) caps what can ever reach the driver; one extra
+    // row is enough to DETECT the violation without collecting the tail
+    val countRows = df.groupBy(col(sourceCol)).count()
+      .limit(maxSources + 1).collect()
+    require(countRows.length <= maxSources,
+      s"`$sourceCol` has more than $maxSources distinct values — " +
+        "temperatureMix collects per-source counts to the driver and is " +
+        "meant for low-cardinality source keys (language, domain, dataset); " +
+        "raise maxSources only if the key really is bounded")
     require(!countRows.exists(_.isNullAt(0)),
       s"NULL values in `$sourceCol` — a NULL stratum can't be routed by the " +
         "per-source coin; fill or filter before mixing")

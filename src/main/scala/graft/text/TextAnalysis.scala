@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -142,6 +142,35 @@ object TextAnalysis {
     docs.select(col(idCol))
       .join(means, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__e"), zero).as("embedding"))
+  }
+
+  /** GloVe-format embedding loader — the file the reference feeds its text
+    * encoder (ctu_dataset.py:43-52 loads `glove.6B.50d.txt`): one line per
+    * token, `token v1 v2 … vd` space-separated, no header. Parsed with pure
+    * expressions over a distributed text scan (a 400k-line GloVe file is a
+    * single-split read; a multi-TB embedding dump parallelizes for free)
+    * into the (token, vec) DataFrame [[embedWithTable]] consumes.
+    *
+    * Malformed input fails loudly per row via `raise_error` — a wrong
+    * field count or a non-numeric component means the wrong `dim` was
+    * passed or the file is corrupt, and silently skipping rows would skew
+    * every downstream sentence embedding. */
+  def loadGloVe(spark: SparkSession, path: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val parts = split(col("value"), " ")
+    val vec = transform(slice(parts, 2, dim), x => x.cast("double"))
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0) // GloVe files may end with \n
+      .select(
+        when(size(parts) === dim + 1, element_at(parts, 1))
+          .otherwise(raise_error(concat(
+            lit(s"GloVe line must have ${dim + 1} space-separated fields, got "),
+            size(parts).cast("string"), lit(": "),
+            substring(col("value"), 1, 80)))).as("token"),
+        when(forall(vec, _.isNotNull), vec)
+          .otherwise(raise_error(concat(
+            lit("non-numeric vector component in GloVe line: "),
+            substring(col("value"), 1, 80)))).as("vec"))
   }
 
   /** Gopher-style repetition signals per document: duplicate-word fraction

@@ -68,6 +68,41 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(m.getAs[Array[Byte]]("data"), again.getAs[Array[Byte]]("data")))
   }
 
+  test("real PNG round-trip: encode, decode stats, dimensions + exact means") {
+    // 6x4 two-band: top 2 rows (10,20,30), bottom 2 rows (50,60,70) —
+    // decoded means are the closed-form band averages
+    val bytes = Multimodal.encodeTwoBandPng(6, 4, (10, 20, 30), (50, 60, 70))
+    val df = Seq((7L, bytes)).toDF("id", "png")
+    val m = Multimodal.asMedia(df, "id", "png", "image/png")
+    val out = Multimodal.decodeImageStats(m).collect()(0)
+    assert((out.getInt(1), out.getInt(2)) == (6, 4))
+    assert(out.getDouble(3) == 30.0 && out.getDouble(4) == 40.0 &&
+      out.getDouble(5) == 50.0)
+    // undecodable payloads fail loudly with the media id, never skew stats
+    val junk = Multimodal.asMedia(Seq((9L, "not an image")).toDF("id", "t"),
+      "id", "t", "image/png")
+    val e = intercept[Exception] {
+      Multimodal.decodeImageStats(junk).collect()
+    }
+    assert(e.getMessage.contains("media_id=9") ||
+      e.getCause != null && e.getCause.getMessage.contains("media_id=9"))
+  }
+
+  test("resizeImages scales payloads for real: re-decode confirms geometry") {
+    // solid color (both bands equal) so bilinear resampling cannot change
+    // the channel means — geometry changes, means are invariant
+    val bytes = Multimodal.encodeTwoBandPng(8, 8, (100, 150, 200), (100, 150, 200))
+    val m = Multimodal.asMedia(Seq((3L, bytes)).toDF("id", "png"),
+      "id", "png", "image/png")
+    val resized = Multimodal.resizeImages(m, 4, 2)
+    val meta = resized.collect()(0).getStruct(2)
+    assert(meta.getAs[Int]("width") == 4 && meta.getAs[Int]("height") == 2)
+    val stats = Multimodal.decodeImageStats(resized).collect()(0)
+    assert((stats.getInt(1), stats.getInt(2)) == (4, 2))
+    assert(stats.getDouble(3) == 100.0 && stats.getDouble(4) == 150.0 &&
+      stats.getDouble(5) == 200.0)
+  }
+
   test("frameOffsets samples every N ms over the recorded duration") {
     val withDur = media.withColumn("meta",
       struct(col("meta.format"), col("meta.width"), col("meta.height"),

@@ -142,4 +142,18 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMix(df, "src", "id", 0.0)
     }
   }
+
+  test("temperatureMix rejects data-cardinality source keys with a clear error") {
+    import spark.implicits._
+    // mixing on a per-row key would collect data-sized counts to the
+    // driver — the guard must fail fast, not OOM
+    val df = (1L to 500L).map(i => (i, s"doc_$i")).toDF("id", "src")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, "src", "id", 0.5, maxSources = 100)
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // at or under the bound the mix proceeds normally
+    assert(Sampling.temperatureMix(df, "src", "id", 1.0, maxSources = 500)
+      .count() == 500L)
+  }
 }

@@ -226,4 +226,36 @@ class TextAnalysisSpec extends SparkSpec {
       out(3).getString(4) == "clean text, version 1.2 only")
     assert((1 to 4).forall(out(4).isNullAt))
   }
+
+  test("loadGloVe parses token/vec lines and feeds embedWithTable") {
+    val dir = java.nio.file.Files.createTempDirectory("glove").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "glove.txt")
+    val lines = Seq(
+      "the 0.1 0.2", "quick 1.0 -1.0", "brown 0.5 0.5", "fox -0.2 0.4",
+      "jumps 0.0 1.0", "over 0.3 -0.3", "lazy -1.0 0.0", "dog 0.8 0.6",
+      "a 0.0 0.0", "and 0.25 -0.75")
+    java.nio.file.Files.write(f.toPath,
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val table = TextAnalysis.loadGloVe(spark, f.getAbsolutePath, dim = 2)
+    assert(table.count() == 10L)
+    val quick = table.filter(col("token") === "quick").collect()(0)
+    assert(quick.getSeq[Double](1) == Seq(1.0, -1.0))
+    // end-to-end: the loaded table drives the F20 sentence embedding
+    val docs = Seq((1L, "the quick fox"), (2L, "zzz unknown")).toDF("doc_id", "text")
+    val out = TextAnalysis.embedWithTable(docs, "doc_id", "text", table,
+        "token", "vec", dim = 2)
+      .orderBy("doc_id").collect()
+    // mean of (0.1,0.2), (1.0,-1.0), (-0.2,0.4)
+    assert(math.abs(out(0).getSeq[Double](1)(0) - 0.3) < 1e-12)
+    assert(math.abs(out(0).getSeq[Double](1)(1) - (-0.4 / 3)) < 1e-12)
+    assert(out(1).getSeq[Double](1) == Seq(0.0, 0.0), "all-OOV doc -> zero vec")
+    // malformed rows fail loudly, not silently skip
+    java.nio.file.Files.write(f.toPath, "bad 0.1\n".getBytes("UTF-8"))
+    val err = intercept[Exception] {
+      TextAnalysis.loadGloVe(spark, f.getAbsolutePath, dim = 2).collect()
+    }
+    assert(err.getMessage.contains("GloVe") ||
+      err.getCause != null && err.getCause.getMessage.contains("GloVe"))
+  }
 }

@@ -805,6 +805,70 @@ object SparkEntry {
     },
     Some(fitGdOracle(steps = 3, lr = 0.01)))
 
+  /** bp5's oracle: backprop through the one-hidden-layer network unrolled
+    * step by step — per step, a forward CTE (hidden activations), an
+    * output CTE (residual `dm`), a gradient CTE (the nine sums of
+    * [[graft.pipeline.Blueprint.fitMlpGD]]'s single agg pass, same product
+    * order), and an update CTE (`θ − lr·(g/n)`). Parameter naming:
+    * `wIJ` = w1(feature I)(hidden J), `cJ` = b1(J), `vJ` = w2(J),
+    * `vb` = b2. */
+  private def fitMlpOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""p$k AS (SELECT d.x1, d.x2, d.y, w.*,
+          1/(1+exp(-((x1*w.w00 + x2*w.w10) + w.c0))) AS h0,
+          1/(1+exp(-((x1*w.w01 + x2*w.w11) + w.c1))) AS h1
+        FROM d, w${k - 1} w),
+      q$k AS (SELECT *, 1/(1+exp(-((h0*v0 + h1*v1) + vb))) - y AS dm FROM p$k),
+      g$k AS (SELECT
+        sum(dm * v0 * (h0*(1-h0)) * x1) AS gw00,
+        sum(dm * v1 * (h1*(1-h1)) * x1) AS gw01,
+        sum(dm * v0 * (h0*(1-h0)) * x2) AS gw10,
+        sum(dm * v1 * (h1*(1-h1)) * x2) AS gw11,
+        sum(dm * v0 * (h0*(1-h0))) AS gc0,
+        sum(dm * v1 * (h1*(1-h1))) AS gc1,
+        sum(dm * h0) AS gv0, sum(dm * h1) AS gv1, sum(dm) AS gb FROM q$k),
+      w$k AS (SELECT
+        w.w00 - $lr*(g.gw00/n.n) AS w00, w.w01 - $lr*(g.gw01/n.n) AS w01,
+        w.w10 - $lr*(g.gw10/n.n) AS w10, w.w11 - $lr*(g.gw11/n.n) AS w11,
+        w.c0 - $lr*(g.gc0/n.n) AS c0, w.c1 - $lr*(g.gc1/n.n) AS c1,
+        w.v0 - $lr*(g.gv0/n.n) AS v0, w.v1 - $lr*(g.gv1/n.n) AS v1,
+        w.vb - $lr*(g.gb/n.n) AS vb FROM w${k - 1} w, g$k g, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT l_quantity::DOUBLE AS x1, l_linenumber::DOUBLE AS x2,
+        CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      w0 AS (SELECT 0.1 AS w00, -0.1 AS w01, 0.2 AS w10, -0.2 AS w11,
+        0.0 AS c0, 0.0 AS c1, 0.1 AS v0, 0.2 AS v1, 0.0 AS vb),
+      $chain
+      SELECT round(w00, 6) AS w00, round(w01, 6) AS w01,
+        round(w10, 6) AS w10, round(w11, 6) AS w11,
+        round(c0, 6) AS c0, round(c1, 6) AS c1,
+        round(v0, 6) AS v0, round(v1, 6) AS v1,
+        round(vb, 6) AS vb FROM w$steps"""
+  }
+
+  /** Gradient-trained HIDDEN layer: 2 backprop steps through a 2-unit
+    * sigmoid MLP, each step one distributed agg pass. */
+  private val qFitMlp = Q("bp5_fit_mlp_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitMlpGD(li, "feat", "y", dim = 2, hidden = 2,
+        steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0), p.w1(0)(1), p.w1(1)(0), p.w1(1)(1),
+          p.b1(0), p.b1(1), p.w2(0), p.w2(1), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e", "__f", "__g", "__h", "__i")
+        .select(round(col("__a"), 6).as("w00"), round(col("__b"), 6).as("w01"),
+          round(col("__c"), 6).as("w10"), round(col("__d"), 6).as("w11"),
+          round(col("__e"), 6).as("c0"), round(col("__f"), 6).as("c1"),
+          round(col("__g"), 6).as("v0"), round(col("__h"), 6).as("v1"),
+          round(col("__i"), 6).as("vb"))
+    },
+    Some(fitMlpOracle(steps = 2, lr = 0.05)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private val qEmbedStub = Q("t4_text_embed_stub",
@@ -2666,7 +2730,7 @@ object SparkEntry {
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
-    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qEmbedStub, qEmbedTable, qDuration,
+    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qSimhash, qSimhash128, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK,

@@ -217,6 +217,96 @@ object Blueprint {
     (w, b)
   }
 
+  /** Parameters of a one-hidden-layer sigmoid network:
+    * `h_j = σ(Σ_i x_i·w1(i)(j) + b1(j))`, `p = σ(Σ_j h_j·w2(j) + b2)`. */
+  final case class MlpParams(w1: Array[Array[Double]], b1: Array[Double],
+      w2: Array[Double], b2: Double)
+
+  /** Gradient-trained HIDDEN layer — end-to-end backprop through a
+    * one-hidden-layer sigmoid network, the message-passing-weights
+    * counterpart of [[fitLogisticGD]]'s readout-only training (the
+    * reference trains the whole blueprint stack end-to-end,
+    * main.py:307-323, nn/models/blueprint.py:24-214). Every GD step is
+    * ONE distributed aggregation pass: the per-row forward activations
+    * and all backprop products are codegen expressions, and only the
+    * `dim·H + 2H + 2` gradient sums shuffle (map-side partial agg). The
+    * updated parameters re-enter the next step's plan as literals —
+    * nothing is broadcast, no state lives on executors, so the loop runs
+    * unchanged on a 1000-executor cluster; mini-batching composes a
+    * deterministic [[graft.sample.Sampling]] filter in front of each pass.
+    *
+    * Op order is pinned (margins accumulate in feature order; each
+    * gradient product multiplies left-to-right `dm · w2_j · h_j(1−h_j) ·
+    * x_i`; updates are `θ − lr·(g/n)`) so the recurrence is restatable
+    * engine-for-engine in SQL — cross-engine drift is summation-order and
+    * exp ulps, orders below a round-6 contract. */
+  def fitMlpGD(df: DataFrame, featCol: String, yCol: String, dim: Int,
+      hidden: Int, steps: Int, lr: Double,
+      init: MlpParams = null): MlpParams = {
+    require(dim >= 1 && hidden >= 1, "need at least one feature and hidden unit")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    // zero init would make hidden units permanently identical (symmetry);
+    // the default is a small deterministic ramp, same constants as the
+    // SQL restatement
+    val p0 = if (init != null) init else MlpParams(
+      Array.tabulate(dim, hidden)((i, j) => 0.1 * (i + 1) * (if (j % 2 == 0) 1 else -1)),
+      Array.fill(hidden)(0.0),
+      Array.tabulate(hidden)(j => 0.1 * (j + 1)),
+      0.0)
+    require(p0.w1.length == dim && p0.w1.forall(_.length == hidden) &&
+      p0.b1.length == hidden && p0.w2.length == hidden, "init shape mismatch")
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    val w1 = p0.w1.map(_.clone()); val b1 = p0.b1.clone()
+    val w2 = p0.w2.clone(); var b2 = p0.b2
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    (1 to steps).foreach { _ =>
+      val h = (0 until hidden).map { j =>
+        sig((0 until dim).map(i => x(i) * lit(w1(i)(j))).reduce(_ + _) + lit(b1(j)))
+      }
+      val m = (0 until hidden).map(j => h(j) * lit(w2(j))).reduce(_ + _) + lit(b2)
+      val dm = sig(m) - y
+      val sums =
+        (for { i <- 0 until dim; j <- 0 until hidden }
+          yield sum(dm * lit(w2(j)) * (h(j) * (lit(1.0) - h(j))) * x(i)).as(s"gw_${i}_$j")) ++
+        (0 until hidden).map(j =>
+          sum(dm * lit(w2(j)) * (h(j) * (lit(1.0) - h(j)))).as(s"gc_$j")) ++
+        (0 until hidden).map(j => sum(dm * h(j)).as(s"gv_$j")) ++
+        Seq(sum(dm).as("gb"), count(lit(1)).cast("double").as("n"))
+      val row = df.agg(sums.head, sums.tail: _*).collect()(0)
+      def g(name: String) = row.getDouble(row.fieldIndex(name))
+      val n = g("n")
+      require(n > 0, "cannot fit on an empty DataFrame")
+      for (i <- 0 until dim; j <- 0 until hidden)
+        w1(i)(j) = w1(i)(j) - lr * (g(s"gw_${i}_$j") / n)
+      for (j <- 0 until hidden) {
+        b1(j) = b1(j) - lr * (g(s"gc_$j") / n)
+        w2(j) = w2(j) - lr * (g(s"gv_$j") / n)
+      }
+      b2 = b2 - lr * (g("gb") / n)
+    }
+    MlpParams(w1, b1, w2, b2)
+  }
+
+  /** Mean logistic loss of [[fitMlpGD]]'s network — one aggregation pass;
+    * the training-progress metric and the finite-difference anchor for
+    * gradient correctness in specs. */
+  def mlpLogLoss(df: DataFrame, featCol: String, yCol: String,
+      p: MlpParams): Double = {
+    val dim = p.w1.length; val hidden = p.b1.length
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val h = (0 until hidden).map { j =>
+      sig((0 until dim).map(i => x(i) * lit(p.w1(i)(j))).reduce(_ + _) + lit(p.b1(j)))
+    }
+    val m = (0 until hidden).map(j => h(j) * lit(p.w2(j))).reduce(_ + _) + lit(p.b2)
+    val pr = sig(m)
+    df.agg(avg(-(y * log(pr) + (lit(1.0) - y) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
+  }
+
   /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:
     * one ridge regression per class against its 0/1 indicator (a standard
     * ridge classifier — argmax of the per-class scores predicts). All

@@ -150,6 +150,75 @@ class BlueprintSpec extends SparkSpec {
     assert(Blueprint.batchSizeHeuristic(100000000, 8) == 16384) // cap
   }
 
+  test("fitLogisticGD: steps reduce logistic loss; empty input errors") {
+    // linearly separable toy data: y = 1 iff x1 > 3
+    val df = Seq((1.0, 1.0, 0.0), (2.0, 2.0, 0.0), (3.0, 1.0, 0.0),
+        (4.0, 2.0, 1.0), (5.0, 1.0, 1.0), (6.0, 2.0, 1.0))
+      .map { case (a, b, y) => (Array(a, b), y) }.toDF("feat", "y")
+    val (w1, b1) = Blueprint.fitLogisticGD(df, "feat", "y", dim = 2,
+      steps = 1, lr = 0.5)
+    val (w20, b20) = Blueprint.fitLogisticGD(df, "feat", "y", dim = 2,
+      steps = 20, lr = 0.5)
+    def loss(w: Array[Double], b: Double): Double = {
+      // direct logistic loss, driver-side over the 6 rows
+      val rows = Seq((1.0, 1.0, 0.0), (2.0, 2.0, 0.0), (3.0, 1.0, 0.0),
+        (4.0, 2.0, 1.0), (5.0, 1.0, 1.0), (6.0, 2.0, 1.0))
+      rows.map { case (a, c, y) =>
+        val m = w(0) * a + w(1) * c + b
+        val pr = 1.0 / (1.0 + math.exp(-m))
+        -(y * math.log(pr) + (1 - y) * math.log(1 - pr))
+      }.sum / rows.length
+    }
+    assert(loss(w20, b20) < loss(w1, b1), "more GD steps must lower the loss")
+    assert(loss(w20, b20) < math.log(2.0), "below the all-0.5 baseline")
+    intercept[IllegalArgumentException] {
+      Blueprint.fitLogisticGD(df.filter($"y" > 5), "feat", "y", 2, 1, 0.1)
+    }
+  }
+
+  test("fitMlpGD: analytic gradient matches finite differences; loss falls") {
+    // small non-separable data so the hidden layer has something to do
+    val data = Seq((0.0, 0.0, 0.0), (0.0, 1.0, 1.0), (1.0, 0.0, 1.0),
+      (1.0, 1.0, 0.0), (2.0, 2.0, 0.0), (0.5, 1.5, 1.0))
+    val df = data.map { case (a, b, y) => (Array(a, b), y) }.toDF("feat", "y")
+    val init = Blueprint.MlpParams(
+      Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(0.05, -0.05),
+      Array(0.25, -0.35), 0.1)
+    def deepCopy(p: Blueprint.MlpParams) = Blueprint.MlpParams(
+      p.w1.map(_.clone()), p.b1.clone(), p.w2.clone(), p.b2)
+    // one GD step with lr recovers the gradient: g = (init - stepped) / lr
+    val lr = 1e-3
+    val stepped = Blueprint.fitMlpGD(df, "feat", "y", dim = 2, hidden = 2,
+      steps = 1, lr = lr, init = deepCopy(init))
+    val gradW00 = (init.w1(0)(0) - stepped.w1(0)(0)) / lr
+    val gradV1 = (init.w2(1) - stepped.w2(1)) / lr
+    val gradB2 = (init.b2 - stepped.b2) / lr
+    // finite differences on the loss surface
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.MlpParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.mlpLogLoss(df, "feat", "y", p)
+    }
+    val fdW00 = (lossWith(_.w1(0)(0) += eps) - lossWith(_.w1(0)(0) -= eps)) / (2 * eps)
+    val fdV1 = (lossWith(_.w2(1) += eps) - lossWith(_.w2(1) -= eps)) / (2 * eps)
+    def lossAt(p: Blueprint.MlpParams) = Blueprint.mlpLogLoss(df, "feat", "y", p)
+    val fdB2 = (lossAt(deepCopy(init).copy(b2 = init.b2 + eps)) -
+      lossAt(deepCopy(init).copy(b2 = init.b2 - eps))) / (2 * eps)
+    assert(math.abs(gradW00 - fdW00) < 1e-4, s"w1 grad $gradW00 vs fd $fdW00")
+    assert(math.abs(gradV1 - fdV1) < 1e-4, s"w2 grad $gradV1 vs fd $fdV1")
+    assert(math.abs(gradB2 - fdB2) < 1e-4, s"b2 grad $gradB2 vs fd $fdB2")
+    // end-to-end: training lowers the loss vs the initial parameters
+    val trained = Blueprint.fitMlpGD(df, "feat", "y", dim = 2, hidden = 2,
+      steps = 50, lr = 0.5, init = deepCopy(init))
+    assert(Blueprint.mlpLogLoss(df, "feat", "y", trained) <
+      Blueprint.mlpLogLoss(df, "feat", "y", init))
+    // shape validation fails fast
+    intercept[IllegalArgumentException] {
+      Blueprint.fitMlpGD(df, "feat", "y", dim = 2, hidden = 3, steps = 1,
+        lr = 0.1, init = init)
+    }
+  }
+
   test("metrics: accuracy and regression suite") {
     val df = Seq((1, 1, 2.0, 2.5), (0, 1, 4.0, 3.5), (1, 1, 6.0, 6.0))
       .toDF("pred", "y", "yhat", "ytrue")

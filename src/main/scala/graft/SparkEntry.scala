@@ -1424,6 +1424,57 @@ object SparkEntry {
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY event_id"""))
 
+  /** Recency-weighted rolling feature: finite-window EWMA (α = 1/2 —
+    * exact binary weights, so the lag-chain arithmetic is bit-identical
+    * cross-engine) over each user's event stream. */
+  private val qEwma = Q("fe3_ewma",
+    (s, d) => Features.ewma(events(s, d), "user_id", "ts", "value",
+        tie = "event_id", k = 4)
+      .select(col("event_id"), round(col("ewma"), 6).as("ewma"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, round((
+        coalesce(value * 1.0, 0.0)
+        + coalesce(lag(value, 1) OVER w * 0.5, 0.0)
+        + coalesce(lag(value, 2) OVER w * 0.25, 0.0)
+        + coalesce(lag(value, 3) OVER w * 0.125, 0.0))
+      / ((CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END)
+        + (CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END)),
+      6) AS ewma
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""))
+
+  /** k-anonymity audit over (nation, market-segment) quasi-identifiers —
+    * group sizes under k = 10 are re-identification risks. */
+  private val qKAnonymity = Q("dq4_k_anonymity",
+    (s, d) => graft.analyze.DataQuality.kAnonymity(
+      t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10),
+    Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS gs
+        FROM customer GROUP BY 1, 2)
+      SELECT count(*)::BIGINT AS n_groups,
+        sum(CASE WHEN gs < 10 THEN 1 ELSE 0 END)::BIGINT AS n_violating_groups,
+        coalesce(sum(CASE WHEN gs < 10 THEN gs END), 0)::BIGINT AS n_rows_at_risk,
+        min(gs)::BIGINT AS min_group_size
+      FROM g"""))
+
+  /** ORC sink/source round-trip: lineitem through ORC and back, then an
+    * aggregate the oracle computes straight off parquet — value equality
+    * proves the second columnar format preserves the data. */
+  private val qOrcRoundTrip = Q("orc1_orc_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+        .toFile.getAbsolutePath
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      graft.sources.Ingest.viaOrc(li, s"$dir/lineitem_orc")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   /** Gopher-style repetition signals over documents. */
   private val qRepetition = Q("t5_repetition_stats",
     (s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
@@ -2747,7 +2798,8 @@ object SparkEntry {
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
-    qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore)
+    qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
+    qEwma, qKAnonymity, qOrcRoundTrip)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

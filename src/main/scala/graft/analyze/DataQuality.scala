@@ -149,4 +149,27 @@ object DataQuality {
     val obs = org.apache.spark.sql.Observation(name)
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
+
+  /** k-anonymity audit — the privacy gate a training-data pipeline runs
+    * before releasing quasi-identified rows (pseudonymization, [[graft
+    * .text.TextAnalysis.piiScan]]'s structural sibling): every combination
+    * of the quasi-identifier columns must describe at least `k` rows, or
+    * the rows in smaller groups are re-identifiable. One partial-
+    * aggregating groupBy over the quasi-id key followed by a scalar
+    * roll-up — two shuffles, the second of group-count rows only; no
+    * driver-side state, so the audit runs at any corpus size.
+    *
+    * @return single row: n_groups, n_violating_groups (size < k),
+    *         n_rows_at_risk (rows in violating groups), min_group_size */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k=1 is vacuous), got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__gs"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__gs") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        coalesce(sum(when(col("__gs") < k, col("__gs"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min(col("__gs")).as("min_group_size"))
+  }
 }

@@ -32,6 +32,36 @@ object Features {
   def jsonField(c: Column, path: String, dataType: String): Column =
     get_json_object(c, path).cast(dataType)
 
+  /** Finite-window exponentially weighted moving average per key — the
+    * recency-weighted sibling of [[rolling]]'s flat mean (the standard
+    * smoothing feature for event streams): over the last `k` rows in
+    * (ts, tie) order, `ewma = Σ wᵢ·x_{t-i} / Σ wᵢ` with `wᵢ = (1−α)^i`,
+    * weights renormalized over however many rows actually precede the
+    * current one (a key's first row is its own EWMA). Expressed as a
+    * fixed chain of `lag` columns over ONE window sort — single shuffle,
+    * pure codegen arithmetic, no per-row state — so it scales like any
+    * other window feature and is restatable verbatim in SQL.
+    *
+    * α is constrained to 0.5 (weights 1, 1/2, 1/4, … — exact binary
+    * fractions) when cross-engine bit-parity matters; any α in (0,1)
+    * works numerically. */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tie: String, k: Int, alpha: Double = 0.5): DataFrame = {
+    require(k >= 1, s"window must cover at least the current row, got $k")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tie))
+    val x = col(valueCol).cast("double")
+    // i ascending, left-assoc sums: the op order the SQL restatement pins
+    val terms = (0 until k).map { i =>
+      val wi = math.pow(1.0 - alpha, i.toDouble)
+      val xi = if (i == 0) x else lag(x, i).over(w)
+      (coalesce(xi * wi, lit(0.0)), when(xi.isNotNull, wi).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.withColumn("ewma", num / den)
+  }
+
   /** Slowly-changing-dimension type-2 history built from a change log:
     * collapse consecutive rows whose tracked attribute is unchanged, then
     * assign each surviving version a half-open validity interval

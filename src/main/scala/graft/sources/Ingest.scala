@@ -98,4 +98,30 @@ object Ingest {
       }.toIndexedSeq: _*)
     }.reduce(_ unionByName _)
   }
+
+  /** Materialize a DataFrame through the ORC columnar format and hand back
+    * the re-read — the second Spark-native columnar sink/source beside
+    * parquet (some lakes standardize on ORC; an engine claiming source
+    * completeness must read and write both). ORC scans support the same
+    * predicate/column pushdown as parquet, so a round-tripped table keeps
+    * its scan characteristics. Refuses to overwrite a source path of `df`
+    * itself (the [[Bucketing.compact]] in-place guard). */
+  def viaOrc(df: DataFrame, outPath: String): DataFrame = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    def qualified(p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(hconf).makeQualified(p)
+    val outQ = qualified(new org.apache.hadoop.fs.Path(outPath))
+    val srcPaths = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(qualified)
+          case _ => Seq.empty
+        }
+    }.flatten
+    require(!srcPaths.contains(outQ),
+      s"viaOrc() outPath $outPath is a source path of the input")
+    df.write.mode("overwrite").orc(outPath)
+    df.sparkSession.read.orc(outPath)
+  }
 }

@@ -71,6 +71,29 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("kAnonymity reports violating groups, at-risk rows and min size") {
+    // groups: (a,x)=3 rows, (a,y)=1, (b,x)=2 — k=3 flags the last two
+    val rows = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("quasi1", "quasi2")
+    val r = DataQuality.kAnonymity(rows, Seq("quasi1", "quasi2"), k = 3)
+      .collect()(0)
+    assert(r.getLong(0) == 3L, "n_groups")
+    assert(r.getLong(1) == 2L, "n_violating_groups")
+    assert(r.getLong(2) == 3L, "n_rows_at_risk = 1 + 2")
+    assert(r.getLong(3) == 1L, "min_group_size")
+    // fully anonymous at k=2 when every group has >= 2 rows
+    val ok = DataQuality.kAnonymity(
+      rows.filter(!($"quasi1" === "a" && $"quasi2" === "y")),
+      Seq("quasi1", "quasi2"), k = 2).collect()(0)
+    assert(ok.getLong(1) == 0L && ok.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      DataQuality.kAnonymity(rows, Seq(), k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.kAnonymity(rows, Seq("quasi1"), k = 1)
+    }
+  }
+
   test("observed metrics agree with run() and cost no extra scan semantics") {
     val checks = Seq[Check](NotNull("id"), InRange("v", 0, 100),
       InSet("cat", Seq("a", "b")), Matches("tag", "^ok-"))

@@ -25,6 +25,25 @@ class FeaturesSpec extends SparkSpec {
     assert(out(5L) == ((None, 3.0, 1L)))                  // independent key
   }
 
+  test("ewma: recency weights, renormalized head, independent keys") {
+    val out = Features.ewma(ev, "user", "ts", "value", tie = "id", k = 3)
+      .select($"id", $"ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)                          // first row: own value
+    assert(out(2L) == (2.0 + 0.5 * 1.0) / 1.5)      // weights 1, 1/2
+    assert(out(3L) == (4.0 + 0.5 * 2.0 + 0.25 * 1.0) / 1.75)
+    assert(out(4L) == (8.0 + 0.5 * 4.0 + 0.25 * 2.0) / 1.75) // window slides
+    assert(out(5L) == 3.0)                          // independent key
+    // more recent rows dominate: EWMA of u1's tail exceeds the flat mean
+    assert(out(4L) > (2.0 + 4.0 + 8.0) / 3.0)
+    intercept[IllegalArgumentException] {
+      Features.ewma(ev, "user", "ts", "value", tie = "id", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Features.ewma(ev, "user", "ts", "value", tie = "id", k = 3, alpha = 1.0)
+    }
+  }
+
   test("jsonField extracts typed scalars; missing path is NULL") {
     val out = ev.select($"id", Features.jsonField($"props", "$.k", "int").as("k"))
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap

@@ -77,4 +77,25 @@ class IngestSpec extends SparkSpec {
     assert(rows(2).getDouble(2) == 0.5)
     assert(!out.columns.contains("legacy"), "junk columns dropped")
   }
+
+  test("viaOrc round-trips data and keeps predicate pushdown on the re-read") {
+    val dir = Files.createTempDirectory("graft_orc_spec").toString
+    val src = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v")
+    src.write.parquet(s"$dir/parquet_src")
+    val parquetDf = spark.read.parquet(s"$dir/parquet_src")
+    val back = Ingest.viaOrc(parquetDf, s"$dir/orc_copy")
+    assert(back.schema == parquetDf.schema)
+    assert(back.orderBy("id").collect().toSeq ==
+      parquetDf.orderBy("id").collect().toSeq)
+    // the ORC scan must push filters like the parquet scan it replaces
+    val plan = back.filter($"id" > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"ORC scan lost filter pushdown:\n$plan")
+    // in-place overwrite of the input's own source path is rejected
+    val e = intercept[IllegalArgumentException] {
+      Ingest.viaOrc(parquetDf, s"$dir/parquet_src")
+    }
+    assert(e.getMessage.contains("source path"))
+  }
 }

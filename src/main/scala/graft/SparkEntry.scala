@@ -1475,6 +1475,56 @@ object SparkEntry {
     Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** l-diversity privacy audit: within (nation, segment) groups the
+    * sensitive attribute is the customer's account-balance bracket —
+    * groups where fewer than l = 9 brackets appear leak attribute
+    * information even when k-anonymous. */
+  private val qLDiversity = Q("dq5_l_diversity",
+    (s, d) => graft.analyze.DataQuality.lDiversity(
+      t(s, d, "customer")
+        .withColumn("bal_bracket", floor(col("c_acctbal") / 1000)),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bracket", l = 9),
+    Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS gs,
+        count(DISTINCT floor(c_acctbal / 1000)) AS div
+        FROM customer GROUP BY 1, 2)
+      SELECT count(*)::BIGINT AS n_groups,
+        sum(CASE WHEN div < 9 THEN 1 ELSE 0 END)::BIGINT AS n_low_diversity_groups,
+        coalesce(sum(CASE WHEN div < 9 THEN gs END), 0)::BIGINT AS n_rows_at_risk,
+        min(div)::BIGINT AS min_diversity
+      FROM g"""))
+
+  /** Deterministic k-per-group sample: 5 orders per priority class by
+    * md5 coin — stable across engines, restated as the same row_number. */
+  private val qGroupSample = Q("w10_group_sample",
+    (s, d) => Sampling.topKPerGroup(
+        t(s, d, "orders").select(col("o_orderpriority"), col("o_orderkey")),
+        "o_orderpriority", "o_orderkey", k = 5)
+      .orderBy("o_orderpriority", "o_orderkey"),
+    Some("""SELECT o_orderpriority, o_orderkey FROM (
+        SELECT o_orderpriority, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY md5(o_orderkey::VARCHAR || ':42'), o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey"""))
+
+  /** Zipf-law fit over the corpus vocabulary (top-100 terms): slope and
+    * intercept of the ln-freq vs ln-rank least-squares line. */
+  private val qZipf = Q("zipf1_zipf_slope",
+    (s, d) => graft.text.TextAnalysis.zipfSlope(t(s, d, "documents"), "text", 100)
+      .select(col("n_terms"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept")),
+    Some("""WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tk
+        FROM documents),
+      c AS (SELECT tk, count(*) AS c FROM tok WHERE length(tk) > 0 GROUP BY tk),
+      r AS (SELECT row_number() OVER (ORDER BY c DESC, tk) AS rnk, c FROM c),
+      p AS (SELECT ln(rnk) AS x, ln(c) AS y FROM r WHERE rnk <= 100),
+      s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        sum(x*y) AS sxy, sum(x*x) AS sxx FROM p)
+      SELECT n::BIGINT AS n_terms,
+        round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
+      FROM s"""))
+
   /** Gopher-style repetition signals over documents. */
   private val qRepetition = Q("t5_repetition_stats",
     (s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
@@ -2799,7 +2849,7 @@ object SparkEntry {
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
-    qEwma, qKAnonymity, qOrcRoundTrip)
+    qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

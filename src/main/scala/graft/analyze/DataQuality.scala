@@ -172,4 +172,31 @@ object DataQuality {
           .as("n_rows_at_risk"),
         min(col("__gs")).as("min_group_size"))
   }
+
+  /** l-diversity audit, [[kAnonymity]]'s companion: a quasi-identifier
+    * group can be large yet still leak if everyone in it shares the same
+    * SENSITIVE value — each group must contain at least `l` distinct
+    * sensitive values. Exact distinct-per-group is safe here because the
+    * aggregation is keyed by the quasi-id (the distinct set lives inside
+    * one group's aggregation buffer, bounded by the sensitive domain),
+    * then a scalar roll-up — same two-shuffle shape as [[kAnonymity]].
+    *
+    * @return single row: n_groups, n_low_diversity_groups (distinct
+    *         sensitive < l), n_rows_at_risk, min_diversity */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot be part of the quasi-identifier")
+    require(l >= 2, s"l must be >= 2 (l=1 is vacuous), got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__gs"),
+        count_distinct(col(sensitiveCol)).as("__div"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__div") < l, 1L).otherwise(0L))
+          .as("n_low_diversity_groups"),
+        coalesce(sum(when(col("__div") < l, col("__gs"))), lit(0L))
+          .as("n_rows_at_risk"),
+        min(col("__div")).as("min_diversity"))
+  }
 }

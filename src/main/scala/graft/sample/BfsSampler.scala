@@ -107,17 +107,23 @@ object Sampling {
     * via xxhash64 bucketing, so the choice is stable across runs and
     * partitionings, unlike `df.stat.sampleBy`'s RNG-stream sampling; the
     * whole thing is one codegen'd filter, no shuffle. Strata missing from
-    * `fractions` keep `defaultFraction`. */
+    * `fractions` keep `defaultFraction`. The per-stratum thresholds ride
+    * the plan as ONE map literal probed per row — constant expression
+    * depth however many strata there are (a when-chain, the obvious
+    * encoding, grows the expression tree linearly and overflows the
+    * analyzer's stack in the hundreds). */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 1.0,
       seed: Long = 42L): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
     val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(10000L))
-    val keepBelow = fractions.foldLeft(lit(defaultFraction * 10000)) {
-      case (acc, (stratum, f)) =>
-        when(col(strataCol) === stratum, lit(f * 10000)).otherwise(acc)
-    }
+    val keepBelow =
+      if (fractions.isEmpty) lit(defaultFraction * 10000)
+      else coalesce(
+        element_at(typedLit(fractions.map { case (s, f) => s -> f * 10000 }),
+          col(strataCol).cast("string")),
+        lit(defaultFraction * 10000))
     df.filter(bucket < keepBelow)
   }
 
@@ -137,11 +143,32 @@ object Sampling {
       // format as the 5-char "10000" and break the 4-char string compare
       if (f >= 1.0) "g" else f"${math.min(0xffff, math.round(f * 65536).toInt)}%04x"
     val coin = substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
-    val threshold = fractions.foldLeft(lit(hex4(defaultFraction))) {
-      case (acc, (stratum, f)) =>
-        when(col(strataCol) === stratum, lit(hex4(f))).otherwise(acc)
-    }
+    // one map literal, constant expression depth at any strata count (the
+    // stratifiedSample device)
+    val threshold =
+      if (fractions.isEmpty) lit(hex4(defaultFraction))
+      else coalesce(
+        element_at(typedLit(fractions.map { case (s, f) => s -> hex4(f) }),
+          col(strataCol).cast("string")),
+        lit(hex4(defaultFraction)))
     df.filter(coin < threshold)
+  }
+
+  /** Deterministic k-rows-per-group sample: within each group, rank rows
+    * by `md5(key || ":" || seed)` (key tiebreak) and keep the first `k` —
+    * the fixed-size companion of [[stratifiedSample]]'s fixed-fraction
+    * coin. Like every sampler here the choice is a pure function of
+    * (key, seed): stable across runs, partitionings and engines, and
+    * SQL-restatable as a row_number over the same md5 order. One window
+    * sort partitioned by group; Spark plans a WindowGroupLimit (rank
+    * pushdown) so no group is fully sorted at scale. */
+  def topKPerGroup(df: DataFrame, groupCol: String, keyCol: String, k: Int,
+      seed: String = "42"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val coin = md5(concat(col(keyCol).cast("string"), lit(":" + seed)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(coin, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
   }
 
   /** Temperature-flattened corpus mixing (the multi-source sampling rule of

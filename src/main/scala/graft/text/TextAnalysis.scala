@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -171,6 +172,36 @@ object TextAnalysis {
           .otherwise(raise_error(concat(
             lit("non-numeric vector component in GloVe line: "),
             substring(col("value"), 1, 80)))).as("vec"))
+  }
+
+  /** Zipf-law fit over the corpus vocabulary — the distributional sanity
+    * check of corpus curation (natural text has log-freq vs log-rank slope
+    * near −1; a synthetic or template-heavy corpus drifts far from it):
+    * rank the top `topN` terms by frequency (term tiebreak), regress
+    * `ln(freq)` on `ln(rank)` by least squares, report slope + intercept.
+    * One tokenize-and-count aggregation, a WindowGroupLimit-able top-N,
+    * and a 5-sum reduce — the regression itself is closed-form expression
+    * arithmetic over the sums (the same device as the bp2 normal
+    * equations), no driver-side math beyond the final row. */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 2, s"need at least two ranked terms, got $topN")
+    val toks = docs.select(
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    val counts = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__c").desc, col("__tok"))
+    val ranked = counts.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topN)
+      .select(log(col("__r")).as("__x"), log(col("__c")).as("__y"))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("n"), sum(col("__x")).as("sx"),
+      sum(col("__y")).as("sy"), sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").cast("long").as("n_terms"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
   }
 
   /** Gopher-style repetition signals per document: duplicate-word fraction

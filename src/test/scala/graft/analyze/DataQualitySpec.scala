@@ -94,6 +94,27 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("lDiversity flags homogeneous-sensitive groups k-anonymity misses") {
+    // group (a): 4 rows but only 1 sensitive value — k-anonymous at k=3,
+    // yet fully leaking; group (b): 3 rows, 3 distinct values — fine
+    val rows = Seq(("a", "flu"), ("a", "flu"), ("a", "flu"), ("a", "flu"),
+      ("b", "flu"), ("b", "cold"), ("b", "ok")).toDF("zip", "diagnosis")
+    assert(DataQuality.kAnonymity(rows, Seq("zip"), k = 3)
+      .collect()(0).getLong(1) == 0L, "k-anonymity sees nothing wrong")
+    val r = DataQuality.lDiversity(rows, Seq("zip"), "diagnosis", l = 2)
+      .collect()(0)
+    assert(r.getLong(0) == 2L, "n_groups")
+    assert(r.getLong(1) == 1L, "the homogeneous group is flagged")
+    assert(r.getLong(2) == 4L, "its 4 rows are at risk")
+    assert(r.getLong(3) == 1L, "min_diversity")
+    intercept[IllegalArgumentException] {
+      DataQuality.lDiversity(rows, Seq("zip"), "zip", l = 2)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.lDiversity(rows, Seq("zip"), "diagnosis", l = 1)
+    }
+  }
+
   test("observed metrics agree with run() and cost no extra scan semantics") {
     val checks = Seq[Check](NotNull("id"), InRange("v", 0, 100),
       InSet("cat", Seq("a", "b")), Matches("tag", "^ok-"))

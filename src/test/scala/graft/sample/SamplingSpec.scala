@@ -143,6 +143,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("topKPerGroup: exactly k rows per group, stable under repartitioning") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val out = Sampling.topKPerGroup(df, "grp", "id", k = 7)
+    val sizes = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ == 7L), s"7 per group, got $sizes")
+    // a group smaller than k is kept whole, not padded
+    val tiny = Sampling.topKPerGroup(df.filter($"id" <= 2), "grp", "id", k = 7)
+    assert(tiny.count() == 2L)
+    // pure function of (key, seed): repartitioning changes nothing
+    val again = Sampling.topKPerGroup(df.repartition(11), "grp", "id", k = 7)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a different seed draws a different sample
+    val other = Sampling.topKPerGroup(df, "grp", "id", k = 7, seed = "43")
+    assert(other.select("id").collect().map(_.getLong(0)).sorted.toSeq !=
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.topKPerGroup(df, "grp", "id", k = 0)
+    }
+  }
+
   test("temperatureMix rejects data-cardinality source keys with a clear error") {
     import spark.implicits._
     // mixing on a per-row key would collect data-sized counts to the

@@ -227,6 +227,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert((1 to 4).forall(out(4).isNullAt))
   }
 
+  test("zipfSlope recovers the slope of a constructed power-law corpus") {
+    // term at frequency rank r appears 720/r times (720 divides 1..6), so
+    // ln(freq) = ln(720) - ln(rank): an exact slope -1 corpus
+    val docs = (1 to 6).map { r =>
+      (r.toLong, Seq.fill(720 / r)(s"t$r").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.zipfSlope(docs, "text", topN = 6).collect()(0)
+    assert(out.getLong(0) == 6L)
+    assert(math.abs(out.getDouble(1) - (-1.0)) < 1e-9, s"slope ${out.getDouble(1)}")
+    assert(math.abs(out.getDouble(2) - math.log(720.0)) < 1e-9, "intercept ln(720)")
+    // a uniform corpus has slope 0
+    val flat = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val f = TextAnalysis.zipfSlope(flat, "text", topN = 6).collect()(0)
+    assert(math.abs(f.getDouble(1)) < 1e-12)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfSlope(docs, "text", topN = 1)
+    }
+  }
+
   test("loadGloVe parses token/vec lines and feeds embedWithTable") {
     val dir = java.nio.file.Files.createTempDirectory("glove").toFile
     dir.deleteOnExit()

@@ -90,6 +90,32 @@ object SparkEntry {
     Some(allTables.map(n => s"SELECT '$n' AS table_name, count(*) AS n FROM $n")
       .mkString("", " UNION ALL ", " ORDER BY table_name")))
 
+  /** S6 database copy under the driver gate: copy the whole catalog to a
+    * fresh parquet directory, then read counts and schema widths FROM THE
+    * COPY — the oracle computes them from the originals, so equality
+    * proves the distributed rewrite lost no rows and no columns. */
+  private val qCopy = Q("s6_copy_roundtrip",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_copy")
+        .toFile.getAbsolutePath
+      catalog(s, d).copyTo(out)
+      val copied = catalog(nanosOk(s), out)
+      copied.listTables().map { n =>
+        val df = copied.table(n)
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("table_name"), col("n_rows"),
+            lit(df.columns.length).as("n_cols"))
+      }.reduce(_.unionAll(_)).orderBy("table_name")
+    },
+    Some {
+      val nCols = Map("region" -> 2, "nation" -> 3, "customer" -> 5,
+        "supplier" -> 4, "part" -> 6, "orders" -> 6, "lineitem" -> 11,
+        "events" -> 6, "documents" -> 5, "embeddings" -> 3)
+      allTables.map(n =>
+          s"SELECT '$n' AS table_name, count(*) AS n_rows, ${nCols(n)} AS n_cols FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY table_name")
+    })
+
   /** Full TPC-H Q1 shape: the classic pricing-summary aggregate battery —
     * one scan, map-side partial aggregation, 3-column read schema. */
   private val qAgg1 = Q("q1_agg",
@@ -1151,6 +1177,24 @@ object SparkEntry {
       SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 3
       ORDER BY query_id, neighbor_id"""))
 
+  /** Cosine range search: every neighbor above the similarity radius per
+    * query — threshold cut, no top-k window at all. */
+  private val qRangeSearch = Q("sim8_range_search",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.rangeSearch(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", minCos = 0.2, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id)
+      SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= 0.2
+      ORDER BY query_id, neighbor_id"""))
+
   /** IVF with nProbe = nCells degenerates to exhaustive search, so the
     * brute-force SQL oracle checks the whole quantize→probe→rank pipeline;
     * nProbe < nCells is the production approximate path (spec-tested for
@@ -1767,6 +1811,49 @@ object SparkEntry {
         .orderBy("id")
     },
     None)
+
+  /** lp1's oracle: both engines run the SAME two synchronous
+    * label-propagation rounds over the order–customer FK graph — the
+    * neighbor-mode update (count desc, min-label tiebreak) is pure integer
+    * arithmetic, so the unrolled SQL restatement is exact, no rounding
+    * device needed. */
+  private def labelPropOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""n$k AS (SELECT e.dst, l.label, count(*) AS c
+        FROM e JOIN l${k - 1} l ON e.src = l.id GROUP BY 1, 2),
+      m$k AS (SELECT dst AS id, label AS newl FROM (
+        SELECT dst, label,
+          row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+        FROM n$k) t WHERE rn = 1),
+      l$k AS (SELECT l.id, coalesce(m.newl, l.label) AS label
+        FROM l${k - 1} l LEFT JOIN m$k m USING (id))"""
+    }.mkString(",\n      ")
+    s"""WITH v AS (SELECT o_orderkey::BIGINT AS id FROM orders
+        UNION ALL SELECT c_custkey + 1000000 FROM customer),
+      e AS (SELECT o_orderkey::BIGINT AS src, (o_custkey + 1000000)::BIGINT AS dst FROM orders
+        UNION ALL SELECT o_custkey + 1000000, o_orderkey FROM orders),
+      l0 AS (SELECT id, id AS label FROM v),
+      $rounds
+      SELECT id, label FROM l$iters ORDER BY id"""
+  }
+
+  /** Label-propagation communities over the order–customer graph: two
+    * synchronous min-tiebreak rounds, fully oracle-checked (16.5k rows at
+    * sf0.01 — every label hash-compared). */
+  private val qLabelProp = Q("lp1_label_prop",
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      val vertices = orders.select(col("o_orderkey").cast("long").as("id"))
+        .unionAll(t(s, d, "customer")
+          .select((col("c_custkey") + 1000000L).as("id")))
+      val edges = orders.select(col("o_orderkey").cast("long").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+        .unionAll(orders.select((col("o_custkey") + 1000000L).as("src"),
+          col("o_orderkey").cast("long").as("dst")))
+      graft.graph.LabelProp.run(vertices, "id", edges, iters = 2)
+        .orderBy("id")
+    },
+    Some(labelPropOracle(2)))
 
   /** pr1's oracle anchor: the same iterate-to-fixpoint loop on a literal
     * 4-cycle, where every iteration's arithmetic is EXACT — (1−d) is exact
@@ -2570,6 +2657,36 @@ object SparkEntry {
         string_agg(tid, ',' ORDER BY i) AS token_ids
       FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BPE merge-rule training on the corpus word-frequency table: the
+    * merge table is deterministic (integer pair counts, total tiebreak)
+    * but the iterate-and-fold loop has no SQL restatement — rows-only,
+    * with the classic-corpus closed form pinned in ChunkerSpec. */
+  private val qBpeTrain = Q("bpe1_bpe_merges",
+    (s, d) => {
+      val merges = graft.text.Chunker.trainBpe(t(s, d, "documents"), "text",
+        nMerges = 10)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "left", "right", "weight")
+        .orderBy("rank")
+    },
+    None)
+
+  /** BPE apply at corpus scale: segment every document with the learned
+    * rules (vocab-sized fold, corpus-sized join-back); subwords projected
+    * to a joined string for the gate. */
+  private val qBpeSegment = Q("bpe2_bpe_segment",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.text.Chunker.trainBpe(docs, "text", nMerges = 10)
+      graft.text.Chunker.applyBpe(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
+          concat_ws(" ", col("subwords")).as("subwords"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** PSI drift between all lineitems (reference) and the discounted
     * subpopulation (current) over price deciles — every bin term a ratio
     * of exact integer counts. */
@@ -2822,7 +2939,7 @@ object SparkEntry {
   // ====================================================================
 
   private val all: Seq[Q] = Seq(
-    qScan, qCounts, qAgg1, qQ5,
+    qScan, qCounts, qCopy, qAgg1, qQ5,
     qProject, qNotNull, qInList, qOffset,
     qRowId, qFkEdges, qSemi, qGraphStats,
     qAnalyze,
@@ -2834,7 +2951,7 @@ object SparkEntry {
     qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qSimhash, qSimhash128, qEmbDedup,
-    qBruteTopK, qLshTopK, qIvfTopK,
+    qBruteTopK, qLshTopK, qIvfTopK, qRangeSearch,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
@@ -2849,7 +2966,8 @@ object SparkEntry {
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
-    qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf)
+    qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
+    qLabelProp, qBpeTrain, qBpeSegment)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

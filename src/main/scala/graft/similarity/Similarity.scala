@@ -78,6 +78,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"))
   }
 
+  /** Cosine range search: ALL corpus neighbors above a similarity
+    * threshold per query — the radius twin of [[bruteForceTopK]] (dedup
+    * sweeps and contamination checks want "everything closer than τ", not
+    * a fixed k). Same broadcast-queries shape: the corpus scan stays
+    * partitioned, each task filters against the broadcast query block, and
+    * no window is needed at all — the threshold IS the cut, so the output
+    * never sorts. Zero-norm vectors (cosine undefined) are excluded from
+    * both sides rather than surfacing as NaN (the int8TopK device). */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, roundDigits: Int = -1): DataFrame = {
+    require(minCos > -1.0 && minCos <= 1.0,
+      s"minCos must be in (-1, 1], got $minCos (at -1 or below, " +
+        "every pair passes and the result is a cross product)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .filter(dot(col("__qv"), col("__qv")) > 0)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .filter(dot(col("__cv"), col("__cv")) > 0)
+    val rawCos = cosine(col("__qv"), col("__cv"))
+    val cos = if (roundDigits >= 0) round(rawCos, roundDigits) else rawCos
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
   /** Maximal-marginal-relevance re-rank of an ANN shortlist: greedily pick
     * `m` results maximizing `λ·relevance − (1−λ)·max-similarity-to-picked`
     * — the diversification pass between retrieval and consumption (dedup

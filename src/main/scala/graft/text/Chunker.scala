@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -165,5 +165,99 @@ object Chunker {
         col("max_tokens"), col("sum_tokens"),
         round(lit(1.0) - col("sum_tokens") / (col("n_docs") * col("max_tokens")), 4)
           .as("waste_frac"))
+  }
+
+  /** The greedy left-to-right BPE merge of one (a, b) pair applied to a
+    * symbol array — a single `aggregate` fold, codegen'd: when the
+    * accumulator ends in `a` and the next symbol is `b`, the pair fuses;
+    * overlapping occurrences merge leftmost-first (classic BPE: "aaa"
+    * under (a,a) → ["aa", "a"]). */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Byte-pair-encoding merge-rule training over the corpus — the real
+    * subword-vocabulary learner behind [[topKVocab]]'s word-level
+    * approximation (Sennrich et al. 2016, the standard LLM tokenizer
+    * construction). Trains on the DISTINCT-WORD frequency table (corpus
+    * tokenization is one aggregation; every later pass touches vocab-sized
+    * data only, the classic BPE trick — a 100 TB corpus costs one scan,
+    * then each merge round is a pair-count aggregate + a fold over words
+    * whose cost is independent of corpus size). Each round: adjacent-pair
+    * weighted count (one partial-aggregating shuffle), argmax pair with
+    * (count desc, pair asc) tiebreak — ONE driver row per round, the same
+    * scalar-state class as Lloyd centroids — then the [[mergePair]] fold,
+    * eagerly checkpointed so lineage stays flat. Deterministic: counts are
+    * exact integers and the tiebreak totalizes, so any partitioning learns
+    * the identical merge table.
+    *
+    * @return merge rules in learned order, and the per-rule weighted
+    *         pair count (the rule's corpus frequency at learn time) */
+  def trainBpe(docs: DataFrame, textCol: String, nMerges: Int,
+      endMark: String = "</w>"): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val chars = regexp_extract_all(col("__w"), lit("(?s)."), lit(0))
+    var words = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .select(concat(chars, array(lit(endMark))).as("__s"), col("__n"))
+      .localCheckpoint(true)
+    // sequence(1, 0) would count DOWN (Spark infers a negative step), so
+    // single-symbol words must short-circuit to an empty pair list
+    def pairList(syms: Column): Column =
+      when(size(syms) < 2, array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"),
+            element_at(syms, i + 1).as("b"))))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    (1 to nMerges).foreach { _ =>
+      if (!exhausted) {
+        val top = words
+          .select(explode(pairList(col("__s"))).as("__p"), col("__n"))
+          .groupBy(col("__p.a"), col("__p.b")).agg(sum(col("__n")).as("__c"))
+          .orderBy(col("__c").desc, col("a"), col("b")).limit(1).collect()
+        if (top.isEmpty) exhausted = true // every word fused to one symbol
+        else {
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((a, b, c))
+          words = words.withColumn("__s", mergePair(col("__s"), a, b))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Segment each document's words with a learned merge table: the rules
+    * of [[trainBpe]] applied in learned order (BPE's apply-time contract)
+    * to each DISTINCT word — vocab-sized work — then joined back to the
+    * exploded corpus and reassembled in document order. The per-word fold
+    * chain is `merges.length` nested [[mergePair]] expressions: bounded by
+    * the merge count, not the corpus. Output: (id, subwords). */
+  def applyBpe(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String, Long)], endMark: String = "</w>"): DataFrame = {
+    val tok = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("__p", "__w")))
+      .filter(length(col("__w")) > 0)
+    val chars = regexp_extract_all(col("__w"), lit("(?s)."), lit(0))
+    val segmented = merges.foldLeft(
+      concat(chars, array(lit(endMark)))) { case (acc, (a, b, _)) =>
+      mergePair(acc, a, b)
+    }
+    val vocab = tok.select(col("__w")).distinct()
+      .select(col("__w"), segmented.as("__sub"))
+    tok.join(vocab, "__w")
+      .select(col(idCol), struct(col("__p"), col("__sub")).as("__e"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(array_sort(collect_list(col("__e"))),
+        e => e.getField("__sub"))).as("subwords"))
   }
 }

@@ -36,6 +36,7 @@ class PlanQualitySpec extends SparkSpec {
     "lm1_bigram_surprisal", // vocab-size V is a 1-row broadcast scalar
     "wau1_rolling_actives", // date-range clip vs the 1-ROW bounds aggregate
     "sim7_int8_topk", // broadcast tiny query side, like the other ANN paths
+    "sim8_range_search", // same broadcast-queries scoring scan as sim1
     "tc2_clustering_coeff") // two 1-ROW aggregates cross-joined
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {

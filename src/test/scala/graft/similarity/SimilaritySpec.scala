@@ -75,6 +75,28 @@ class SimilaritySpec extends SparkSpec {
     assert(m2 == Seq(1L, 3L))
   }
 
+  test("rangeSearch: threshold cut equals filtered exhaustive top-k; zero vecs excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)), (2L, Array(0.0, 1.0)),
+      (3L, Array(-1.0, 0.0)), (4L, Array(0.0, 0.0))).toDF("id", "v")
+    val out = Similarity.rangeSearch(vecs.filter($"id" === 0L), vecs,
+        "id", "v", minCos = 0.5, roundDigits = 6)
+      .orderBy("neighbor_id").collect()
+    // only vec 1 is within cos >= 0.5 of vec 0; the zero vector never
+    // appears (NaN cosine would otherwise rank above everything)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L))
+    // equivalence to brute-force top-k with k = corpus, then threshold
+    val viaTopK = Similarity.bruteForceTopK(vecs.filter($"id" === 0L),
+        vecs.filter($"id" =!= 4L), "id", "v", k = 10, roundDigits = 6)
+      .filter($"cos" >= 0.5).orderBy("neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == viaTopK)
+    intercept[IllegalArgumentException] {
+      Similarity.rangeSearch(vecs, vecs, "id", "v", minCos = -1.0)
+    }
+  }
+
   test("mmrRerank survives a zero-norm vector in the shortlist") {
     // cosine against the zero vector is 0/0 = NaN; every MMR score involving
     // it is NaN and must not derail selection (regression: best stayed -1)

@@ -107,4 +107,38 @@ class ChunkerSpec extends SparkSpec {
       (8L, 0L, 2L, 7L, 12L, 0.1429),      // docs 3,4: round(1 - 12/14, 4)
       (8L, 1L, 1L, 8L, 8L, 0.0)))         // doc 5 alone: no padding
   }
+
+  test("trainBpe learns the classic merge sequence on the Sennrich corpus") {
+    // word frequencies low:5 lower:2 newest:6 widest:3 — the BPE paper's
+    // worked example; expected merges hand-computable from pair counts
+    val docs = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = Chunker.trainBpe(docs, "text", nMerges = 5)
+    assert(merges == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)))
+    // repartitioning the corpus learns the identical table
+    val again = Chunker.trainBpe(docs.repartition(7), "text", nMerges = 5)
+    assert(again == merges)
+    // apply-time: the learned rules segment an UNSEEN word correctly
+    val seg = Chunker.applyBpe(Seq((9L, "lowest")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .collect()(0).getSeq[String](1)
+    assert(seg == Seq("low", "est</w>"))
+    // overlapping-pair greed: leftmost-first ("aaa" under (a,a))
+    val aaa = Chunker.applyBpe(Seq((1L, "aaa")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("a", "a", 1L)))
+      .collect()(0).getSeq[String](1)
+    assert(aaa == Seq("aa", "a", "</w>"))
+    // a single-letter corpus exhausts its pairs without looping forever
+    val tiny = Chunker.trainBpe(Seq((1L, "a a")).toDF("doc_id", "text"),
+      "text", nMerges = 5)
+    assert(tiny == Seq(("a", "</w>", 2L)))
+    intercept[IllegalArgumentException] {
+      Chunker.trainBpe(docs, "text", nMerges = 0)
+    }
+  }
 }

@@ -1489,6 +1489,44 @@ object SparkEntry {
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY event_id"""))
 
+  /** Calendar-spine densification: each user's hourly activity with
+    * missing hours materialized as zero rows, spine bounded per key. */
+  private val qGapFill = Q("gf1_gap_fill",
+    (s, d) => Features.fillHourlyGaps(events(s, d), "user_id", "ts", "value")
+      .select(col("user_id"), col("bucket_start"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id", "bucket_start"),
+    Some("""WITH h AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        count(*) AS n, sum(value) AS v FROM events GROUP BY 1, 2),
+      b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM h GROUP BY 1),
+      s AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM b)
+      SELECT s.user_id, epoch(s.h)::BIGINT AS bucket_start,
+        coalesce(n, 0) AS n, round(coalesce(v, 0.0), 4) AS sum_value
+      FROM s LEFT JOIN h ON s.user_id = h.user_id AND s.h = h.h
+      ORDER BY 1, 2"""))
+
+  /** Unpivot/melt: lineitem's four numeric measures to long form — pure
+    * row-local stack, values carried verbatim (bit-identical, no rounding
+    * device needed). */
+  private val qUnpivot = Q("a21_unpivot",
+    (s, d) => Olap.unpivot(
+        t(s, d, "lineitem").filter(col("l_orderkey") < 1000),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("l_orderkey", "l_linenumber", "column"),
+    Some("""SELECT l_orderkey, l_linenumber, c AS column, v AS value
+      FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS c, l_quantity AS v
+          FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          FROM lineitem WHERE l_orderkey < 1000) t
+      ORDER BY l_orderkey, l_linenumber, c"""))
+
   /** k-anonymity audit over (nation, market-segment) quasi-identifiers —
     * group sizes under k = 10 are re-identification risks. */
   private val qKAnonymity = Q("dq4_k_anonymity",
@@ -2967,7 +3005,7 @@ object SparkEntry {
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
-    qLabelProp, qBpeTrain, qBpeSegment)
+    qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

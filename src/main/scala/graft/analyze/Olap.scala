@@ -79,4 +79,17 @@ object Olap {
       .filter(col("__rn") === 1)
       .select(col(groupCol), col(valCol).as("mode"), col("n"))
   }
+
+  /** Unpivot (melt): wide numeric columns to (id, column-name, value) long
+    * form — [[pivotCounts]]'s inverse and the standard reshape in front of
+    * per-feature profiling ([[graft.analyze.SchemaAnalyzer]]-style stats
+    * over ONE value column instead of N). Pure row-local `stack`: each
+    * input row emits `cols.length` output rows inside the scan — no
+    * shuffle, no UDF, survives any table width the planner can parse. */
+  def unpivot(df: DataFrame, idCols: Seq[String], cols: Seq[String],
+      nameCol: String = "column", valueCol: String = "value"): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to unpivot")
+    df.unpivot(idCols.map(col).toArray, cols.map(col).toArray,
+      nameCol, valueCol)
+  }
 }

@@ -62,6 +62,34 @@ object Features {
     df.withColumn("ewma", num / den)
   }
 
+  /** Calendar-spine gap filling — the densification step before any
+    * rolling/EWMA feature is trustworthy (a silent missing hour reads as
+    * "no activity" only if a zero row exists to say so): aggregate to
+    * fixed time buckets per key, then left-join each key's own
+    * [min, max] bucket spine so absent buckets materialize with zero
+    * counts. The spine explodes per key bounded by that key's observed
+    * range (never the global range — a key active for one day costs 24
+    * rows no matter how long the table's history is); both joins shuffle
+    * on (key, bucket).
+    *
+    * @return (key, bucket_start epoch-seconds, n, sum_value) densified */
+  def fillHourlyGaps(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val bucket = date_trunc("hour", col(tsCol))
+    val hourly = df.groupBy(col(keyCol), bucket.as("__h"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__v"))
+    val spine = hourly.groupBy(col(keyCol))
+      .agg(min(col("__h")).as("__lo"), max(col("__h")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 hour"))).as("__h"))
+    spine.join(hourly, Seq(keyCol, "__h"), "left")
+      .select(col(keyCol),
+        unix_timestamp(col("__h")).as("bucket_start"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("__v"), lit(0.0)).as("sum_value"))
+  }
+
   /** Slowly-changing-dimension type-2 history built from a change log:
     * collapse consecutive rows whose tracked attribute is unchanged, then
     * assign each surviving version a half-open validity interval

@@ -76,4 +76,20 @@ class OlapSpec extends SparkSpec {
     assert(out("g2") == ((2L, 1L))) // smallest value on a count tie
     assert(out("g3") == ((9L, 1L))) // NULL never competes
   }
+
+  test("unpivot melts wide columns to long form, NULLs carried through") {
+    val wide = Seq((1L, 10.0, 0.5), (2L, 20.0, Double.NaN))
+      .toDF("id", "a", "b")
+      .withColumn("b", when(col("id") === 2L, lit(null: java.lang.Double))
+        .otherwise(col("b")))
+    val out = Olap.unpivot(wide, Seq("id"), Seq("a", "b"))
+      .orderBy("id", "column")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (1L, "b", 0.5),
+      (2L, "a", 20.0), (2L, "b", null)))
+    intercept[IllegalArgumentException] {
+      Olap.unpivot(wide, Seq("id"), Seq())
+    }
+  }
 }

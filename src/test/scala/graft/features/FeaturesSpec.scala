@@ -44,6 +44,23 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("fillHourlyGaps materializes missing hours as zero rows, per-key spine") {
+    // u1 active at hours 0 and 3 (gap: 1, 2); u2 active only at hour 5 —
+    // its spine must NOT extend to u1's range
+    def hour(h: Int) = h * 3600L * 1000000L // epoch micros
+    val ev = Seq(
+      (1L, "u1", hour(0), 2.0), (2L, "u1", hour(0) + 60L * 1000000L, 3.0),
+      (3L, "u1", hour(3), 4.0), (4L, "u2", hour(5), 7.0))
+      .toDF("id", "user", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Features.fillHourlyGaps(ev, "user", "ts", "value")
+      .orderBy("user", "bucket_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("u1", 0L, 2L, 5.0), ("u1", 3600L, 0L, 0.0), ("u1", 7200L, 0L, 0.0),
+      ("u1", 10800L, 1L, 4.0), ("u2", 18000L, 1L, 7.0)))
+  }
+
   test("jsonField extracts typed scalars; missing path is NULL") {
     val out = ev.select($"id", Features.jsonField($"props", "$.k", "int").as("k"))
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap

@@ -227,6 +227,135 @@ object SparkEntry {
       SELECT src_id, dst_id FROM o JOIN c ON o.o_custkey = c.c_custkey
       ORDER BY src_id, dst_id"""))
 
+  /** J6 under the driver gate: the nation→region FK graph with self-loop
+    * edge types added (`T.AddSelfLoops()`), every typed edge emitted —
+    * self loops are each row's own id on both ends, so the oracle is the
+    * FK join plus one identity edge set per node type. */
+  private val qSelfLoops = Q("j6_self_loops",
+    (s, d) => {
+      val n = RelGraph.withRowId(
+        t(s, d, "nation").select("n_nationkey", "n_regionkey"), Seq("n_nationkey"))
+      val r = RelGraph.withRowId(
+        t(s, d, "region").select("r_regionkey"), Seq("r_regionkey"))
+      val g = RelGraph(
+        scala.collection.immutable.ListMap("nation" -> n, "region" -> r),
+        scala.collection.immutable.ListMap(graft.graph.EdgeType("nation", "fk", "region") ->
+          RelGraph.fkEdges(n, r,
+            ForeignKeyDef(Seq("n_regionkey"), "region", Seq("r_regionkey")))))
+        .withSelfLoops
+      g.edges.toSeq.sortBy(_._1.toString).map { case (et, e) =>
+        e.select(lit(et.toString).as("edge_type"),
+          col("src_id"), col("dst_id"))
+      }.reduce(_.unionAll(_)).orderBy("edge_type", "src_id", "dst_id")
+    },
+    Some("""WITH n AS (SELECT n_regionkey, row_number() OVER (ORDER BY n_nationkey)-1 AS id FROM nation),
+      r AS (SELECT r_regionkey, row_number() OVER (ORDER BY r_regionkey)-1 AS id FROM region)
+      SELECT * FROM (
+        SELECT 'nation->fk->region' AS edge_type, n.id AS src_id, r.id AS dst_id
+          FROM n JOIN r ON n.n_regionkey = r.r_regionkey
+        UNION ALL SELECT 'nation->self->nation', id, id FROM n
+        UNION ALL SELECT 'region->self->region', id, id FROM r) t
+      ORDER BY edge_type, src_id, dst_id"""))
+
+  /** F14 under the driver gate: synthetic timestamps spanning ±1268 years
+    * (pure epoch-µs arithmetic, no calendar math — cross-engine exact)
+    * clamped to the pandas-representable range. */
+  private val qTsClamp = Q("f14_ts_clamp",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        timestamp_micros((pmod(col("o_orderkey"), lit(41)) - 20)
+          * 2000000000000000L).as("__ts"))
+      .select(col("o_orderkey"),
+        unix_micros(graft.convert.Converters.clampTimestamp(col("__ts")))
+          .as("clamped_us"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        epoch_us(least(greatest(
+          make_timestamp((o_orderkey % 41 - 20) * 2000000000000000),
+          TIMESTAMP '1677-09-23 00:00:00'),
+          TIMESTAMP '2262-04-10 00:00:00')) AS clamped_us
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** P7 under the driver gate: a graph whose `region` node type is
+    * filtered empty — pruning must drop the type AND its incident edge
+    * type, leaving only `nation`; the surviving structure is the oracle. */
+  private val qPruneEmpty = Q("p7_prune_empty",
+    (s, d) => {
+      val n = RelGraph.withRowId(
+        t(s, d, "nation").select("n_nationkey", "n_regionkey"), Seq("n_nationkey"))
+      val r = RelGraph.withRowId(
+        t(s, d, "region").filter(col("r_regionkey") < 0).select("r_regionkey"),
+        Seq("r_regionkey"))
+      val g = RelGraph(
+        scala.collection.immutable.ListMap("nation" -> n, "region" -> r),
+        scala.collection.immutable.ListMap(graft.graph.EdgeType("nation", "fk", "region") ->
+          RelGraph.fkEdges(n, r,
+            ForeignKeyDef(Seq("n_regionkey"), "region", Seq("r_regionkey")))))
+        .pruneEmpty
+      val s2 = s
+      import s2.implicits._
+      g.nodes.keys.toSeq.sorted
+        .map(tn => (tn, g.edges.count(_._1.src == tn).toLong))
+        .toDF("table_name", "n_outgoing_edge_types")
+        .orderBy("table_name")
+    },
+    Some("""SELECT 'nation' AS table_name, 0::BIGINT AS n_outgoing_edge_types"""))
+
+  /** S7 under the driver gate: the schema sidecar written to a local
+    * cache as JSON, re-read, and reported — the structure that survives
+    * the round trip (tables, column counts, PK, FK fan-out) is restated
+    * by the oracle from the known registry, so a serialization drop would
+    * hash-mismatch. */
+  private val qSchemaCache = Q("s7_schema_cache",
+    (s, d) => {
+      val schema = catalog(s, d).constraintSchema()
+      val cache = java.nio.file.Files.createTempDirectory("graft_schema")
+        .resolve("schema.json")
+      java.nio.file.Files.write(cache,
+        graft.schema.Schema.toJson(schema).getBytes("UTF-8"))
+      val back = graft.schema.Schema.fromJson(
+        new String(java.nio.file.Files.readAllBytes(cache), "UTF-8"))
+      val s2 = s
+      import s2.implicits._
+      back.tables.toSeq.map { case (tn, ts) =>
+        (tn, ts.columns.size.toLong, ts.primaryKey.mkString(","),
+          ts.foreignKeys.size.toLong)
+      }.toDF("table_name", "n_cols", "pk", "n_fks").orderBy("table_name")
+    },
+    Some("""SELECT * FROM (VALUES
+        ('customer', 5::BIGINT, 'c_custkey', 1::BIGINT),
+        ('documents', 5::BIGINT, 'doc_id', 0::BIGINT),
+        ('embeddings', 3::BIGINT, 'vec_id', 0::BIGINT),
+        ('events', 6::BIGINT, 'event_id', 1::BIGINT),
+        ('lineitem', 11::BIGINT, 'l_orderkey,l_linenumber', 3::BIGINT),
+        ('nation', 3::BIGINT, 'n_nationkey', 1::BIGINT),
+        ('orders', 6::BIGINT, 'o_orderkey', 1::BIGINT),
+        ('part', 6::BIGINT, 'p_partkey', 0::BIGINT),
+        ('region', 2::BIGINT, 'r_regionkey', 0::BIGINT),
+        ('supplier', 4::BIGINT, 's_suppkey', 1::BIGINT))
+      AS t(table_name, n_cols, pk, n_fks) ORDER BY table_name"""))
+
+  /** W7 under the driver gate: the reference's batch-size heuristic
+    * applied to every table's live row count; the oracle restates the
+    * formula in SQL (log2 of an integer ratio never lands on an exact
+    * .5, so round() ties can't diverge cross-engine). */
+  private val qBatchHeuristic = Q("w7_batch_heuristic",
+    (s, d) => {
+      val counts = allTables.map(n => n -> t(s, d, n).count())
+      val s2 = s
+      import s2.implicits._
+      counts.map { case (n, c) =>
+        (n, c, graft.pipeline.Blueprint.batchSizeHeuristic(c))
+      }.toDF("table_name", "n", "batch_size")
+        .orderBy("table_name")
+    },
+    Some(allTables.map(n =>
+        s"""SELECT '$n' AS table_name, count(*) AS n,
+          LEAST(16384, GREATEST(16,
+            POWER(2, ROUND(LOG2(count(*) / 500.0)))))::INT AS batch_size
+        FROM $n""")
+      .mkString("", " UNION ALL ", " ORDER BY table_name")))
+
   private val qSemi = Q("j3_semi_frontier",
     (s, d) => {
       val c = t(s, d, "customer")
@@ -2979,7 +3108,8 @@ object SparkEntry {
   private val all: Seq[Q] = Seq(
     qScan, qCounts, qCopy, qAgg1, qQ5,
     qProject, qNotNull, qInList, qOffset,
-    qRowId, qFkEdges, qSemi, qGraphStats,
+    qRowId, qFkEdges, qSelfLoops, qTsClamp, qPruneEmpty, qBatchHeuristic,
+    qSchemaCache, qSemi, qGraphStats,
     qAnalyze,
     qDistinctNullInc, qDistinctNorm, qCatStats, qNumStats,
     qPropSum, qPropMean, qPropMax, qAttn, qVecAttn, qImpute, qSalted,

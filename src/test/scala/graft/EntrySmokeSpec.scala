@@ -29,7 +29,10 @@ class EntrySmokeSpec extends SparkSpec {
       "d4_simhash_neardups", "d4b_simhash128_neardups", "d5_embedding_neardups",
       "sim2_lsh_topk", "t4_text_embed_stub", "mm2_decode_batched",
       "pr1_pagerank", "sim6_mmr_topk",
-      "kc1_kcore")) // iterate-to-fixpoint peel: no SQL restatement
+      "kc1_kcore", // iterate-to-fixpoint peel: no SQL restatement
+      // BPE's merge-round loop (argmax + fold per round) has no SQL
+      // restatement; the classic-corpus closed form is pinned in ChunkerSpec
+      "bpe1_bpe_merges", "bpe2_bpe_segment"))
     // and no oracle exists without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

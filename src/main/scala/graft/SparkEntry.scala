@@ -1736,6 +1736,33 @@ object SparkEntry {
         round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
       FROM s"""))
 
+  /** Deterministic k-fold CV assignment — every order keeps its fold
+    * across runs and engines (the md5 16-bit coin mod k). */
+  private val qKFold = Q("w11_kfold",
+    (s, d) => Sampling.kFold(
+        t(s, d, "orders").select(col("o_orderkey")), "o_orderkey", k = 5)
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        ('0x' || substring(md5(o_orderkey::VARCHAR || ':cv'), 1, 4))::INT % 5 AS fold
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Sentence segmentation stats per document (RE2-safe split — the same
+    * pattern runs in both engines; token-mean is an exact integer/integer
+    * division, bit-identical with no rounding device). */
+  private val qSentences = Q("snt1_sentence_stats",
+    (s, d) => TextAnalysis.sentenceStats(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH s AS (SELECT doc_id,
+        list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+          x -> trim(x)), x -> length(x) > 0) AS segs
+        FROM documents)
+      SELECT doc_id, len(segs)::BIGINT AS n_sentences,
+        CASE WHEN len(segs) = 0 THEN 0.0
+          ELSE list_sum(list_transform(segs,
+            x -> len(string_split_regex(x, '\s+'))))::DOUBLE / len(segs)
+        END AS avg_sentence_tokens
+      FROM s ORDER BY doc_id"""))
+
   /** Gopher-style repetition signals over documents. */
   private val qRepetition = Q("t5_repetition_stats",
     (s, d) => TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
@@ -3135,7 +3162,8 @@ object SparkEntry {
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
-    qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot)
+    qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
+    qSentences)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

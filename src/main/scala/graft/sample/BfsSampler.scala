@@ -154,6 +154,22 @@ object Sampling {
     df.filter(coin < threshold)
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold =
+    * (first 16 bits of md5(key || ":" || seed)) mod k — a pure function of
+    * the key like every sampler here (an entity keeps its fold across
+    * runs, partitionings, engines and data arrivals, which is what makes
+    * CV splits reproducible and leakage-free when rows sharing a key must
+    * stay together: pass the GROUP key, not the row id). One codegen
+    * expression, no shuffle. */
+  def kFold(df: DataFrame, keyCol: String, k: Int,
+      seed: String = "cv"): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    require(k <= 0x10000, s"k must fit the 16-bit coin, got $k")
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":" + seed))), 1, 4), 16, 10).cast("int")
+    df.withColumn("fold", pmod(h, lit(k)))
+  }
+
   /** Deterministic k-rows-per-group sample: within each group, rank rows
     * by `md5(key || ":" || seed)` (key tiebreak) and keep the first `k` —
     * the fixed-size companion of [[stratifiedSample]]'s fixed-fraction

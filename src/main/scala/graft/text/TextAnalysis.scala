@@ -174,6 +174,29 @@ object TextAnalysis {
             substring(col("value"), 1, 80)))).as("vec"))
   }
 
+  /** Per-document sentence segmentation stats: segments split on
+    * `[.!?]+` runs (RE2-safe — no lookbehind, so the same pattern runs on
+    * any regex engine), blank segments dropped; reports sentence count
+    * and mean whitespace-token count per sentence. Row-local array
+    * expressions only — stays inside the corpus scan. */
+  def sentenceStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val segs = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    val tokCounts = transform(segs, s => size(split(s, "\\s+")))
+    // NULL text → NULL stats, stated explicitly: size() on a NULL array is
+    // config-dependent (-1 under the legacy flag), never silently baked in
+    docs.select(col(idCol), segs.as("__s"), tokCounts.as("__t"))
+      .select(col(idCol),
+        when(col("__s").isNull, lit(null).cast("bigint"))
+          .otherwise(size(col("__s")).cast("bigint")).as("n_sentences"),
+        when(col("__s").isNull, lit(null).cast("double"))
+          .when(size(col("__s")) === 0, lit(0.0))
+          .otherwise(
+            aggregate(col("__t"), lit(0L), (acc, x) => acc + x).cast("double")
+              / size(col("__s"))).as("avg_sentence_tokens"))
+  }
+
   /** Zipf-law fit over the corpus vocabulary — the distributional sanity
     * check of corpus curation (natural text has log-freq vs log-rank slope
     * near −1; a synthetic or template-heavy corpus drifts far from it):

@@ -143,6 +143,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("kFold: complete partition into k stable folds, grouped keys travel together") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("id")
+    val out = Sampling.kFold(df, "id", k = 5)
+    val sizes = out.groupBy("fold").count().orderBy("fold").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(sizes.map(_._1).toSeq == Seq(0, 1, 2, 3, 4), "every fold present")
+    assert(sizes.map(_._2).forall(n => n > 800 && n < 1200),
+      s"roughly uniform folds, got ${sizes.toSeq}")
+    // pure function of (key, seed): stable under repartitioning
+    val again = Sampling.kFold(df.repartition(13), "id", k = 5)
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(again == out.orderBy("id").collect().map(_.getInt(1)).toSeq)
+    // rows sharing a key share a fold — assign on the group key
+    val grouped = Seq((1L, "u1"), (2L, "u1"), (3L, "u2"))
+      .toDF("row_id", "user")
+    val folds = Sampling.kFold(grouped, "user", k = 3)
+      .select("user", "fold").distinct().count()
+    assert(folds == 2L, "one fold per user, however many rows")
+    intercept[IllegalArgumentException] {
+      Sampling.kFold(df, "id", k = 1)
+    }
+  }
+
   test("topKPerGroup: exactly k rows per group, stable under repartitioning") {
     import spark.implicits._
     val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")

@@ -227,6 +227,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert((1 to 4).forall(out(4).isNullAt))
   }
 
+  test("sentenceStats: segment counts and token means, edge cases") {
+    val docs = Seq(
+      (1L, "One two three. Four five! Six?"),   // 3 sentences of 3,2,1 tokens
+      (2L, "no terminator here"),               // 1 sentence, 3 tokens
+      (3L, "...!!!"),                           // only enders: 0 sentences
+      (4L, ""),                                 // empty: 0 sentences
+      (5L, null: String))                       // NULL stays NULL
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == 2.0)
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(2) == 3.0)
+    assert(out(2).getLong(1) == 0L && out(2).getDouble(2) == 0.0)
+    assert(out(3).getLong(1) == 0L && out(3).getDouble(2) == 0.0)
+    assert(out(4).isNullAt(1) && out(4).isNullAt(2))
+  }
+
   test("zipfSlope recovers the slope of a constructed power-law corpus") {
     // term at frequency rank r appears 720/r times (720 divides 1..6), so
     // ln(freq) = ln(720) - ln(rank): an exact slope -1 corpus

@@ -66,6 +66,23 @@ object SparkEntry {
   private def catalog(s: SparkSession, dir: String): ParquetCatalog =
     new ParquetCatalog(nanosOk(s), dir, ConstraintRegistry.testdata)
 
+  /** Scratch directory for queries that materialize through a sink
+    * (s6 copy, s7 schema cache, orc1): registered for recursive delete at
+    * JVM exit, so repeated Bench/Verify sweeps can't accumulate
+    * catalog-sized copies in /tmp until the disk fills. (Deletion can't
+    * happen inside the query — the returned plan still reads the dir.) */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toFile.getAbsolutePath
+  }
+
   /** One query definition: Spark plan + optional DuckDB oracle SQL. */
   private final case class Q(
       name: String,
@@ -96,8 +113,7 @@ object SparkEntry {
     * proves the distributed rewrite lost no rows and no columns. */
   private val qCopy = Q("s6_copy_roundtrip",
     (s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_copy")
-        .toFile.getAbsolutePath
+      val out = scratchDir("graft_copy")
       catalog(s, d).copyTo(out)
       val copied = catalog(nanosOk(s), out)
       copied.listTables().map { n =>
@@ -309,7 +325,7 @@ object SparkEntry {
   private val qSchemaCache = Q("s7_schema_cache",
     (s, d) => {
       val schema = catalog(s, d).constraintSchema()
-      val cache = java.nio.file.Files.createTempDirectory("graft_schema")
+      val cache = java.nio.file.Paths.get(scratchDir("graft_schema"))
         .resolve("schema.json")
       java.nio.file.Files.write(cache,
         graft.schema.Schema.toJson(schema).getBytes("UTF-8"))
@@ -1674,8 +1690,7 @@ object SparkEntry {
     * proves the second columnar format preserves the data. */
   private val qOrcRoundTrip = Q("orc1_orc_roundtrip",
     (s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_orc")
-        .toFile.getAbsolutePath
+      val dir = scratchDir("graft_orc")
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
       graft.sources.Ingest.viaOrc(li, s"$dir/lineitem_orc")

@@ -59,7 +59,10 @@ object Features {
     }
     val num = terms.map(_._1).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
-    df.withColumn("ewma", num / den)
+    // all of the window NULL (including the current value) ⇒ no weight at
+    // all: emit an explicit NULL rather than the 0/0 NaN the raw division
+    // would produce — NULL-in, NULL-out, stated, never a silent NaN
+    df.withColumn("ewma", when(den > 0, num / den))
   }
 
   /** Calendar-spine gap filling — the densification step before any

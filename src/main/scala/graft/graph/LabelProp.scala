@@ -22,15 +22,16 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** @param vertices one row per vertex id
-    * @param edges    directed (src, dst): src's label is sent to dst.
-    *                 Symmetrize first (union both directions) for
+    * @param edges    directed (srcCol, dstCol): src's label is sent to
+    *                 dst. Symmetrize first (union both directions) for
     *                 undirected community flow.
     * @return (id, label) after `iters` synchronous rounds; isolated
     *         vertices keep their own id as label */
   def run(vertices: DataFrame, idCol: String, edges: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, "need at least one round")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
     (1 to iters).foreach { _ =>

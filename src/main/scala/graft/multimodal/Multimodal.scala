@@ -130,65 +130,62 @@ object Multimodal {
   /** REAL image decode: each payload through `javax.imageio.ImageIO.read`
     * (PNG/BMP/GIF/JPEG), reporting actual decoded dimensions and exact
     * per-channel pixel means — the geometry/stat pass a curation pipeline
-    * runs before filtering or resizing. Same partition-parallel batched
-    * iterator as [[decodeBatched]] (batches bound peak decoded-pixel
-    * memory per task); undecodable payloads fail loudly with the media id
-    * rather than silently skewing corpus stats.
+    * runs before filtering or resizing. ImageIO decodes ONE image at a
+    * time, so this maps element-wise (at most one decoded pixel buffer
+    * live per task — no batch buffering is needed or pretended; batch
+    * grouping only matters for codecs with a batch API, [[decodeBatched]]).
+    * Undecodable payloads fail loudly with the media id rather than
+    * silently skewing corpus stats.
     *
     * @return (media_id, width, height, mean_r, mean_g, mean_b) */
-  def decodeImageStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeImageStats(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id").cast("long"), col("data"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"media_id=$id: payload is not a decodable image")
-          val (w, h) = (img.getWidth, img.getHeight)
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var i = 0
-          while (i < px.length) {
-            sr += (px(i) >> 16) & 0xff; sg += (px(i) >> 8) & 0xff; sb += px(i) & 0xff
-            i += 1
-          }
-          val n = w.toLong * h
-          (id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
-        })
+      .map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media_id=$id: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i < px.length) {
+          sr += (px(i) >> 16) & 0xff; sg += (px(i) >> 8) & 0xff; sb += px(i) & 0xff
+          i += 1
+        }
+        val n = w.toLong * h
+        (id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
       }
       .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
   /** REAL image resize via JDK `Graphics2D` bilinear scaling + PNG
     * re-encode: data and metadata are rewritten to the target geometry.
-    * Executor-side, batched like [[decodeImageStats]]. The output format is
-    * normalized to PNG regardless of input codec (the usual corpus-prep
-    * normalization step). */
-  def resizeImages(df: DataFrame, width: Int, height: Int,
-      batchSize: Int = 64): DataFrame = {
+    * Executor-side, element-wise like [[decodeImageStats]]. The output
+    * format is normalized to PNG regardless of input codec (the usual
+    * corpus-prep normalization step). */
+  def resizeImages(df: DataFrame, width: Int, height: Int): DataFrame = {
     require(width >= 1 && height >= 1, s"bad target ${width}x$height")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id").cast("long"), col("data"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"media_id=$id: payload is not a decodable image")
-          val dst = new java.awt.image.BufferedImage(
-            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = dst.createGraphics()
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, width, height, null)
-          g.dispose()
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(dst, "png", out)
-          (id, out.toByteArray)
-        })
+      .map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media_id=$id: payload is not a decodable image")
+        val dst = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, height, null)
+        g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        (id, out.toByteArray)
       }
       .toDF("media_id", "data")
       .withColumn("meta", struct(

@@ -117,6 +117,7 @@ object Sampling {
       seed: Long = 42L): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
+    requireStringStrata(df, strataCol)
     val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(10000L))
     val keepBelow =
       if (fractions.isEmpty) lit(defaultFraction * 10000)
@@ -142,6 +143,7 @@ object Sampling {
       // clamp: round(f·65536) hits 65536 for f ≥ ~0.9999924, which would
       // format as the 5-char "10000" and break the 4-char string compare
       if (f >= 1.0) "g" else f"${math.min(0xffff, math.round(f * 65536).toInt)}%04x"
+    requireStringStrata(df, strataCol)
     val coin = substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
     // one map literal, constant expression depth at any strata count (the
     // stratifiedSample device)
@@ -153,6 +155,18 @@ object Sampling {
         lit(hex4(defaultFraction)))
     df.filter(coin < threshold)
   }
+
+  // The strata thresholds probe a string-keyed map literal, so the
+  // stratum column must BE a string: a numeric column would render "1.0"
+  // against a "1" key and silently fall through to the default fraction
+  // (the old when-chain coerced; the constant-depth map probe cannot).
+  // Cast in the caller — the cast is visible there, the mismatch loud here.
+  private def requireStringStrata(df: DataFrame, strataCol: String): Unit =
+    require(df.schema(strataCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"stratum column `$strataCol` must be a string (got " +
+        s"${df.schema(strataCol).dataType.simpleString}); cast it first — " +
+        "fraction keys match the string rendering exactly")
 
   /** Deterministic k-fold cross-validation assignment: fold =
     * (first 16 bits of md5(key || ":" || seed)) mod k — a pure function of

@@ -62,25 +62,7 @@ object Bucketing {
       knownRows: Long = -1L, layoutCols: Seq[String] = Nil): Long = {
     require(targetRecordsPerFile >= 1,
       s"targetRecordsPerFile must be >= 1, got $targetRecordsPerFile")
-    // In-place compaction (outPath == a source path of df) would rely on
-    // Spark's self-overwrite detection as the only thing between the user
-    // and data loss — reject it up front. Compact to a sibling path and
-    // swap at the storage layer instead.
-    val hconf = df.sparkSession.sessionState.newHadoopConf()
-    def qualified(p: org.apache.hadoop.fs.Path) =
-      p.getFileSystem(hconf).makeQualified(p)
-    val outQ = qualified(new org.apache.hadoop.fs.Path(outPath))
-    val srcPaths = df.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        r.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.map(qualified)
-          case _ => Seq.empty
-        }
-    }.flatten
-    require(!srcPaths.contains(outQ),
-      s"compact() outPath $outPath is a source path of the input — " +
-        "in-place compaction is unsupported; write to a sibling path")
+    Sinks.requireNotSourcePath(df, outPath)
     val rows = if (knownRows >= 0) knownRows else df.count()
     val shards = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
     require(shards <= Int.MaxValue, "shard count overflows Int")

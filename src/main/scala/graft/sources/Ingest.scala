@@ -107,20 +107,7 @@ object Ingest {
     * its scan characteristics. Refuses to overwrite a source path of `df`
     * itself (the [[Bucketing.compact]] in-place guard). */
   def viaOrc(df: DataFrame, outPath: String): DataFrame = {
-    val hconf = df.sparkSession.sessionState.newHadoopConf()
-    def qualified(p: org.apache.hadoop.fs.Path) =
-      p.getFileSystem(hconf).makeQualified(p)
-    val outQ = qualified(new org.apache.hadoop.fs.Path(outPath))
-    val srcPaths = df.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        r.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.map(qualified)
-          case _ => Seq.empty
-        }
-    }.flatten
-    require(!srcPaths.contains(outQ),
-      s"viaOrc() outPath $outPath is a source path of the input")
+    Sinks.requireNotSourcePath(df, outPath)
     df.write.mode("overwrite").orc(outPath)
     df.sparkSession.read.orc(outPath)
   }

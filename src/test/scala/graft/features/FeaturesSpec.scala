@@ -42,6 +42,12 @@ class FeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Features.ewma(ev, "user", "ts", "value", tie = "id", k = 3, alpha = 1.0)
     }
+    // an all-NULL window carries no weight: explicit NULL, never a 0/0 NaN
+    val withNull = Seq((1L, "u3", 10L, null: java.lang.Double))
+      .toDF("id", "user", "ts", "value")
+    val nullOut = Features.ewma(withNull, "user", "ts", "value", tie = "id", k = 2)
+      .select("ewma").collect()(0)
+    assert(nullOut.isNullAt(0), "NULL-in, NULL-out for a weightless window")
   }
 
   test("fillHourlyGaps materializes missing hours as zero rows, per-key spine") {

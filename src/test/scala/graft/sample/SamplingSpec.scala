@@ -167,6 +167,24 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratified samplers reject non-string strata columns loudly") {
+    import spark.implicits._
+    // a numeric stratum renders "1.0" against a "1" key in the map probe —
+    // the old when-chain coerced, the constant-depth probe cannot, so the
+    // mismatch must be an error, not a silent fall-through to the default
+    val df = (1L to 10L).map(i => (i, (i % 2).toDouble)).toDF("id", "grp")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, "grp", "id", Map("1" -> 0.5))
+    }
+    assert(e.getMessage.contains("must be a string"))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSamplePortable(df, "grp", "id", Map("1" -> 0.5))
+    }
+    // the documented remedy works
+    assert(Sampling.stratifiedSample(df.withColumn("grp", $"grp".cast("string")),
+      "grp", "id", Map("1.0" -> 1.0), defaultFraction = 0.0).count() == 5L)
+  }
+
   test("topKPerGroup: exactly k rows per group, stable under repartitioning") {
     import spark.implicits._
     val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")

@@ -1751,6 +1751,52 @@ object SparkEntry {
         round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
       FROM s"""))
 
+  /** Count-min sketch heavy-hitter counts via Spark's native
+    * `count_min_sketch` aggregate (codegen'd, mergeable — the bounded-
+    * state sibling of the bloom probe and HLL distinct): one pass builds
+    * the sketch, the driver reads estimates for the known key set. At
+    * eps = 0.001 the 2719-cell rows make collisions among 5 keys
+    * practically impossible and the seed is fixed, so the deterministic
+    * estimates EQUAL the exact counts — which is the oracle (a mismatch
+    * would mean the sketch path broke, exactly what the gate should
+    * catch). */
+  private val qCmsCounts = Q("cms1_sketch_counts",
+    (s, d) => {
+      val skBytes = events(s, d)
+        .agg(count_min_sketch(col("event_type"), lit(0.001), lit(0.99),
+          lit(42)).as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val s2 = s
+      import s2.implicits._
+      Seq("click", "error", "purchase", "signup", "view")
+        .map(t => (t, cms.estimateCount(t)))
+        .toDF("event_type", "estimate")
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS estimate FROM events
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Robust median/MAD outlier profile per return flag — the anomaly gate
+    * run on numeric features before training; medians rounded before use
+    * so both engines flag identical rows. */
+  private val qMadOutliers = Q("an1_mad_outliers",
+    (s, d) => graft.analyze.Quantiles.madOutliers(
+        t(s, d, "lineitem"), "l_returnflag", "l_extendedprice", k = 3.0)
+      .orderBy("l_returnflag"),
+    Some("""WITH m AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+        FROM lineitem GROUP BY 1),
+      d AS (SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS dev, m.med
+        FROM lineitem l JOIN m USING (l_returnflag)),
+      md AS (SELECT l_returnflag, round(quantile_cont(dev, 0.5), 4) AS mad
+        FROM d GROUP BY 1)
+      SELECT d.l_returnflag, count(*) AS n,
+        sum(CASE WHEN dev > 3.0 * 1.4826 * md.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        min(d.med) AS median, min(md.mad) AS mad
+      FROM d JOIN md USING (l_returnflag)
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Deterministic k-fold CV assignment — every order keeps its fold
     * across runs and engines (the md5 16-bit coin mod k). */
   private val qKFold = Q("w11_kfold",
@@ -3178,7 +3224,7 @@ object SparkEntry {
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
-    qSentences)
+    qSentences, qMadOutliers, qCmsCounts)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

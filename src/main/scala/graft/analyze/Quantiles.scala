@@ -160,6 +160,39 @@ object Quantiles {
         round(col("q").cast("double"), 4).as("q"))
   }
 
+  /** Robust per-group outlier profile — median/MAD anomaly detection (the
+    * standard robust z-score: mean/stddev move with the outliers they're
+    * meant to catch; median and median-absolute-deviation don't). A value
+    * is anomalous when `|x − median| > k · 1.4826 · MAD` (1.4826 scales
+    * MAD to σ under normality). Two grouped exact-percentile passes
+    * (median, then median of deviations — the [[groupedExact]] sorted-
+    * buffer contract; swap in [[approx]] percentiles at 100 TB) with the
+    * tiny per-group medians broadcast back between them; medians round to
+    * 4 decimals BEFORE use (the [[winsorize]] boundary device), so both
+    * engines compare against bit-identical thresholds and flag identical
+    * rows.
+    *
+    * @return per group: (group, n, n_outliers, median, mad) */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val g = rawCol(groupCol); val v = rawCol(valueCol).cast("double")
+    val med = df.groupBy(g)
+      .agg(round(percentile(v, lit(0.5)), 4).as("__med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .select(g, v.as("__v"), col("__med"),
+        abs(v - col("__med")).as("__dev"))
+    val mad = dev.groupBy(g)
+      .agg(round(percentile(col("__dev"), lit(0.5)), 4).as("__mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(g)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__dev") > lit(k) * lit(1.4826) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        first(col("__med")).as("median"),
+        first(col("__mad")).as("mad"))
+  }
+
   private def unpivot(aggd: DataFrame, cols: Seq[String], ps: Seq[Double]): DataFrame = {
     val psArr = array(ps.map(lit): _*)
     cols.map { c =>

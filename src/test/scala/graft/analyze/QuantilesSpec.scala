@@ -84,4 +84,27 @@ class QuantilesSpec extends SparkSpec {
     assert(drift.count(_.getLong(2) == 0L) == 3)
     intercept[IllegalArgumentException] { Quantiles.psiDrift(ref, cur, "v", 1) }
   }
+
+  test("madOutliers flags the planted spikes and nothing else") {
+    // g1: 100 values near 50 plus two spikes; g2: clean uniform — median
+    // and MAD ignore the spikes, so the threshold stays tight
+    val g1 = (1 to 100).map(i => ("g1", 50.0 + (i % 5))) ++
+      Seq(("g1", 5000.0), ("g1", -4000.0))
+    val g2 = (1 to 50).map(i => ("g2", i.toDouble))
+    val out = Quantiles.madOutliers((g1 ++ g2).toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+    assert(out(0).getLong(1) == 102L)
+    assert(out(0).getLong(2) == 2L, "exactly the two planted spikes")
+    assert(out(0).getDouble(3) > 49 && out(0).getDouble(3) < 55,
+      "median unmoved by the spikes")
+    assert(out(1).getLong(2) == 0L, "uniform data has no 3-sigma outliers")
+    // mean/stddev would have been dragged: the spike is < 3 classic sigmas
+    val (mean, n) = (g1.map(_._2).sum / g1.length, g1.length)
+    val sd = math.sqrt(g1.map(x => math.pow(x._2 - mean, 2)).sum / n)
+    assert(5000.0 - mean < 8 * sd && sd > 600,
+      "classic z-score scale is inflated by the spikes (sanity of the fixture)")
+    intercept[IllegalArgumentException] {
+      Quantiles.madOutliers(g2.toDF("g", "v"), "g", "v", k = 0)
+    }
+  }
 }

@@ -1751,6 +1751,23 @@ object SparkEntry {
         round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
       FROM s"""))
 
+  /** Epoch up-sampling for a pretraining mix: rare languages repeated
+    * (de ×2.5, fr ×3) by the deterministic md5 coin — copy counts are a
+    * pure function of (doc_id, seed), restated row-for-row in SQL. */
+  private val qUpsample = Q("rs1_epoch_upsample",
+    (s, d) => Sampling.upsample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", Map("de" -> 2.5, "fr" -> 3.0))
+      .orderBy("doc_id", "copy_id"),
+    Some("""WITH w AS (SELECT doc_id, lang,
+        (CASE lang WHEN 'de' THEN 2 WHEN 'fr' THEN 3 ELSE 1 END
+         + CASE WHEN substring(md5(doc_id::VARCHAR || ':42'), 1, 4) <
+             (CASE lang WHEN 'de' THEN '8000' ELSE '0000' END)
+           THEN 1 ELSE 0 END)::BIGINT AS n
+        FROM documents)
+      SELECT doc_id, lang, unnest(generate_series(0::BIGINT, n - 1)) AS copy_id
+      FROM w WHERE n > 0 ORDER BY doc_id, copy_id"""))
+
   /** Count-min sketch heavy-hitter counts via Spark's native
     * `count_min_sketch` aggregate (codegen'd, mergeable — the bounded-
     * state sibling of the bloom probe and HLL distinct): one pass builds
@@ -3224,7 +3241,7 @@ object SparkEntry {
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
-    qSentences, qMadOutliers, qCmsCounts)
+    qSentences, qMadOutliers, qCmsCounts, qUpsample)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

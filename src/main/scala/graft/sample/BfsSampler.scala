@@ -201,6 +201,46 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic fractional up-sampling — the "epochs per source" knob
+    * of a pretraining data mix ([[temperatureMix]] can only DOWN-sample;
+    * rebalancing a rare-but-valuable source means repeating it): each row
+    * whose stratum has weight `w` is emitted `⌊w⌋` times plus one more
+    * with probability `frac(w)`, decided by the md5 coin of
+    * [[stratifiedSamplePortable]] — so the copy count is a pure function
+    * of (key, seed), stable across engines, and the expected multiplicity
+    * is exactly `w`. One `explode(sequence(...))` inside the scan: no
+    * shuffle, output size `Σ wᵢ·nᵢ` by construction. Copies carry a
+    * 0-based `copy_id` so downstream shuffles can spread them. */
+  def upsample(df: DataFrame, strataCol: String, keyCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      seed: String = "42"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "weights must be non-negative")
+    requireStringStrata(df, strataCol)
+    def hex4(f: Double): String =
+      if (f >= 1.0) "g" else f"${math.min(0xffff, math.round(f * 65536).toInt)}%04x"
+    val whole = (w: Double) => math.floor(w).toLong
+    val fracHex = (w: Double) => hex4(w - math.floor(w))
+    val base =
+      if (weights.isEmpty) lit(whole(defaultWeight))
+      else coalesce(
+        element_at(typedLit(weights.map { case (s, w) => s -> whole(w) }),
+          col(strataCol)),
+        lit(whole(defaultWeight)))
+    val extraThreshold =
+      if (weights.isEmpty) lit(fracHex(defaultWeight))
+      else coalesce(
+        element_at(typedLit(weights.map { case (s, w) => s -> fracHex(w) }),
+          col(strataCol)),
+        lit(fracHex(defaultWeight)))
+    val coin = substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
+    val copies = base + when(coin < extraThreshold, 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Temperature-flattened corpus mixing (the multi-source sampling rule of
     * multilingual/multi-domain LLM pretraining, α = 0.5): source `i` with
     * `n_i` rows is resampled toward weight `√n_i / Σ√n_j`, which upweights

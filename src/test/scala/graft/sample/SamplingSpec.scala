@@ -167,6 +167,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("upsample: expected multiplicity per stratum, deterministic copies") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, if (i <= 1000) "rare" else "common"))
+      .toDF("id", "src")
+    val out = Sampling.upsample(df, "src", "id", Map("rare" -> 2.5))
+    val byStratum = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("common") == 2000L, "weight 1.0 is a no-op")
+    // 1000 rare rows at w=2.5: 2 copies each + ~half get a third
+    assert(byStratum("rare") > 2300 && byStratum("rare") < 2700,
+      s"~2500 expected, got ${byStratum("rare")}")
+    // copy_id enumerates each row's copies from 0
+    val copies = out.filter($"id" === 1L).select("copy_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(copies == (0L until copies.length.toLong), s"contiguous ids: $copies")
+    // deterministic under repartitioning
+    val again = Sampling.upsample(df.repartition(7), "src", "id", Map("rare" -> 2.5))
+    assert(again.count() == out.count())
+    // weight 0 drops the stratum entirely
+    assert(Sampling.upsample(df, "src", "id", Map("rare" -> 0.0))
+      .filter($"src" === "rare").count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.upsample(df, "src", "id", Map("rare" -> -1.0))
+    }
+  }
+
   test("stratified samplers reject non-string strata columns loudly") {
     import spark.implicits._
     // a numeric stratum renders "1.0" against a "1" key in the map probe —

@@ -1751,6 +1751,47 @@ object SparkEntry {
         round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
       FROM s"""))
 
+  /** Snapshot diff between orders and a deterministically mutated "next
+    * load" (status rewritten for the md5<10 slice, md5<04 dropped, fresh
+    * negated keys inserted — the up1 device), every key classified. */
+  private val qSnapshotDiff = Q("dv1_snapshot_diff",
+    (s, d) => {
+      val old = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val changed = Sampling.hashSample(old, "o_orderkey", "10")
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+      val removedKeys = Sampling.hashSample(old, "o_orderkey", "04")
+        .select(col("o_orderkey"))
+      val added = Sampling.hashSample(old, "o_orderkey", "02")
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          lit("N").as("o_orderstatus"))
+      val next = graft.sources.Merge.upsert(
+          old.join(removedKeys, Seq("o_orderkey"), "left_anti"),
+          changed.join(removedKeys, Seq("o_orderkey"), "left_anti"),
+          Seq("o_orderkey"))
+        .unionAll(added)
+      graft.sources.Merge.snapshotDiff(old, next, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders),
+      rm AS (SELECT o_orderkey FROM orders
+        WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '04'),
+      n AS (
+        SELECT o_orderkey,
+          CASE WHEN substr(md5(o_orderkey::VARCHAR),1,2) < '10'
+            THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM rm)
+        UNION ALL
+        SELECT -o_orderkey, 'N' FROM orders
+        WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '02')
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+          WHEN n.o_orderkey IS NULL THEN 'removed'
+          WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+            THEN 'unchanged'
+          ELSE 'changed' END AS change
+      FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+      ORDER BY o_orderkey"""))
+
   /** Epoch up-sampling for a pretraining mix: rare languages repeated
     * (de ×2.5, fr ×3) by the deterministic md5 coin — copy counts are a
     * pure function of (doc_id, seed), restated row-for-row in SQL. */
@@ -3241,7 +3282,7 @@ object SparkEntry {
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
-    qSentences, qMadOutliers, qCmsCounts, qUpsample)
+    qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -42,4 +42,27 @@ class MergeSpec extends SparkSpec {
       Merge.upsert(cur, upd.withColumnRenamed("v", "w"), Seq("k1"))
     }
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, NULL-safe") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("k", "v")
+    val next = Seq((1L, Some("a")), (2L, Some("B")), (3L, None), (5L, Some("e")))
+      .toDF("k", "v")
+    val out = Merge.snapshotDiff(old, next, Seq("k"))
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // NULL <=> NULL compares equal, not 'changed'
+      4L -> "removed", 5L -> "added"))
+    // NULL appearing/disappearing in a value column is a change
+    val nulled = Merge.snapshotDiff(old,
+      Seq((4L, None: Option[String])).toDF("k", "v"), Seq("k"))
+      .filter($"k" === 4L).collect()(0).getString(1)
+    assert(nulled == "changed")
+    intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(old, next.withColumnRenamed("v", "w"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(old, next, Seq("k", "v"))
+    }
+  }
 }

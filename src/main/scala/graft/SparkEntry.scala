@@ -66,20 +66,29 @@ object SparkEntry {
   private def catalog(s: SparkSession, dir: String): ParquetCatalog =
     new ParquetCatalog(nanosOk(s), dir, ConstraintRegistry.testdata)
 
-  /** Scratch directory for queries that materialize through a sink
-    * (s6 copy, s7 schema cache, orc1): registered for recursive delete at
-    * JVM exit, so repeated Bench/Verify sweeps can't accumulate
-    * catalog-sized copies in /tmp until the disk fills. (Deletion can't
-    * happen inside the query — the returned plan still reads the dir.) */
-  private def scratchDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+  // Scratch space for queries that materialize through a sink (s6 copy,
+  // s7 schema cache, orc1), deleted recursively at JVM exit. (Deletion
+  // can't happen inside the query — the returned plan still reads it.)
+  // One scratch ROOT per JVM (single shutdown hook); sink queries write
+  // under per-query subdirs, so a re-executed query overwrites its own
+  // subdir instead of accumulating a fresh catalog-sized copy (and a
+  // fresh hook thread) per execution — disk use within one long-lived
+  // JVM is bounded by one copy per sink query.
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      rm(dir.toFile)
+      rm(root.toFile)
     }))
+    root
+  }
+
+  private def scratchDir(name: String): String = {
+    val dir = scratchRoot.resolve(name)
+    java.nio.file.Files.createDirectories(dir)
     dir.toFile.getAbsolutePath
   }
 
@@ -1802,7 +1811,7 @@ object SparkEntry {
       .orderBy("doc_id", "copy_id"),
     Some("""WITH w AS (SELECT doc_id, lang,
         (CASE lang WHEN 'de' THEN 2 WHEN 'fr' THEN 3 ELSE 1 END
-         + CASE WHEN substring(md5(doc_id::VARCHAR || ':42'), 1, 4) <
+         + CASE WHEN substring(md5(doc_id::VARCHAR || ':up:42'), 1, 4) <
              (CASE lang WHEN 'de' THEN '8000' ELSE '0000' END)
            THEN 1 ELSE 0 END)::BIGINT AS n
         FROM documents)

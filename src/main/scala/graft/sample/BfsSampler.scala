@@ -139,10 +139,6 @@ object Sampling {
       seed: String = "42"): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
-    def hex4(f: Double): String =
-      // clamp: round(f·65536) hits 65536 for f ≥ ~0.9999924, which would
-      // format as the 5-char "10000" and break the 4-char string compare
-      if (f >= 1.0) "g" else f"${math.min(0xffff, math.round(f * 65536).toInt)}%04x"
     requireStringStrata(df, strataCol)
     val coin = substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
     // one map literal, constant expression depth at any strata count (the
@@ -155,6 +151,15 @@ object Sampling {
         lit(hex4(defaultFraction)))
     df.filter(coin < threshold)
   }
+
+  // Fraction → 4-hex-char threshold for the md5 coin (quantized to
+  // 1/65536). The clamp matters: round(f·65536) hits 65536 for
+  // f ≥ ~0.9999924, which would format as the 5-char "10000" and break
+  // the 4-char string compare — f ≥ 1.0 maps to a sentinel above every
+  // hex string instead. ONE definition for every sampler that draws the
+  // coin, so the quantization can never drift between them.
+  private def hex4(f: Double): String =
+    if (f >= 1.0) "g" else f"${math.min(0xffff, math.round(f * 65536).toInt)}%04x"
 
   // The strata thresholds probe a string-keyed map literal, so the
   // stratum column must BE a string: a numeric column would render "1.0"
@@ -210,15 +215,21 @@ object Sampling {
     * of (key, seed), stable across engines, and the expected multiplicity
     * is exactly `w`. One `explode(sequence(...))` inside the scan: no
     * shuffle, output size `Σ wᵢ·nᵢ` by construction. Copies carry a
-    * 0-based `copy_id` so downstream shuffles can spread them. */
+    * 0-based `copy_id` so downstream shuffles can spread them.
+    *
+    * The coin lives in its own `:up:` seed NAMESPACE: down-sampling
+    * (temperatureMix / stratifiedSample*) then up-sampling the SAME key
+    * column is the standard mix recipe, and if both drew the identical
+    * md5 coin the decisions would correlate — rows that survived a
+    * keep-fraction f ≤ 0.5 cut would ALL win a 0.5 extra-copy toss
+    * (P(extra | survived) = min(1, frac/f), not frac). The namespace
+    * keeps the two draws independent (the kFold `:cv` device). */
   def upsample(df: DataFrame, strataCol: String, keyCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       seed: String = "42"): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
       "weights must be non-negative")
     requireStringStrata(df, strataCol)
-    def hex4(f: Double): String =
-      if (f >= 1.0) "g" else f"${math.min(0xffff, math.round(f * 65536).toInt)}%04x"
     val whole = (w: Double) => math.floor(w).toLong
     val fracHex = (w: Double) => hex4(w - math.floor(w))
     val base =
@@ -233,7 +244,8 @@ object Sampling {
         element_at(typedLit(weights.map { case (s, w) => s -> fracHex(w) }),
           col(strataCol)),
         lit(fracHex(defaultWeight)))
-    val coin = substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 4)
+    val coin = substring(md5(concat(col(keyCol).cast("string"),
+      lit(":up:" + seed))), 1, 4)
     val copies = base + when(coin < extraThreshold, 1L).otherwise(0L)
     df.withColumn("__n", copies)
       .filter(col("__n") > 0)

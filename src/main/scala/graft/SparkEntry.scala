@@ -2230,6 +2230,23 @@ object SparkEntry {
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY gid, flag, status"""))
 
+  /** Full cube over both dimensions — rollup's every-subset sibling, ONE
+    * aggregate over the expanded grouping sets (4 sets vs rollup's 3). */
+  private val qCube = Q("a22_cube",
+    (s, d) => Olap.cubeAgg(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("sum_qty"), col("n"), col("gid"))
+      .orderBy("gid", "flag", "status"),
+    Some("""SELECT coalesce(l_returnflag,'(all)') AS flag,
+        coalesce(l_linestatus,'(all)') AS status,
+        sum(l_quantity) AS sum_qty, count(*) AS n,
+        GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY gid, flag, status"""))
+
   /** Event-type counts pivoted wide per user (enumerated domain — no
     * domain-discovery scan). */
   private val qPivot = Q("a15_pivot",
@@ -3279,7 +3296,7 @@ object SparkEntry {
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
-    qRollup, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
+    qRollup, qCube, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
     qPageRankAnchor, qKCoreAnchor,
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,

@@ -1845,6 +1845,36 @@ object SparkEntry {
     Some("""SELECT event_type, count(*) AS estimate FROM events
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Rank features per event type: percent rank + quartile over the
+    * (value, event_id)-totalized order — rank definitions are standard
+    * SQL, so the restatement is verbatim. */
+  private val qRankFeatures = Q("fe4_rank_features",
+    (s, d) => Features.rankFeatures(events(s, d), "event_type", "value",
+        tie = "event_id")
+      .select(col("event_id"), round(col("pct_rank"), 6).as("pct_rank"),
+        col("tile"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+        round(percent_rank() OVER w, 6) AS pct_rank,
+        ntile(4) OVER w AS tile
+      FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_id"""))
+
+  /** Per-language min-max scaling of document length — group-relative
+    * normalization; bit-identical division from identical min/max. */
+  private val qGroupScaling = Q("sc2_grouped_scaling",
+    (s, d) => Features.scaleByGroup(t(s, d, "documents"), "lang", "n_chars")
+      .select(col("doc_id"), round(col("scaled"), 6).as("scaled"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        round(CASE WHEN mx = mn THEN 0.0
+          ELSE (n_chars - mn)::DOUBLE / (mx - mn) END, 6) AS scaled
+      FROM (SELECT doc_id, n_chars::DOUBLE AS n_chars,
+        min(n_chars::DOUBLE) OVER (PARTITION BY lang) AS mn,
+        max(n_chars::DOUBLE) OVER (PARTITION BY lang) AS mx
+        FROM documents) t
+      ORDER BY doc_id"""))
+
   /** Robust median/MAD outlier profile per return flag — the anomaly gate
     * run on numeric features before training; medians rounded before use
     * so both engines flag identical rows. */
@@ -3308,7 +3338,8 @@ object SparkEntry {
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
-    qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff)
+    qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
+    qRankFeatures, qGroupScaling)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

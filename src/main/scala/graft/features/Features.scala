@@ -93,6 +93,34 @@ object Features {
         coalesce(col("__v"), lit(0.0)).as("sum_value"))
   }
 
+  /** Rank-based features per key: percent rank (0..1 position in the
+    * key's value order) and quartile (ntile 4) — the distribution-free
+    * normalization that survives arbitrary outliers (a value's rank can't
+    * be dragged the way [[scaleFeatures]]' min-max can). One window sort
+    * per key, totalized by the tie column so both the rank and the tile
+    * assignment are engine-deterministic. */
+  def rankFeatures(df: DataFrame, keyCol: String, valueCol: String,
+      tie: String, tiles: Int = 4): DataFrame = {
+    require(tiles >= 2, s"need at least 2 tiles, got $tiles")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tie))
+    df.withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("tile", ntile(tiles).over(w).cast("bigint"))
+  }
+
+  /** Per-group min-max scaling: `(x − min_g)/(max_g − min_g)` with the
+    * group stats from one unordered window pass (no sort — min/max over
+    * the whole partition); a constant group scales to 0. The grouped
+    * sibling of [[scaleFeatures]]' global modes, for features whose scale
+    * is only meaningful within a stratum (per-language doc lengths,
+    * per-source scores). */
+  def scaleByGroup(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val v = col(valueCol).cast("double")
+    val lo = min(v).over(w); val hi = max(v).over(w)
+    df.withColumn("scaled",
+      when(hi === lo, lit(0.0)).otherwise((v - lo) / (hi - lo)))
+  }
+
   /** Slowly-changing-dimension type-2 history built from a change log:
     * collapse consecutive rows whose tracked attribute is unchanged, then
     * assign each surviving version a half-open validity interval

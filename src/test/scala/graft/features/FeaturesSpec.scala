@@ -67,6 +67,32 @@ class FeaturesSpec extends SparkSpec {
       ("u1", 10800L, 1L, 4.0), ("u2", 18000L, 1L, 7.0)))
   }
 
+  test("rankFeatures: percent rank and tiles from the totalized order") {
+    val out = Features.rankFeatures(ev, "user", "ts", tie = "id", tiles = 2)
+      .select($"id", $"pct_rank", $"tile").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // u1 has 4 rows ordered by ts: pct_rank = (rank-1)/3
+    assert(out(1L) == ((0.0, 1L)))
+    assert(out(2L)._1 == 1.0 / 3 && out(2L)._2 == 1L)
+    assert(out(3L)._1 == 2.0 / 3 && out(3L)._2 == 2L)
+    assert(out(4L) == ((1.0, 2L)))
+    assert(out(5L) == ((0.0, 1L)), "singleton key: rank 0, first tile")
+    intercept[IllegalArgumentException] {
+      Features.rankFeatures(ev, "user", "ts", tie = "id", tiles = 1)
+    }
+  }
+
+  test("scaleByGroup: group-relative min-max, constant group scales to 0") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val out = Features.scaleByGroup(df, "g", "v")
+      .select($"g", $"v", $"scaled").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 10.0)) == 0.0 && out(("a", 20.0)) == 0.5 &&
+      out(("a", 30.0)) == 1.0)
+    assert(out(("b", 7.0)) == 0.0, "constant group maps to 0, not NaN")
+  }
+
   test("jsonField extracts typed scalars; missing path is NULL") {
     val out = ev.select($"id", Features.jsonField($"props", "$.k", "int").as("k"))
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap

@@ -108,6 +108,35 @@ class ChunkerSpec extends SparkSpec {
       (8L, 1L, 1L, 8L, 8L, 0.0)))         // doc 5 alone: no padding
   }
 
+  test("applyBpe matches a reference greedy-merge implementation on random words") {
+    // driver-side reference: the textbook greedy leftmost merge fold
+    def refMerge(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    def refApply(word: String, merges: Seq[(String, String, Long)]): List[String] = {
+      val init = word.map(_.toString).toList :+ "</w>"
+      merges.foldLeft(init) { case (syms, (a, b, _)) => refMerge(syms, a, b) }
+    }
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 30).map(_ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    // adversarial merge list over a 3-letter alphabet, includes chained
+    // and overlapping rules
+    val merges = Seq(("a", "a", 0L), ("a", "b", 0L), ("ab", "c", 0L),
+      ("c", "</w>", 0L), ("aa", "aa", 0L))
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Chunker.applyBpe(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == refApply(w, merges),
+        s"word '$w': ${got(i.toLong)} != ${refApply(w, merges)}")
+    }
+  }
+
   test("trainBpe learns the classic merge sequence on the Sennrich corpus") {
     // word frequencies low:5 lower:2 newest:6 widest:3 — the BPE paper's
     // worked example; expected merges hand-computable from pair counts

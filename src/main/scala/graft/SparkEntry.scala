@@ -1845,6 +1845,32 @@ object SparkEntry {
     Some("""SELECT event_type, count(*) AS estimate FROM events
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Whole-catalog FK integrity audit: all 9 declared FKs checked —
+    * the oracle repeats each count pair with NOT-EXISTS subqueries. */
+  private def fkAuditOracle: String = {
+    val fks = Seq(
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("events", "user_id", "customer", "c_custkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+    fks.map { case (c, ck, p, pk) =>
+      s"""SELECT '$c' AS child_table, '$ck' AS fk_columns, '$p' AS parent_table,
+        (SELECT count(*) FROM $c WHERE $ck IS NOT NULL) AS n_checked,
+        (SELECT count(*) FROM $c WHERE $ck IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM $p WHERE $p.$pk = $c.$ck)) AS n_dangling"""
+    }.mkString("", " UNION ALL ",
+      " ORDER BY child_table, fk_columns")
+  }
+
+  private val qFkAudit = Q("dq6_fk_audit",
+    (s, d) => graft.analyze.DataQuality.fkAudit(catalog(s, d))
+      .orderBy("child_table", "fk_columns"),
+    Some(fkAuditOracle))
+
   /** Rank features per event type: percent rank + quartile over the
     * (value, event_id)-totalized order — rank definitions are standard
     * SQL, so the restatement is verbatim. */
@@ -3339,7 +3365,7 @@ object SparkEntry {
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
-    qRankFeatures, qGroupScaling)
+    qRankFeatures, qGroupScaling, qFkAudit)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

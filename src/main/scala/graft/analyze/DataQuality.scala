@@ -173,6 +173,38 @@ object DataQuality {
         min(col("__gs")).as("min_group_size"))
   }
 
+  /** Catalog-wide referential-integrity audit: every declared FK checked
+    * in one pass — child rows with a fully non-NULL key, left-joined to
+    * the distinct parent keys, counted checked/dangling in a single
+    * aggregate (no nested-loop scalar joins; per FK one key-shuffle join,
+    * prefilterable with the d9 bloom probe at 100 TB). The whole-database
+    * version of [[RefIntegrity]]'s single check — the audit a pipeline
+    * runs after every load, not per-column.
+    *
+    * @return one row per declared FK:
+    *         (child_table, fk_columns, parent_table, n_checked, n_dangling) */
+  def fkAudit(cat: graft.catalog.ParquetCatalog): DataFrame = {
+    val perFk = cat.listTables().flatMap { t =>
+      cat.foreignKeys(t).map { fk =>
+        val nn = fk.columns.map(c => col(c).isNotNull).reduce(_ && _)
+        val parentKeys = cat.table(fk.refTable)
+          .select(fk.refColumns.map(col): _*)
+          .toDF(fk.columns: _*).distinct()
+          .withColumn("__hit", lit(1))
+        cat.table(t).filter(nn)
+          .join(parentKeys, fk.columns, "left")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_dangling"))
+          .select(lit(t).as("child_table"),
+            lit(fk.columns.mkString(",")).as("fk_columns"),
+            lit(fk.refTable).as("parent_table"),
+            col("n_checked"), col("n_dangling"))
+      }
+    }
+    require(perFk.nonEmpty, "the catalog declares no foreign keys")
+    perFk.reduce(_.unionAll(_))
+  }
+
   /** l-diversity audit, [[kAnonymity]]'s companion: a quasi-identifier
     * group can be large yet still leak if everyone in it shares the same
     * SENSITIVE value — each group must contain at least `l` distinct

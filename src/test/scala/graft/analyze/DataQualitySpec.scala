@@ -115,6 +115,25 @@ class DataQualitySpec extends SparkSpec {
     }
   }
 
+  test("fkAudit counts dangling children per declared FK, NULL keys skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fkaudit").toString
+    Seq((1L, "r1"), (2L, "r2")).toDF("pid", "name")
+      .write.parquet(s"$dir/parent.parquet")
+    // children: two valid, one dangling (pid=9), one NULL (not checked)
+    Seq((10L, Some(1L)), (11L, Some(2L)), (12L, Some(9L)), (13L, None))
+      .toDF("cid", "pid").write.parquet(s"$dir/child.parquet")
+    val reg = graft.catalog.ConstraintRegistry(
+      primaryKeys = Map("parent" -> Seq("pid"), "child" -> Seq("cid")),
+      foreignKeys = Map("child" ->
+        Seq(graft.schema.ForeignKeyDef(Seq("pid"), "parent", Seq("pid")))))
+    val cat = new graft.catalog.ParquetCatalog(spark, dir, reg)
+    val r = DataQuality.fkAudit(cat).collect()(0)
+    assert((r.getString(0), r.getString(1), r.getString(2)) ==
+      (("child", "pid", "parent")))
+    assert(r.getLong(3) == 3L, "NULL FK rows are not checked")
+    assert(r.getLong(4) == 1L, "exactly the planted dangling row")
+  }
+
   test("observed metrics agree with run() and cost no extra scan semantics") {
     val checks = Seq[Check](NotNull("id"), InRange("v", 0, 100),
       InSet("cat", Seq("a", "b")), Matches("tag", "^ok-"))

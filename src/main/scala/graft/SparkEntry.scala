@@ -1845,6 +1845,30 @@ object SparkEntry {
     Some("""SELECT event_type, count(*) AS estimate FROM events
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Cross-source contamination matrix over the corpus: shared distinct
+    * 3-gram shingles per source pair, containment-normalized. */
+  private val qSourceOverlap = Q("cont2_source_overlap",
+    (s, d) => TextAnalysis.sourceOverlap(t(s, d, "documents"),
+        "source", "text", n = 3)
+      .orderBy("source_a", "source_b"),
+    Some("""WITH t AS (SELECT source, string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT source, unnest(list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END)) AS sh FROM t),
+      d AS (SELECT DISTINCT source, sh FROM s),
+      sz AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS n_shared
+        FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared,
+        round(n_shared::DOUBLE / least(za.n, zb.n), 6) AS overlap_frac
+      FROM p JOIN sz za ON za.source = p.source_a
+        JOIN sz zb ON zb.source = p.source_b
+      ORDER BY source_a, source_b"""))
+
   /** Whole-catalog FK integrity audit: all 9 declared FKs checked —
     * the oracle repeats each count pair with NOT-EXISTS subqueries. */
   private def fkAuditOracle: String = {
@@ -3365,7 +3389,7 @@ object SparkEntry {
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
-    qRankFeatures, qGroupScaling, qFkAudit)
+    qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

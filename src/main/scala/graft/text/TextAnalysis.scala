@@ -347,6 +347,38 @@ object TextAnalysis {
         round(col("n_hit") / col("n_shingles"), 4).as("contaminated_frac"))
   }
 
+  /** Cross-source contamination matrix — [[contamination]]'s corpus-wide
+    * form: for every source PAIR, how many distinct word-shingles they
+    * share and what fraction of the smaller source that is (containment,
+    * the leakage direction that matters — a small eval set fully inside a
+    * big crawl shows 1.0 here but a tiny Jaccard). The self-join runs on
+    * the DISTINCT (source, shingle) set, so candidates per shingle are
+    * bounded by the number of sources (a corpus-level constant, never
+    * data-sized); two key-shuffles total.
+    *
+    * @return (source_a, source_b, n_shared, overlap_frac), a < b */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("__src"),
+        explode(graft.dedup.Dedup.wordShingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("__src").as("source_a"), col("__n").as("__na")),
+        "source_a")
+      .join(sizes.select(col("__src").as("source_b"), col("__n").as("__nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("__na"), col("__nb")), 6)
+          .as("overlap_frac"))
+  }
+
   /** Keyed pseudonymization: replace identifier columns with
     * `sha2(salt:value)` digests — referentially CONSISTENT (the same
     * value hashes identically everywhere, so joins still work across

@@ -244,6 +244,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4).isNullAt(1) && out(4).isNullAt(2))
   }
 
+  test("sourceOverlap: containment of the smaller source, a<b ordering") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "crawl"),   // shingles: abg, bgd
+      (2L, "alpha beta gamma", "eval"),          // shingle: abg — fully inside crawl
+      (3L, "zeta eta theta iota", "other")       // no overlap with anyone
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlap(docs, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // only the crawl/eval pair overlaps; eval (1 shingle) is fully contained
+    assert(out.keySet == Set(("crawl", "eval")), s"pairs: ${out.keySet}")
+    assert(out(("crawl", "eval")) == ((1L, 1.0)),
+      "1 shared shingle / min(2, 1) = full containment")
+  }
+
   test("zipfSlope recovers the slope of a constructed power-law corpus") {
     // term at frequency rank r appears 720/r times (720 divides 1..6), so
     // ln(freq) = ln(720) - ln(rank): an exact slope -1 corpus

@@ -1845,6 +1845,29 @@ object SparkEntry {
     Some("""SELECT event_type, count(*) AS estimate FROM events
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Repeated-sentence removal per document — first occurrences kept in
+    * order; the oracle rebuilds the same first-occurrence sequence from
+    * zipped unnest positions. */
+  private val qSentenceDedup = Q("t10_sentence_dedup",
+    (s, d) => TextAnalysis.dedupSentences(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH s AS (SELECT doc_id,
+        list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+          x -> trim(x)), x -> length(x) > 0) AS segs
+        FROM documents),
+      e AS (SELECT doc_id, unnest(segs) AS seg,
+        unnest(range(1, len(segs) + 1)) AS pos FROM s),
+      f AS (SELECT doc_id, seg, min(pos) AS p FROM e GROUP BY 1, 2),
+      g AS (SELECT doc_id, count(*)::BIGINT AS n_unique,
+        string_agg(seg, '. ' ORDER BY p) AS text_clean FROM f GROUP BY 1)
+      SELECT s.doc_id,
+        CASE WHEN segs IS NULL THEN NULL ELSE len(segs)::BIGINT END AS n_sentences,
+        CASE WHEN segs IS NULL THEN NULL
+          ELSE coalesce(g.n_unique, 0) END AS n_unique,
+        CASE WHEN segs IS NULL THEN NULL
+          ELSE coalesce(g.text_clean, '') END AS text_clean
+      FROM s LEFT JOIN g USING (doc_id) ORDER BY doc_id"""))
+
   /** Cross-source contamination matrix over the corpus: shared distinct
     * 3-gram shingles per source pair, containment-normalized. */
   private val qSourceOverlap = Q("cont2_source_overlap",
@@ -3389,7 +3412,7 @@ object SparkEntry {
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
-    qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap)
+    qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

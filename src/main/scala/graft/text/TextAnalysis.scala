@@ -197,6 +197,33 @@ object TextAnalysis {
               / size(col("__s"))).as("avg_sentence_tokens"))
   }
 
+  /** Within-document repeated-sentence removal — the line/paragraph-dedup
+    * cleaning pass of web-text curation (boilerplate sentences repeat
+    * inside a page; downstream near-dup and LM-quality signals all skew
+    * if they stay). Keeps the FIRST occurrence of each distinct sentence
+    * in order via a row-local membership fold — O(s²) in the per-document
+    * sentence count, which is a per-row constant, never corpus-scaled;
+    * the whole operator stays inside the scan. Same `[.!?]+` RE2-safe
+    * segmentation and NULL-in/NULL-out contract as [[sentenceStats]].
+    *
+    * @return (id, n_sentences, n_unique, text_clean) */
+  def dedupSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val segs = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    val uniq = aggregate(segs, array().cast("array<string>"),
+      (acc, s) => when(array_contains(acc, s), acc)
+        .otherwise(concat(acc, array(s))))
+    docs.select(col(idCol), segs.as("__s"), uniq.as("__u"))
+      .select(col(idCol),
+        when(col("__s").isNull, lit(null).cast("bigint"))
+          .otherwise(size(col("__s")).cast("bigint")).as("n_sentences"),
+        when(col("__s").isNull, lit(null).cast("bigint"))
+          .otherwise(size(col("__u")).cast("bigint")).as("n_unique"),
+        when(col("__s").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(". ", col("__u"))).as("text_clean"))
+  }
+
   /** Zipf-law fit over the corpus vocabulary — the distributional sanity
     * check of corpus curation (natural text has log-freq vs log-rank slope
     * near −1; a synthetic or template-heavy corpus drifts far from it):

@@ -244,6 +244,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4).isNullAt(1) && out(4).isNullAt(2))
   }
 
+  test("dedupSentences keeps first occurrences in order, NULL stays NULL") {
+    val docs = Seq(
+      (1L, "Buy now. Great deal! Buy now. Act fast. Great deal."),
+      (2L, "All unique. Sentences here."),
+      (3L, ""),
+      (4L, null: String)).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSentences(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5L && out(0).getLong(2) == 3L)
+    assert(out(0).getString(3) == "Buy now. Great deal! Act fast."
+      .replace("!", ".").replace("Act fast.", "Act fast") ||
+      out(0).getString(3) == "Buy now. Great deal. Act fast",
+      s"got '${out(0).getString(3)}'")
+    assert(out(1).getLong(2) == 2L)
+    assert(out(2).getLong(1) == 0L && out(2).getString(3) == "")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(3))
+  }
+
   test("sourceOverlap: containment of the smaller source, a<b ordering") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", "crawl"),   // shingles: abg, bgd

@@ -1845,6 +1845,28 @@ object SparkEntry {
     Some("""SELECT event_type, count(*) AS estimate FROM events
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Asymmetric containment near-dups (quote/subset detection): ordered
+    * pairs where ≥ 80% of A's shingles live in B — the exact all-pairs
+    * restatement is the oracle (DuckDB can afford it at sf0.01). */
+  private val qContainment = Q("d10_containment_pairs",
+    (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS st FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.st, b.st))::DOUBLE / len(a.st), 4)
+          AS containment
+      FROM s a JOIN s b ON a.doc_id != b.doc_id
+      WHERE len(list_intersect(a.st, b.st))::DOUBLE / len(a.st) >= 0.8
+      ORDER BY id_a, id_b"""))
+
   /** Repeated-sentence removal per document — first occurrences kept in
     * order; the oracle rebuilds the same first-occurrence sequence from
     * zipped unnest positions. */
@@ -3412,7 +3434,8 @@ object SparkEntry {
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
-    qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup)
+    qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
+    qContainment)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -326,6 +326,48 @@ object Dedup {
       ngramJaccardFromSets(sets, idCol, threshold)
     }
 
+  /** Asymmetric containment near-dup join: ordered pairs where at least
+    * `threshold` of A's shingles appear in B (`|A∩B| / |A| ≥ τ`) — the
+    * quote/subset detector Jaccard misses (a paragraph wholly inside a
+    * long page has tiny Jaccard but containment 1). Same PPJoin shape as
+    * [[ngramJaccardPairs]], with the prefix filter on the CONTAINED side
+    * only (any B covering τ of A must share one of A's `|A| − ⌈τ|A|⌉ + 1`
+    * rarest shingles; B joins through the full inverted index since
+    * containment puts no upper bound on |B|). Candidates are bounded by
+    * per-shingle document frequency, then verified with exact set
+    * intersection.
+    *
+    * @return (id_a, id_b, containment): A's shingles covered by B */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    withShingleSets(docs, idCol, textCol, n) { sets =>
+      val inv = sets.select(col(idCol), size(col("__set")).as("__sz"),
+        explode(col("__set")).as("__sh"))
+      val dfreq = inv.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      val byRarity = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__sh"))
+      // the 1e-9 slack only ever LENGTHENS the prefix (the d3 device)
+      val prefix = inv.join(dfreq, "__sh")
+        .withColumn("__rn", row_number().over(byRarity))
+        .filter(col("__rn") <=
+          col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+        .select(col("__sh"), col(idCol).as("id_a"))
+      val cands = prefix
+        .join(inv.select(col("__sh"), col(idCol).as("id_b")), "__sh")
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val a = sets.select(col(idCol).as("id_a"), col("__set").as("__A"))
+      val b = sets.select(col(idCol).as("id_b"), col("__set").as("__B"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("containment",
+          size(array_intersect(col("__A"), col("__B"))).cast("double")
+            / size(col("__A")))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), col("containment"))
+    }
+  }
+
   private def ngramJaccardFromSets(sets: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
     val inv = sets

@@ -86,6 +86,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs finds subsets Jaccard misses; matches brute force") {
+    // doc 2 is a verbatim slice of doc 1: containment(2 in 1) = 1.0 but
+    // Jaccard is small — the asymmetric detector's whole point
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "nu xi omicron pi rho"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")) // dup of 1
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sets = corpus.map { case (id, txt) =>
+      id -> txt.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+    }.toMap
+    val want = (for {
+      (i, si) <- sets; (j, sj) <- sets if i != j
+      c = (si & sj).size.toDouble / si.size if c >= 0.8
+    } yield (i, j) -> c).toMap
+    assert(got == want, s"got ${got.keySet} want ${want.keySet}")
+    assert(got((2L, 1L)) == 1.0, "the slice is fully contained")
+    assert(!got.contains((1L, 2L)), "containment is directional")
+    // the Jaccard detector does NOT pair them at the same bar
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", n = 2, threshold = 0.0)
+    }
+  }
+
   test("simhashNearDups banding has full recall at the requested distance") {
     // brute-force ground truth over all pairs: banding into maxDistance+1
     // chunks must surface EVERY pair within the distance (pigeonhole), and

@@ -2323,6 +2323,36 @@ object SparkEntry {
       (2::BIGINT, 0.25::DOUBLE), (3::BIGINT, 0.25::DOUBLE),
       (4::BIGINT, 0.25::DOUBLE)) AS t(id, pr) ORDER BY id"""))
 
+  /** Weighted PageRank on a literal micro-graph, 2 iterations unrolled in
+    * SQL — weights chosen so every per-source weight sum and fraction is
+    * an exact binary value, making both engines' arithmetic identical
+    * step for step (every vertex has out-edges, so the dangling term is
+    * exactly 0 each round). */
+  private val qWeightedPr = Q("wpr1_weighted_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val v = (1L to 4L).toDF("id")
+      val e = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 3L, 2.0),
+        (3L, 1L, 1.0), (4L, 1L, 5.0)).toDF("src", "dst", "w")
+      graft.graph.PageRank.runWeighted(v, "id", e, "w", iters = 2)
+        .select(col("id"), round(col("rank"), 6).as("pr"))
+        .orderBy("id")
+    },
+    Some("""WITH v AS (SELECT * FROM (VALUES (1::BIGINT), (2), (3), (4)) t(id)),
+      e AS (SELECT * FROM (VALUES (1::BIGINT, 2::BIGINT, 3.0::DOUBLE),
+        (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0)) t(src, dst, w)),
+      f AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS frac FROM e),
+      r0 AS (SELECT id, 0.25 AS rank FROM v),
+      c1 AS (SELECT f.dst AS id, sum(r.rank * f.frac) AS s
+        FROM f JOIN r0 r ON f.src = r.id GROUP BY 1),
+      r1 AS (SELECT v.id, (1 - 0.85)/4 + 0.85 * (coalesce(c.s, 0.0) + 0.0) AS rank
+        FROM v LEFT JOIN c1 c ON v.id = c.id),
+      c2 AS (SELECT f.dst AS id, sum(r.rank * f.frac) AS s
+        FROM f JOIN r1 r ON f.src = r.id GROUP BY 1),
+      r2 AS (SELECT v.id, (1 - 0.85)/4 + 0.85 * (coalesce(c.s, 0.0) + 0.0) AS rank
+        FROM v LEFT JOIN c2 c ON v.id = c.id)
+      SELECT id, round(rank, 6) AS pr FROM r2 ORDER BY id"""))
+
   /** kc1's oracle anchor: the distributed peel on a literal triangle+tail
     * graph whose unique fixpoint is closed-form (peel 5 then 4; the
     * triangle survives at k=2 with degree 2 each) — integer degrees, no
@@ -3422,7 +3452,7 @@ object SparkEntry {
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
     qRollup, qCube, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
-    qPageRankAnchor, qKCoreAnchor,
+    qPageRankAnchor, qKCoreAnchor, qWeightedPr,
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,
     qHeavyHitters, qGroupedQuantiles, qMmr,

@@ -65,4 +65,47 @@ object PageRank {
     }
     ranks
   }
+
+  /** Weighted PageRank: each edge carries a weight and a vertex's rank
+    * splits across its out-edges PROPORTIONALLY (`w / Σw_src`) instead of
+    * uniformly — link strength, click counts, transaction volume. Same
+    * plan shape as [[run]]: the per-src weight sums are one aggregate
+    * computed once and joined into the checkpointed edge list, so each
+    * iteration still costs one join + one partial-aggregating groupBy.
+    * Zero-total-weight sources are rejected up front (their rank could
+    * neither flow nor count as dangling without silently leaking mass).
+    * Dangling vertices (no out-edges at all) redistribute uniformly as in
+    * [[run]]. With all weights equal this reduces to [[run]] exactly.
+    *
+    * @param edges (src, dst, weightCol), weights > 0 */
+  def runWeighted(vertices: DataFrame, idCol: String, edges: DataFrame,
+      weightCol: String, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(damping > 0 && damping < 1, s"damping $damping must be in (0,1)")
+    val n = vertices.count().toDouble
+    val w = col(weightCol).cast("double")
+    val badW = edges.filter(w.isNull || w <= 0).limit(1).count()
+    require(badW == 0, "edge weights must be positive and non-NULL")
+    val outW = edges.groupBy(col("src")).agg(sum(w).as("__wsum"))
+    val e = edges.join(outW, "src")
+      .select(col("src"), col("dst"), (w / col("__wsum")).as("__frac"))
+      .localCheckpoint(true)
+    val ids = vertices.select(col(idCol).as("id")).localCheckpoint(true)
+    val hasOut = outW.select(col("src").as("id")).localCheckpoint(true)
+    var ranks = ids.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val dangling = ranks.join(hasOut, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).collect()(0).getDouble(0)
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") * col("__frac")).as("__c"))
+        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      ranks = ids.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("__s"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -50,4 +50,30 @@ class PageRankSpec extends SparkSpec {
     // the same graph with validation off still runs (documented leak)
     assert(PageRank.run(vs, "id", bad, iters = 1).count() == 2)
   }
+
+  test("runWeighted: uniform weights reduce to run(); heavy edges pull rank") {
+    val vs = (1L to 3L).toDF("id")
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    // uniform weights: bit-identical to the unweighted operator
+    val uw = PageRank.runWeighted(vs, "id",
+        es.map { case (a, b) => (a, b, 7.0) }.toDF("src", "dst", "w"),
+        "w", iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = PageRank.run(vs, "id", es.toDF("src", "dst"), iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uw == plain, "equal weights must reduce to uniform splitting")
+    // weight 9:1 from vertex 1 pulls vertex 2 above vertex 3
+    val wd = PageRank.runWeighted(vs, "id",
+        Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+          .toDF("src", "dst", "w"),
+        "w", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wd(2L) > wd(3L) + 0.1, s"heavy edge must dominate: $wd")
+    assert(math.abs(wd.values.sum - 1.0) < 1e-9, "mass conserved")
+    // non-positive weights are rejected, not silently mass-leaked
+    intercept[IllegalArgumentException] {
+      PageRank.runWeighted(vs, "id",
+        Seq((1L, 2L, 0.0)).toDF("src", "dst", "w"), "w", iters = 1)
+    }
+  }
 }

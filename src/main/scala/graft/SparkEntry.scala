@@ -1914,7 +1914,7 @@ object SparkEntry {
         JOIN sz zb ON zb.source = p.source_b
       ORDER BY source_a, source_b"""))
 
-  /** Whole-catalog FK integrity audit: all 9 declared FKs checked —
+  /** Whole-catalog FK integrity audit: all 8 declared FKs checked —
     * the oracle repeats each count pair with NOT-EXISTS subqueries. */
   private def fkAuditOracle: String = {
     val fks = Seq(

@@ -193,8 +193,13 @@ object DataQuality {
           .withColumn("__hit", lit(1))
         cat.table(t).filter(nn)
           .join(parentKeys, fk.columns, "left")
+          // coalesce: sum() over an empty relation (empty child table or
+          // all-NULL FK column) is NULL, and a NULL dangling count reads
+          // as "audit broken" where it means "nothing to check" — the
+          // run() device at the violation aggregate
           .agg(count(lit(1)).as("n_checked"),
-            sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_dangling"))
+            coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("n_dangling"))
           .select(lit(t).as("child_table"),
             lit(fk.columns.mkString(",")).as("fk_columns"),
             lit(fk.refTable).as("parent_table"),

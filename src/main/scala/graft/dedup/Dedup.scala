@@ -134,7 +134,13 @@ object Dedup {
       n: Int, hashed: Boolean = false)(pipeline: DataFrame => DataFrame): DataFrame = {
     val shingleExpr =
       if (hashed) wordShingleHashes(col(textCol), n) else wordShingles(col(textCol), n)
-    val sets = docs.select(col(idCol), shingleExpr.as("__set"))
+    // NULL text never shingles: concat_ws folds NULL to "", so without the
+    // filter two NULL-text docs would pair at similarity 1.0 on the
+    // phantom [""] set (and diverge from any SQL restatement, where NULL
+    // text stays NULL) — the contamination() device, applied once here
+    // for every shingle-set pipeline
+    val sets = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), shingleExpr.as("__set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sets.count()

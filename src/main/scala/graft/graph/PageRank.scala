@@ -75,13 +75,29 @@ object PageRank {
     * Zero-total-weight sources are rejected up front (their rank could
     * neither flow nor count as dangling without silently leaking mass).
     * Dangling vertices (no out-edges at all) redistribute uniformly as in
-    * [[run]]. With all weights equal this reduces to [[run]] exactly.
+    * [[run]]. With all weights equal this reduces to [[run]] numerically
+    * (same mathematics; bit-identical only when the uniform fractions are
+    * exactly representable — degree 3 makes `rank·(w/3w)` differ from
+    * run()'s `rank/3` by an ulp, two roundings vs one).
+    *
+    * PRECONDITION (as in [[run]]): every src and dst must appear in
+    * `vertices`, or rank mass silently leaks; pass `validate = true` to
+    * assert it.
     *
     * @param edges (src, dst, weightCol), weights > 0 */
   def runWeighted(vertices: DataFrame, idCol: String, edges: DataFrame,
-      weightCol: String, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      weightCol: String, iters: Int = 10, damping: Double = 0.85,
+      validate: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, s"damping $damping must be in (0,1)")
+    if (validate) {
+      val vs = vertices.select(col(idCol).as("id"))
+      val orphans = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .join(vs, Seq("id"), "left_anti").limit(1).count()
+      require(orphans == 0,
+        "edges reference ids absent from vertices — rank mass would leak")
+    }
     val n = vertices.count().toDouble
     val w = col(weightCol).cast("double")
     val badW = edges.filter(w.isNull || w <= 0).limit(1).count()

@@ -114,6 +114,15 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.containmentPairs(df, "doc_id", "text", n = 2, threshold = 0.0)
     }
+    // NULL text never shingles: two NULL docs must NOT pair at 1.0 on the
+    // phantom empty-string set (and SQL restatements treat NULL as NULL)
+    val withNulls = df.unionAll(
+      Seq((8L, null: String), (9L, null: String)).toDF("doc_id", "text"))
+    val ids = Dedup.containmentPairs(withNulls, "doc_id", "text", 2, 0.8)
+      .select("id_a").collect().map(_.getLong(0)).toSet ++
+      Dedup.ngramJaccardPairs(withNulls, "doc_id", "text", 2, 0.8)
+        .select("id1").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(8L) && !ids.contains(9L), "NULL docs never pair")
   }
 
   test("simhashNearDups banding has full recall at the requested distance") {

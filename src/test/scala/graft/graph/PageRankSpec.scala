@@ -54,7 +54,9 @@ class PageRankSpec extends SparkSpec {
   test("runWeighted: uniform weights reduce to run(); heavy edges pull rank") {
     val vs = (1L to 3L).toDF("id")
     val es = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
-    // uniform weights: bit-identical to the unweighted operator
+    // uniform weights: identical to the unweighted operator HERE because
+    // this graph's out-degrees (1 and 2) make every fraction exactly
+    // representable — rank*(w/3w) vs rank/3 would differ by an ulp
     val uw = PageRank.runWeighted(vs, "id",
         es.map { case (a, b) => (a, b, 7.0) }.toDF("src", "dst", "w"),
         "w", iters = 12)
@@ -62,6 +64,16 @@ class PageRankSpec extends SparkSpec {
     val plain = PageRank.run(vs, "id", es.toDF("src", "dst"), iters = 12)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(uw == plain, "equal weights must reduce to uniform splitting")
+    // a degree-3 vertex: numerically equal within an ulp-scale tolerance
+    val vs4 = (1L to 4L).toDF("id")
+    val es4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))
+    val uw4 = PageRank.runWeighted(vs4, "id",
+        es4.map { case (a, b) => (a, b, 5.0) }.toDF("src", "dst", "w"),
+        "w", iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain4 = PageRank.run(vs4, "id", es4.toDF("src", "dst"), iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uw4.forall { case (k, v) => math.abs(v - plain4(k)) < 1e-12 })
     // weight 9:1 from vertex 1 pulls vertex 2 above vertex 3
     val wd = PageRank.runWeighted(vs, "id",
         Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))

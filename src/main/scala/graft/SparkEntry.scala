@@ -2188,6 +2188,54 @@ object SparkEntry {
     * filter-join-aggregate-topN slice. Ordering is on the ROUNDED revenue
     * (identical on both engines) with an id tiebreak, so the LIMIT
     * boundary is deterministic. */
+  /** TPC-H Q6 shape — the pushdown showcase: a single filtered scan whose
+    * three predicates all reach the parquet reader, one map-side partial
+    * sum, a 1-row result. The canonical "is the scan actually pruned"
+    * benchmark query. */
+  private val qQ6 = Q("q6_forecast_revenue",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24"""))
+
+  /** TPC-H Q10 shape — returned-item customer ranking: 3-way join,
+    * per-customer revenue, top 20. Revenue is ROUNDED BEFORE ranking
+    * (with a key tiebreak) so both engines cut the same top 20 even when
+    * summation order shifts an ulp. */
+  private val qQ10 = Q("q10_returned_items",
+    (s, d) => {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(rev), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   private val qQ3 = Q("q3_shipping_priority",
     (s, d) => {
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -3451,7 +3499,7 @@ object SparkEntry {
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,
     qIntervalJoin, qBm25, qHashSample, qPqTopK, qIvfPqTopK,
-    qRollup, qCube, qPivot, qHistogram, qIncrementalDedup, qQ3, qPageRank,
+    qRollup, qCube, qPivot, qHistogram, qIncrementalDedup, qQ3, qQ6, qQ10, qPageRank,
     qPageRankAnchor, qKCoreAnchor, qWeightedPr,
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,

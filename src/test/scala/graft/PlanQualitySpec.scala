@@ -65,6 +65,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q6's three predicates all reach the parquet scan") {
+    withStaticPlans {
+      val scans = plan("q6_forecast_revenue").collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+      Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+        assert(pushed.contains(c), s"$c not pushed: $pushed")
+      }
+    }
+  }
+
   test("projection prunes the parquet read schema") {
     withStaticPlans {
       val scans = plan("p1_project_fk").collect {

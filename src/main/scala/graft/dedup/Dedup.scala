@@ -409,12 +409,22 @@ object Dedup {
     * graph diameter; near-dup clusters are shallow (dup cliques), so the
     * default bound is generous. Stops early once no label changes.
     *
+    * ONE distributed shuffle per round: the previous label rides through
+    * the union as a null-padded `__old` column (each vertex contributes
+    * exactly one non-null `__old`, from its own labels row, so
+    * `max(__old)` recovers it in the same aggregate that takes
+    * `min(comp)`). Convergence is then a `comp =!= __old` scan over the
+    * just-checkpointed partitions — no separate convergence join, the
+    * same one-action device that halved k-core
+    * ([[graft.graph.KCore.vertices]]).
+    *
     * @param edges    undirected edge list (src, dst) — symmetrized inside
     * @param vertices one id per row; isolated vertices keep their own id
     * @return (id, component) with component = min id in the component
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
       edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val idType = vertices.schema(vertices.schema.fieldIndex(idCol)).dataType
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct().localCheckpoint(true)
@@ -423,17 +433,21 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate label for each vertex: min of its own and neighbors'
+      // candidate label for each vertex: min of its own and neighbors'.
+      // Neighbor rows carry a null __old; the vertex's own row carries its
+      // current label, so one groupBy yields both the new and old label.
       val fromNbr = sym
-        .join(labels.withColumnRenamed("a", "b").withColumnRenamed("comp", "__nc"), "b")
-        .select(col("a"), col("__nc").as("comp"))
-      val next = labels.unionAll(fromNbr)
-        .groupBy(col("a")).agg(min(col("comp")).as("comp"))
+        .join(labels.select(col("a").as("b"), col("comp").as("__nc")), "b")
+        .select(col("a"), col("__nc").as("comp"),
+          lit(null).cast(idType).as("__old"))
+      val next = labels.select(col("a"), col("comp"), col("comp").as("__old"))
+        .unionAll(fromNbr)
+        .groupBy(col("a")).agg(min(col("comp")).as("comp"),
+          max(col("__old")).as("__old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "__old"), "a")
-        .filter(col("comp") =!= col("__old")).isEmpty
-      converged = changed
-      labels = next
+      // cached-partition scan of the checkpoint — cheap, no shuffle
+      converged = next.filter(col("comp") =!= col("__old")).isEmpty
+      labels = next.select(col("a"), col("comp"))
       iter += 1
     }
     labels.select(col("a").as(idCol), col("comp").as("component"))

@@ -27,13 +27,19 @@ final case class JdbcSource(
 
   def url: String = urlOverride.getOrElse(s"jdbc:mariadb://$host:$port/$database")
 
-  def reader(spark: SparkSession): DataFrameReader =
+  def reader(spark: SparkSession): DataFrameReader = {
+    // §1.2 physical-type widening: registered dialects take precedence over
+    // Spark's stock MySQL dialect, so every read through this source sees
+    // the MariaDB unsigned-widening map. Idempotent; no-op for non-MariaDB
+    // URLs (canHandle gates per-URL).
+    MariaDbDialect.register()
     spark.read.format("jdbc")
       .option("url", url)
       .option("user", user)
       .option("password", password)
       .option("driver", driver)
       .option("fetchsize", fetchSize.toString)
+  }
 
   /** Whole-table read (reference: pd.read_sql of the full table). */
   def table(spark: SparkSession, name: String): DataFrame =
@@ -54,7 +60,8 @@ final case class JdbcSource(
     * database-copy direction (helpers/database.py:12-55 recreates tables
     * and INSERTs every row; Spark's JDBC sink does the same via the
     * dialect's DDL + batched INSERTs). */
-  def writeTable(df: DataFrame, name: String, mode: String = "overwrite"): Unit =
+  def writeTable(df: DataFrame, name: String, mode: String = "overwrite"): Unit = {
+    MariaDbDialect.register()
     df.write.format("jdbc")
       .option("url", url)
       .option("user", user)
@@ -63,6 +70,7 @@ final case class JdbcSource(
       .option("dbtable", name)
       .mode(mode)
       .save()
+  }
 }
 
 object JdbcSource {

@@ -37,16 +37,25 @@ import org.apache.spark.sql.types._
   * BINARY/VARBINARY/BLOB/MEDIUMBLOB/LONGBLOB → Binary,
   * DATE → Date, DATETIME/TIMESTAMP → Timestamp.
   *
-  * Registered (idempotently) for `jdbc:mariadb:` and `jdbc:mysql:` URLs;
-  * registered dialects take precedence over Spark's built-in MySQL
-  * dialect, so the widening applies to both driver spellings.
+  * Registered (idempotently) for `jdbc:mariadb:` URLs only. `jdbc:mysql:`
+  * is deliberately left to Spark's stock MySQLDialect, which already
+  * performs the identical unsigned widening and additionally carries
+  * MySQL-specific overrides this dialect has no reason to reimplement
+  * (OFFSET-without-LIMIT query building, getUpdateColumnTypeQuery,
+  * listSchemas, classifyException). Registering over it would trade a
+  * complete dialect for a partial one with no type-mapping gain.
   */
 object MariaDbDialect extends JdbcDialect {
 
-  override def canHandle(url: String): Boolean = {
-    val u = url.toLowerCase(Locale.ROOT)
-    u.startsWith("jdbc:mariadb:") || u.startsWith("jdbc:mysql:")
-  }
+  override def canHandle(url: String): Boolean =
+    url.toLowerCase(Locale.ROOT).startsWith("jdbc:mariadb:")
+
+  /** MariaDB's default sql_mode has no ANSI_QUOTES: a double-quoted
+    * identifier is a string LITERAL, so the inherited ANSI quoting would
+    * make `SELECT "col" FROM t` return the column name in every row.
+    * Backtick-quote exactly like the stock MySQLDialect. */
+  override def quoteIdentifier(colName: String): String =
+    s"`${colName.replace("`", "``")}`"
 
   /** The widening table keyed on the driver-reported type name (MariaDB
     * Connector/J reports unsigned columns as e.g. "TINYINT UNSIGNED").
@@ -77,10 +86,12 @@ object MariaDbDialect extends JdbcDialect {
 
   override def getCatalystType(sqlType: Int, typeName: String, size: Int,
       md: MetadataBuilder): Option[DataType] =
-    // BIT(1) comes through as Types.BIT with typeName "BIT" — Spark's
-    // stock boolean mapping is correct; everything else goes by name so
-    // the UNSIGNED suffix (invisible in sqlType) is honored.
-    if (sqlType == Types.BIT) None else widen(typeName)
+    // BIT(1): JdbcUtils' generic BIT→Boolean default is correct. BIT(n>1)
+    // is an n-bit field — Boolean would truncate it, so map to Long like
+    // the stock MySQLDialect. Everything else goes by name so the UNSIGNED
+    // suffix (invisible in sqlType) is honored.
+    if (sqlType == Types.BIT) { if (size > 1) Some(LongType) else None }
+    else widen(typeName)
 
   /** Write-side DDL map for [[JdbcSource.writeTable]] (S6 copy direction,
     * reference helpers/database.py:12-55): the inverse of the read map,
@@ -100,10 +111,10 @@ object MariaDbDialect extends JdbcDialect {
     case _             => None
   }
 
-  /** Idempotent global registration (Spark keeps a prepend-ordered list;
-    * re-registering the same object is deduplicated by unregister-first). */
-  def register(): Unit = {
-    JdbcDialects.unregisterDialect(this)
-    JdbcDialects.registerDialect(this)
-  }
+  /** Idempotent global registration. `registerDialect` itself dedups
+    * (it prepends after `filterNot(_ == dialect)`), so a single call is
+    * atomic with respect to concurrent dialect resolution — no
+    * unregister-first window where `jdbc:mariadb:` reads would resolve
+    * to the generic fallback mapping. */
+  def register(): Unit = JdbcDialects.registerDialect(this)
 }

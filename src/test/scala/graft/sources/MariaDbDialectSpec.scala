@@ -85,8 +85,19 @@ class MariaDbDialectSpec extends AnyFunSuite {
       .contains(DecimalType(20, 0)))
   }
 
-  test("BIT(1) keeps the stock boolean mapping") {
+  test("BIT(1) keeps the generic boolean mapping; BIT(n>1) widens to Long") {
     assert(MariaDbDialect.getCatalystType(Types.BIT, "BIT", 1, md).isEmpty)
+    // an n-bit field does not fit a Boolean — stock MySQLDialect maps it
+    // to LongType and so do we (ADVICE r8: None would fall through to
+    // JdbcUtils' generic BIT→Boolean default and truncate).
+    assert(MariaDbDialect.getCatalystType(Types.BIT, "BIT", 8, md).contains(LongType))
+    assert(MariaDbDialect.getCatalystType(Types.BIT, "BIT", 64, md).contains(LongType))
+  }
+
+  test("identifiers are backtick-quoted (MariaDB default sql_mode has no ANSI_QUOTES)") {
+    assert(MariaDbDialect.quoteIdentifier("col1") == "`col1`")
+    // embedded backticks are doubled, never left to terminate the quote
+    assert(MariaDbDialect.quoteIdentifier("we`ird") == "`we``ird`")
   }
 
   // ---- write-side inverse (S6 copy direction) ---------------------------
@@ -106,10 +117,13 @@ class MariaDbDialectSpec extends AnyFunSuite {
   }
 
   // ---- URL gating + registration ----------------------------------------
-  test("canHandle gates on mariadb/mysql URL schemes only") {
+  test("canHandle gates on jdbc:mariadb only (mysql stays with the stock dialect)") {
     assert(MariaDbDialect.canHandle("jdbc:mariadb://host:3306/db"))
-    assert(MariaDbDialect.canHandle("jdbc:mysql://host:3306/db"))
     assert(MariaDbDialect.canHandle("JDBC:MariaDB://host/db"))
+    // jdbc:mysql is deliberately NOT claimed: Spark's stock MySQLDialect
+    // already widens unsigned types and carries MySQL-specific overrides
+    // (query building, listSchemas, classifyException) we'd displace.
+    assert(!MariaDbDialect.canHandle("jdbc:mysql://host:3306/db"))
     assert(!MariaDbDialect.canHandle("jdbc:derby:memory:x;create=true"))
     assert(!MariaDbDialect.canHandle("jdbc:postgresql://host/db"))
   }

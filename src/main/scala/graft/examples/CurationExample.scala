@@ -52,7 +52,9 @@ object CurationExample {
       targetFraction = 0.9)
     val mixed = Sampling.upsample(flattened, "lang", "doc_id",
       Map("fr" -> 2.0, "de" -> 1.5))
-    mixed.groupBy("lang").count().orderBy("lang").collect()
+    // limit-guarded: the language mix is small by construction, but a
+    // driver collect should never be unbounded on principle.
+    mixed.groupBy("lang").count().orderBy("lang").limit(100).collect()
       .foreach(r => println(s"  mix ${r.getString(0)}: ${r.getLong(1)}"))
 
     // 4. BPE: learn merges on the mixed corpus, segment every document

@@ -9,8 +9,38 @@ import org.apache.spark.sql.SparkSession
   * them accumulate across a 55-query sweep distorts the later timings), and
   * a failing query is recorded in a separate "failed" map rather than as a
   * fake fast timing.
+  *
+  * Calibration: sweep totals measured in different weeks are only
+  * comparable if the box's effective speed is known at measurement time
+  * (the r7→r8 "34% regression" was pure environment drift — a judge A/B
+  * on a held-constant box showed the r8 code strictly faster). So the
+  * sweep self-calibrates: before timing any query it runs a fixed
+  * synthetic CPU+shuffle probe (data-independent: `spark.range` → hash →
+  * 1000-key groupBy aggregate → sort) three times and reports the median
+  * seconds plus the 1-minute load average in the summary JSON. To compare
+  * totals across rounds, divide each by its calibration value first.
   */
 object Bench {
+
+  /** Median-of-3 wall time of a fixed probe plan exercising the same
+    * machinery the sweep does — codegen'd expressions, one shuffle
+    * exchange, partial+final aggregation, a sort — on synthetic input so
+    * the number is independent of SF dir and repo code under test. */
+  def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 22)
+        .selectExpr("pmod(hash(id), 1000) AS k", "cast(hash(id, 7) AS double) AS v")
+        .groupBy("k").agg("v" -> "sum", "v" -> "avg", "v" -> "count")
+        .sort("k")
+        .selectExpr("sum(hash(k)) AS h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(once(), once(), once()).sorted.apply(1)
+  }
+
+  def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,6 +60,10 @@ object Bench {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
+    // self-calibration AFTER warmup (so it measures the box, not JIT):
+    // median-of-3 probe seconds + load average, emitted in the summary.
+    val cal = calibrate(spark)
+    val load0 = loadAvg()
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -66,7 +100,11 @@ object Bench {
     println(s"""{"metric":"per_query","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     val top = timings.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => q(k) + ":" + sec(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$top,"n_queries":${timings.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+    // calibration fields: probe median at sweep start + a closing probe
+    // (drift WITHIN the sweep shows up as start/end disagreement), plus
+    // the load averages bracketing the run.
+    val calEnd = calibrate(spark)
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$top,"n_queries":${timings.size},"n_failed":${failed.size},"calibration_sec":${sec(cal)},"calibration_end_sec":${sec(calEnd)},"load_avg_start":${sec(load0)},"load_avg_end":${sec(loadAvg())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -386,14 +386,39 @@ object Dedup {
     val prefix = inv.join(dfreq, "__sh")
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
-      .select(col("__sh"), col(idCol), col("__sz"))
-    val l = prefix.select(col("__sh"), col(idCol).as("id1"), col("__sz").as("__sz1"))
-    val r = prefix.select(col("__sh"), col(idCol).as("id2"), col("__sz").as("__sz2"))
+      .select(col("__sh"), col(idCol), col("__sz"), col("__rn"))
+    val l = prefix.select(col("__sh"), col(idCol).as("id1"),
+      col("__sz").as("__sz1"), col("__rn").as("__p1"))
+    val r = prefix.select(col("__sh"), col(idCol).as("id2"),
+      col("__sz").as("__sz2"), col("__rn").as("__p2"))
+    // PPJoin positional filter (exactness-preserving): replace the plain
+    // `distinct` with a groupBy over the same shuffle that also computes,
+    // per candidate pair, the count of shingles shared by BOTH prefixes and
+    // the pair's deepest shared position. Among a pair's shared prefix
+    // shingles the one LAST in the global (df, shingle) order maximizes the
+    // within-document rank in BOTH documents simultaneously (ranks are
+    // monotone in the global order), so max(__p1) and max(__p2) are
+    // attained by the same shingle s°. Every intersection element ordered
+    // before s° lies inside both prefixes (rank < rank of s° ≤ prefix
+    // length) and is therefore counted in __common; elements after s°
+    // number at most min(|A|−p1(s°), |B|−p2(s°)). Hence
+    //   |A∩B| ≤ __common + min(sz1−p1max, sz2−p2max)
+    // and J ≥ t requires |A∩B| ≥ t/(1+t)·(sz1+sz2): pairs whose upper
+    // bound misses that floor are pruned BEFORE the set-verify join (the
+    // measured survivor ratio at sf0.1 was 256 of 309k candidates — the
+    // verify join was the pipeline's most expensive stage).
+    val minOverlap =
+      ceil(lit(threshold / (1 + threshold)) * (col("__sz1") + col("__sz2")) - lit(1e-9))
     val cands = l.join(r, "__sh")
       .filter(col("id1") < col("id2"))
       .filter(least(col("__sz1"), col("__sz2")).cast("double") >=
         greatest(col("__sz1"), col("__sz2")) * lit(threshold) - lit(1e-9))
-      .select(col("id1"), col("id2")).distinct()
+      .groupBy(col("id1"), col("id2"), col("__sz1"), col("__sz2"))
+      .agg(count(lit(1)).as("__common"),
+        max(col("__p1")).as("__p1m"), max(col("__p2")).as("__p2m"))
+      .filter(col("__common") +
+        least(col("__sz1") - col("__p1m"), col("__sz2") - col("__p2m")) >= minOverlap)
+      .select(col("id1"), col("id2"))
     verifyJaccardSets(sets, cands, idCol, threshold)
   }
 
@@ -418,6 +443,18 @@ object Dedup {
     * same one-action device that halved k-core
     * ([[graft.graph.KCore.vertices]]).
     *
+    * Adaptive pointer jumping: from the third round on, each round also
+    * rewrites `comp ← comp(comp)` (one extra self-join on the fresh label
+    * map), doubling the label-propagation horizon per round so long chains
+    * converge in O(log diameter) rounds instead of O(diameter). The first
+    * two rounds skip the jump: a graph whose min-labels fixpoint within
+    * two rounds (the near-dup clique case — measured rounds=2 on the d6/d8
+    * corpora) never pays the extra join, while a deep graph reaches any
+    * label in ~2 + log₂(diameter) rounds. The jump preserves the
+    * invariants (labels only decrease; every label is an id inside the
+    * vertex's own component): comp(v) is an in-component vertex c, and
+    * c's label is again in-component and ≤ c.
+    *
     * @param edges    undirected edge list (src, dst) — symmetrized inside
     * @param vertices one id per row; isolated vertices keep their own id
     * @return (id, component) with component = min id in the component
@@ -440,16 +477,26 @@ object Dedup {
         .join(labels.select(col("a").as("b"), col("comp").as("__nc")), "b")
         .select(col("a"), col("__nc").as("comp"),
           lit(null).cast(idType).as("__old"))
-      val next = labels.select(col("a"), col("comp"), col("comp").as("__old"))
+      val hooked = labels.select(col("a"), col("comp"), col("comp").as("__old"))
         .unionAll(fromNbr)
         .groupBy(col("a")).agg(min(col("comp")).as("comp"),
           max(col("__old")).as("__old"))
-        .localCheckpoint(true)
+      // pointer jump (rounds ≥ 2 only): comp ← comp(comp). Every comp
+      // value is itself a vertex id present in `hooked`, so the self-join
+      // is total; __old rides through untouched for the convergence scan.
+      val jumped =
+        if (iter < 2) hooked
+        else hooked.join(
+            hooked.select(col("a").as("comp"), col("comp").as("__cc")), "comp")
+          .select(col("a"), col("__cc").as("comp"), col("__old"))
+      val next = jumped.localCheckpoint(true)
       // cached-partition scan of the checkpoint — cheap, no shuffle
       converged = next.filter(col("comp") =!= col("__old")).isEmpty
       labels = next.select(col("a"), col("comp"))
       iter += 1
     }
+    Console.err.println(
+      s"[graft] connectedComponents: converged=$converged rounds=$iter")
     labels.select(col("a").as(idCol), col("comp").as("component"))
   }
 

@@ -51,26 +51,54 @@ object Schema {
   def empty: Schema = Schema(ListMap.empty)
 
   // ---------------------------------------------------------------- JSON
-  // Discriminated-`type` JSON format mirroring the reference's schema.json
-  // (schema.py:79-147; saved/loaded at ctu_dataset.py:345-351).
+  // The reference's schema.json WIRE FORMAT, verbatim (schema.py:79-147,
+  // objectpickle.py:66-118; saved/loaded at ctu_dataset.py:345-351):
+  //  - per-column objects carry the short `@named_column_def` discriminator
+  //    in a "type" field ("cat", "num", "date", "datetime", "duration",
+  //    "time", "text", "omit") beside the attrs state ("key", and "card"
+  //    for "cat");
+  //  - foreign keys are plain {"columns", "ref_table", "ref_columns"};
+  //  - the top-level object carries the TypedSerializer marker
+  //    `"__type": ["db_transformer.schema.schema", "Schema"]` (table
+  //    entries do not — Schema.__getstate__ serializes them "simple").
+  // toJson emits exactly that shape (verified against the reference's own
+  // serializer output for the CiteSeer schema with its schema_fixer FKs),
+  // so a schema written here loads in the reference and vice versa.
+  // fromJson additionally accepts this library's pre-round-9 long names
+  // ("categorical"/"numeric") so caches written by older versions load.
+
+  /** Reference short name (`@named_column_def`, columns.py:32-85) per
+    * ColumnDef; identity for all but the two abbreviated names. */
+  private def wireName(cd: ColumnDef): String = cd match {
+    case _: CategoricalColumnDef => "cat"
+    case _: NumericColumnDef     => "num"
+    case other                   => other.typeName
+  }
+
+  /** The TypedSerializer class marker the reference writes at top level. */
+  private val ReferenceTypeMarker: (String, JValue) = "__type" ->
+    JArray(List(JString("db_transformer.schema.schema"), JString("Schema")))
 
   private def columnDefToJ(cd: ColumnDef): JValue = cd match {
     case CategoricalColumnDef(card, key) =>
-      JObject("type" -> JString("categorical"), "key" -> JBool(key), "card" -> JInt(card))
+      // field order (key, card, type) matches the reference serializer's
+      // attrs-state-then-discriminator output — cosmetic, but keeps
+      // fixtures diffable against reference-produced files
+      JObject("key" -> JBool(key), "card" -> JInt(card), "type" -> JString("cat"))
     case other =>
-      JObject("type" -> JString(other.typeName), "key" -> JBool(other.key))
+      JObject("key" -> JBool(other.key), "type" -> JString(wireName(other)))
   }
 
   private def columnDefFromJ(j: JValue): ColumnDef = {
     val key = (j \ "key") match { case JBool(b) => b; case _ => false }
     (j \ "type") match {
-      case JString("categorical") =>
+      case JString("cat") | JString("categorical") =>
         val card = (j \ "card") match {
           case JInt(c) => c.toInt
           case other   => sys.error(s"categorical missing card: $other")
         }
         CategoricalColumnDef(card, key)
-      case JString("numeric")  => NumericColumnDef(key)
+      case JString("num") | JString("numeric") => NumericColumnDef(key)
       case JString("date")     => DateColumnDef(key)
       case JString("datetime") => DateTimeColumnDef(key)
       case JString("duration") => DurationColumnDef(key)
@@ -98,10 +126,10 @@ object Schema {
 
   def toJson(schema: Schema): String = {
     val obj = JObject(schema.tables.toList.map { case (t, ts) =>
-      t -> JObject(
+      t -> (JObject(
         "columns" -> JObject(ts.columns.toList.map { case (c, cd) => c -> columnDefToJ(cd) }),
-        "foreign_keys" -> JArray(ts.foreignKeys.map(fkToJ).toList))
-    })
+        "foreign_keys" -> JArray(ts.foreignKeys.map(fkToJ).toList)): JValue)
+    } :+ ReferenceTypeMarker)
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
@@ -110,7 +138,8 @@ object Schema {
       case JObject(fields) => fields
       case o               => sys.error(s"Schema JSON must be an object, got $o")
     }
-    Schema(ListMap(root.map { case (t, tj) =>
+    // "__type" is the reference TypedSerializer's class marker, not a table
+    Schema(ListMap(root.filterNot(_._1 == "__type").map { case (t, tj) =>
       val cols = (tj \ "columns") match {
         case JObject(cs) => ListMap(cs.map { case (c, cj) => c -> columnDefFromJ(cj) }: _*)
         case o           => sys.error(s"bad columns for $t: $o")

@@ -1448,16 +1448,64 @@ object SparkEntry {
   // Streaming-shaped transforms (batch-checked)
   // ====================================================================
 
-  /** Batched mapPartitions decode — codec is the deterministic stub
-    * (hash-defined ⇒ rows-only); the batch plumbing is what's exercised. */
+  /** Deterministic two-band PNG corpus keyed off the nation table —
+    * geometry and band colors are closed-form in the keys, PNG encode
+    * runs executor-side: the shared fixture for the real-decode queries
+    * mm2 and mm3 (and the matching CTE head of both oracles). */
+  private def twoBandPngMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("id"),
+        (lit(4) + pmod(col("n_nationkey"), lit(5))).cast("int").as("w"),
+        (lit(3) + pmod(col("n_regionkey"), lit(4))).cast("int").as("h"),
+        pmod(col("n_nationkey") * 37, lit(256)).cast("int").as("r1"),
+        pmod(col("n_nationkey") * 59, lit(256)).cast("int").as("g1"),
+        pmod(col("n_nationkey") * 83, lit(256)).cast("int").as("b1"),
+        pmod(col("n_nationkey") * 101, lit(256)).cast("int").as("r2"),
+        pmod(col("n_nationkey") * 131, lit(256)).cast("int").as("g2"),
+        pmod(col("n_nationkey") * 151, lit(256)).cast("int").as("b2"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+      .map { case (id, w, h, r1, g1, b1, r2, g2, b2) =>
+        (id, Multimodal.encodeTwoBandPng(w, h, (r1, g1, b1), (r2, g2, b2)))
+      }
+      .toDF("media_id", "data")
+  }
+
+  /** Shared oracle CTE: the same two-band construction in closed form. */
+  private val twoBandPngCte =
+    """s AS (SELECT n_nationkey::BIGINT AS media_id,
+        (4 + n_nationkey % 5)::INT AS width,
+        (3 + n_regionkey % 4)::INT AS height,
+        (n_nationkey * 37) % 256 AS r1, (n_nationkey * 59) % 256 AS g1,
+        (n_nationkey * 83) % 256 AS b1, (n_nationkey * 101) % 256 AS r2,
+        (n_nationkey * 131) % 256 AS g2, (n_nationkey * 151) % 256 AS b2
+        FROM nation)"""
+
+  /** Batched mapPartitions decode through the DEFAULT codec — which since
+    * round 9 is the real `javax.imageio` path ([[Multimodal.imageBatchCodec]]):
+    * features [w, h, mean_r, mean_g, mean_b] come only from actual PNG
+    * decode, and the oracle knows them in closed form (PNG lossless; the
+    * means take one correctly-rounded double division and one rounding to
+    * float on both sides, so values are bit-identical). What's exercised
+    * beyond mm3: the batch-iterator plumbing and the float feature-vector
+    * contract a JNI/ONNX codec would plug into. */
   private val qDecode = Q("mm2_decode_batched",
     (s, d) => {
-      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
-      Multimodal.decodeBatched(media, dim = 4, batchSize = 32)
-        .select(col("media_id"), round(element_at(col("features"), 1), 4).as("f0"))
+      Multimodal.decodeBatched(twoBandPngMedia(s, d), dim = 5, batchSize = 8)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("double").as("f_w"),
+          element_at(col("features"), 2).cast("double").as("f_h"),
+          element_at(col("features"), 3).cast("double").as("f_r"),
+          element_at(col("features"), 4).cast("double").as("f_g"),
+          element_at(col("features"), 5).cast("double").as("f_b"))
         .orderBy("media_id")
     },
-    None)
+    Some(s"""WITH $twoBandPngCte
+      SELECT media_id, width::DOUBLE AS f_w, height::DOUBLE AS f_h,
+        (((height // 2) * r1 + (height - height // 2) * r2)::DOUBLE / height)::FLOAT4::DOUBLE AS f_r,
+        (((height // 2) * g1 + (height - height // 2) * g2)::DOUBLE / height)::FLOAT4::DOUBLE AS f_g,
+        (((height // 2) * b1 + (height - height // 2) * b2)::DOUBLE / height)::FLOAT4::DOUBLE AS f_b
+      FROM s ORDER BY media_id"""))
 
   /** REAL image decode (javax.imageio): deterministic two-band PNGs are
     * encoded per nation row executor-side, then decoded back by
@@ -1468,32 +1516,8 @@ object SparkEntry {
     * rational formula because correctly-rounded division of equal exact
     * rationals is unique). */
   private val qImageDecode = Q("mm3_image_decode",
-    (s, d) => {
-      import s.implicits._
-      val media = t(s, d, "nation").select(
-          col("n_nationkey").cast("long").as("id"),
-          (lit(4) + pmod(col("n_nationkey"), lit(5))).cast("int").as("w"),
-          (lit(3) + pmod(col("n_regionkey"), lit(4))).cast("int").as("h"),
-          pmod(col("n_nationkey") * 37, lit(256)).cast("int").as("r1"),
-          pmod(col("n_nationkey") * 59, lit(256)).cast("int").as("g1"),
-          pmod(col("n_nationkey") * 83, lit(256)).cast("int").as("b1"),
-          pmod(col("n_nationkey") * 101, lit(256)).cast("int").as("r2"),
-          pmod(col("n_nationkey") * 131, lit(256)).cast("int").as("g2"),
-          pmod(col("n_nationkey") * 151, lit(256)).cast("int").as("b2"))
-        .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
-        .map { case (id, w, h, r1, g1, b1, r2, g2, b2) =>
-          (id, Multimodal.encodeTwoBandPng(w, h, (r1, g1, b1), (r2, g2, b2)))
-        }
-        .toDF("media_id", "data")
-      Multimodal.decodeImageStats(media).orderBy("media_id")
-    },
-    Some("""WITH s AS (SELECT n_nationkey::BIGINT AS media_id,
-        (4 + n_nationkey % 5)::INT AS width,
-        (3 + n_regionkey % 4)::INT AS height,
-        (n_nationkey * 37) % 256 AS r1, (n_nationkey * 59) % 256 AS g1,
-        (n_nationkey * 83) % 256 AS b1, (n_nationkey * 101) % 256 AS r2,
-        (n_nationkey * 131) % 256 AS g2, (n_nationkey * 151) % 256 AS b2
-        FROM nation)
+    (s, d) => Multimodal.decodeImageStats(twoBandPngMedia(s, d)).orderBy("media_id"),
+    Some(s"""WITH $twoBandPngCte
       SELECT media_id, width, height,
         ((height // 2) * r1 + (height - height // 2) * r2)::DOUBLE / height AS mean_r,
         ((height // 2) * g1 + (height - height // 2) * g2)::DOUBLE / height AS mean_g,

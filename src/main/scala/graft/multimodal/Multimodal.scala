@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extract run as partition-parallel
   * batch transforms.
   *
-  * The IMAGE path is real: encode / decode / stat / resize run on the
-  * JDK's built-in `javax.imageio` codecs (PNG, BMP, GIF, JPEG — no
-  * external libraries), partition-parallel in the same batch shape as
-  * [[decodeBatched]]. Audio/video codecs don't ship in the JVM, so their
-  * decode remains the deterministic hash fallback (`stubDecodeFeatures` /
-  * `stubBatchCodec`) behind the same pluggable batch-codec signature —
-  * swapping in a JNI/ONNX decoder changes one function.
+  * The IMAGE path is real end-to-end: encode / decode / stat / resize /
+  * batched featurize run on the JDK's built-in `javax.imageio` codecs
+  * (PNG, BMP, GIF, JPEG — no external libraries), and [[decodeBatched]]
+  * routes through [[imageBatchCodec]] by default. Audio/video codecs
+  * don't ship in the JVM; their payloads plug a JNI/ONNX decoder into the
+  * same `Seq`-in/`Seq`-out batch-codec signature (the iterator/batch/
+  * schema plumbing is codec-agnostic), with [[stubResize]] /
+  * [[frameOffsets]] covering the metadata-side operations until then.
   */
 object Multimodal {
 
@@ -46,31 +47,21 @@ object Multimodal {
     df.withColumn("n_bytes", length(col("data")).cast("long"))
       .withColumn("content_hash", xxhash64(col("data")))
 
-  /** ??? STUB ??? — deterministic fake decode+feature-extract: `dim`
-    * pseudo-features derived by hashing (bytes, i). Replace with a real
-    * decoder (ONNX / JNI image lib) keeping the same signature: the
-    * partition-parallel `mapPartitions`-style shape, batch size, and output
-    * schema are what matter for the 100 TB plumbing. */
-  def stubDecodeFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
-    val feats = transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(col("data"), i), lit(1000L)).cast("double") / 500.0) - 1.0)
-    df.withColumn("features", feats)
-  }
-
   /** Batched partition-parallel decode — the Scala shape of a
     * `mapInPandas` media pipeline: each task pulls rows, groups them into
     * decode batches (bounding peak memory to batchSize payloads), hands
     * the batch to the codec, and emits (media_id, features) rows. The
-    * codec callback is the ONLY stub; the iterator/batch/schema plumbing
-    * is exactly what a JNI/ONNX decoder plugs into.
+    * default codec is the REAL [[imageBatchCodec]] (javax.imageio);
+    * audio/video decoders plug into the same `Seq`-in/`Seq`-out
+    * signature without touching the iterator/batch/schema plumbing.
     *
     * @param decode batch codec: N payloads in, N fixed-dim feature vectors
-    *               out (defaults to the deterministic hash stub)
+    *               out (defaults to [[imageBatchCodec]])
     */
   def decodeBatched(df: DataFrame, dim: Int = 8, batchSize: Int = 64,
       decode: Seq[Array[Byte]] => Seq[Array[Float]] = null): DataFrame = {
     val codec: Seq[Array[Byte]] => Seq[Array[Float]] =
-      if (decode != null) decode else stubBatchCodec(dim)
+      if (decode != null) decode else imageBatchCodec(dim)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id").cast("long"), col("data"))
@@ -86,18 +77,37 @@ object Multimodal {
       .toDF("media_id", "features")
   }
 
-  /** ??? STUB ??? — JVM-side deterministic batch codec (FNV-1a over bytes,
-    * per-feature remix); replace with a real image/audio decoder keeping
-    * the same Seq-in/Seq-out batch signature. */
-  def stubBatchCodec(dim: Int)(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+  /** REAL default batch codec for [[decodeBatched]]: every payload through
+    * `javax.imageio.ImageIO.read`, features =
+    * `[width, height, mean_r, mean_g, mean_b]` zero-padded to `dim`
+    * (`dim >= 5`). Channel means are computed from exact integer pixel
+    * sums with ONE correctly-rounded double division and ONE rounding to
+    * float, so for lossless inputs (PNG/BMP) the values are closed-form
+    * reproducible — what lets an oracle pin this path exactly.
+    * Undecodable payloads fail loudly rather than silently skewing corpus
+    * features. */
+  def imageBatchCodec(dim: Int)(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+    require(dim >= 5, s"imageBatchCodec needs dim >= 5 for [w,h,r,g,b], got $dim")
     batch.map { bytes =>
-      var h = 0xcbf29ce484222325L
-      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-      Array.tabulate(dim) { i =>
-        val z = (h ^ (i * 0x9e3779b97f4a7c15L))
-        (((z % 1000L + 1000L) % 1000L).toFloat / 500.0f) - 1.0f
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < px.length) {
+        sr += (px(i) >> 16) & 0xff; sg += (px(i) >> 8) & 0xff; sb += px(i) & 0xff
+        i += 1
       }
+      val n = w.toLong * h
+      val out = new Array[Float](dim)
+      out(0) = w.toFloat; out(1) = h.toFloat
+      out(2) = (sr.toDouble / n).toFloat
+      out(3) = (sg.toDouble / n).toFloat
+      out(4) = (sb.toDouble / n).toFloat
+      out
     }
+  }
 
   // ---------------------------------------------------------------- images
   // Real codecs via the JDK's javax.imageio — available in every JVM, no

@@ -25,9 +25,12 @@ class EntrySmokeSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // hash-/seed-defined pipelines and iterative float fixpoints only —
     // keep this list in sync when adding
+    // (mm2_decode_batched left this list in round 9: the default decode
+    // codec is now the real javax.imageio path, pinned by a closed-form
+    // PNG oracle)
     assert(rowsOnly == Set("w6_random_split", "d2_minhash_neardups",
       "d4_simhash_neardups", "d4b_simhash128_neardups", "d5_embedding_neardups",
-      "sim2_lsh_topk", "t4_text_embed_stub", "mm2_decode_batched",
+      "sim2_lsh_topk", "t4_text_embed_stub",
       "pr1_pagerank", "sim6_mmr_topk",
       "kc1_kcore", // iterate-to-fixpoint peel: no SQL restatement
       // BPE's merge-round loop (argmax + fold per round) has no SQL

@@ -26,15 +26,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq(5L, 0L))
   }
 
-  test("stubDecodeFeatures emits deterministic fixed-dim vectors in [-1,1]") {
-    val f1 = Multimodal.stubDecodeFeatures(media, dim = 4).orderBy("media_id")
-      .select("features").as[Seq[Double]].collect()
-    val f2 = Multimodal.stubDecodeFeatures(media, dim = 4).orderBy("media_id")
-      .select("features").as[Seq[Double]].collect()
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(v => v.length == 4 && v.forall(x => x >= -1.0 && x <= 1.0)))
-    assert(f1(0) != f1(1)) // different payloads -> different features
-  }
+  import MultimodalSpec.fnvFixtureCodec
 
   test("decodeBatched: batch iterator shape with a pluggable codec") {
     val many = Multimodal.asMedia(
@@ -48,12 +40,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall { case (_, f) => f.length == 2 })
     // batches are bounded by batchSize (per-partition remainder batches allowed)
     assert(out.forall { case (_, f) => f(1) <= 16.0f })
-    // default stub codec is deterministic
-    val a = Multimodal.decodeBatched(many, dim = 4).orderBy("media_id")
-      .as[(Long, Seq[Float])].collect()
-    val b = Multimodal.decodeBatched(many, dim = 4).orderBy("media_id")
-      .as[(Long, Seq[Float])].collect()
+    // the codec-less (audio/video) seam: a hash fixture codec plugs in and
+    // is deterministic across runs
+    val a = Multimodal.decodeBatched(many, dim = 4, decode = fnvFixtureCodec(4))
+      .orderBy("media_id").as[(Long, Seq[Float])].collect()
+    val b = Multimodal.decodeBatched(many, dim = 4, decode = fnvFixtureCodec(4))
+      .orderBy("media_id").as[(Long, Seq[Float])].collect()
     assert(a.toSeq == b.toSeq)
+    assert(a(0)._2 != a(1)._2) // different payloads -> different features
+  }
+
+  test("decodeBatched default codec is the REAL image decoder") {
+    // 6x4 two-band PNG: means are closed-form band averages; features are
+    // [w, h, mean_r, mean_g, mean_b] zero-padded to dim
+    val bytes = Multimodal.encodeTwoBandPng(6, 4, (10, 20, 30), (50, 60, 70))
+    val m = Multimodal.asMedia(Seq((7L, bytes)).toDF("id", "png"), "id", "png", "image/png")
+    val (id, f) = Multimodal.decodeBatched(m, dim = 6, batchSize = 4)
+      .as[(Long, Seq[Float])].collect()(0)
+    assert(id == 7L)
+    assert(f == Seq(6f, 4f, 30f, 40f, 50f, 0f))
+    // non-image payloads fail loudly under the default codec
+    intercept[Exception] {
+      Multimodal.decodeBatched(media, dim = 5).collect()
+    }
+    // dim must fit the real feature head
+    intercept[Exception] {
+      Multimodal.decodeBatched(m, dim = 4).collect()
+    }
   }
 
   test("stubResize rewrites dimensions and re-emits a payload, schema intact") {
@@ -112,4 +125,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) == Seq(0L, 1000L, 2000L))
     assert(out(1) == Seq())
   }
+}
+
+object MultimodalSpec {
+  /** Test-fixture codec (the retired FNV-1a stub): deterministic features
+    * from a byte hash — stands in for an audio/video decoder where no JVM
+    * codec exists, exercising the pluggable-codec seam. Top-level object
+    * so task closures don't capture the (non-serializable) suite. */
+  def fnvFixtureCodec(dim: Int)(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map { bytes =>
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      Array.tabulate(dim) { i =>
+        val z = (h ^ (i * 0x9e3779b97f4a7c15L))
+        (((z % 1000L + 1000L) % 1000L).toFloat / 500.0f) - 1.0f
+      }
+    }
 }

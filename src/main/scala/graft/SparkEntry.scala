@@ -43,6 +43,12 @@ object SparkEntry {
     // oracle parity: DuckDB's epoch()/hour() are TZ-naive; pin the session
     // zone so unix_timestamp/hour/window agree on any driver-provided session
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    // parquet timestamps without isAdjustedToUTC (naive timestamp[us]) must
+    // read as TIMESTAMP (LTZ, = the pinned UTC session zone), not
+    // TIMESTAMP_NTZ — every downstream instant function (unix_micros,
+    // window, unix_timestamp) takes LTZ, and with the session zone pinned
+    // the wall-clock values match DuckDB's naive reading exactly
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s
   }
 
@@ -456,16 +462,17 @@ object SparkEntry {
   // name, not the data).
   // ====================================================================
 
-  /** Physical kind of each testdata column as SPARK sees it (events.ts is
-    * LongType under the nanos-as-long conf). Static fixture knowledge, like
-    * the table names in every other oracle. */
+  /** Physical kind of each testdata column as SPARK sees it (events.ts is a
+    * native timestamp[us] since the 2026-08-13 testdata regeneration; under
+    * the pre-regeneration ns data it read as LongType via nanos-as-long).
+    * Static fixture knowledge, like the table names in every other oracle. */
   private val physicalKinds: Map[String, Seq[(String, String)]] = Map(
     "customer" -> Seq("c_custkey" -> "int", "c_name" -> "str", "c_nationkey" -> "int",
       "c_acctbal" -> "num", "c_mktsegment" -> "str"),
     "documents" -> Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
       "source" -> "str", "n_chars" -> "int"),
     "embeddings" -> Seq("vec_id" -> "int", "embedding" -> "other", "label" -> "int"),
-    "events" -> Seq("event_id" -> "int", "ts" -> "int", "user_id" -> "int",
+    "events" -> Seq("event_id" -> "int", "ts" -> "datetime", "user_id" -> "int",
       "event_type" -> "str", "value" -> "num", "props" -> "str"),
     "lineitem" -> Seq("l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
       "l_linenumber" -> "int", "l_quantity" -> "num", "l_extendedprice" -> "num",
@@ -1283,6 +1290,35 @@ object SparkEntry {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id1", "id2"),
     None)
+
+  /** Degenerate-parameter MinHash anchor (the sim4/sim7 device applied to
+    * LSH banding): at threshold 1.0 a pair survives the verify only with
+    * IDENTICAL shingle sets, and identical sets yield identical minhash
+    * signatures, so EVERY band collides — candidate recall is exactly 1 by
+    * construction, no probabilistic argument needed. The full pipeline
+    * (shingle → signature → band → bucket-join → verify) therefore computes
+    * precisely the exact-Jaccard self-join at threshold 1.0, which the d3
+    * CTE restates in SQL. The big rows-only `d2` stays the scale exercise
+    * at the working threshold. */
+  private val qMinhashAnchor = Q("d2b_minhash_exact_anchor",
+    (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 1.0)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
+      inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id1, id2, round(inter::DOUBLE / (z1.sz + z2.sz - inter), 4) AS jaccard
+      FROM pairs JOIN sz z1 ON id1 = z1.doc_id JOIN sz z2 ON id2 = z2.doc_id
+      WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 1.0
+      ORDER BY id1, id2"""))
 
   private val qSimhash = Q("d4_simhash_neardups",
     (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
@@ -3517,7 +3553,8 @@ object SparkEntry {
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
     qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
-    qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qSimhash, qSimhash128, qEmbDedup,
+    qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qMinhashAnchor,
+    qSimhash, qSimhash128, qEmbDedup,
     qBruteTopK, qLshTopK, qIvfTopK, qRangeSearch,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,

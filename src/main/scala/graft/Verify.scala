@@ -35,6 +35,7 @@ object Verify {
       // Lenient casts (reference pandas semantics): malformed data degrades
       // to NULL instead of failing the job under Spark 4's ANSI default.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,8 +34,14 @@ class EventStreamSpec extends SparkSpec {
       java.nio.file.Paths.get(s"${sf()}/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val batchDf = spark.read.parquet(dir)
-    val src = spark.readStream.schema(batchDf.schema).parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val raw = spark.readStream.schema(batchDf.schema).parquet(dir)
+    // normalize only when the file carries ns-as-long (legacy testdata);
+    // a native timestamp[us] column streams through as TimestampType
+    val src = batchDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
     val agg = EventStream.windowedAgg(src, "ts", "event_type", "1 hour",
       watermark = Some("1 hour"))
     val q = agg.writeStream.format("memory").queryName("file_evt")

@@ -56,7 +56,12 @@ for name in sorted(os.listdir(out_dir)):
         av, bv = a[c], b[c]
         try:
             if str(av.dtype).startswith("datetime") or str(bv.dtype).startswith("datetime"):
-                eq = pd.to_datetime(av).astype("int64") // 1000 == pd.to_datetime(bv).astype("int64") // 1000
+                # normalize both sides to a COMMON resolution first:
+                # astype(int64) yields ticks in the column's own unit, so a
+                # datetime64[ns] vs datetime64[us] pair would compare ns
+                # against us and flag equal values as diffs
+                eq = (pd.to_datetime(av).astype("datetime64[us]").astype("int64")
+                      == pd.to_datetime(bv).astype("datetime64[us]").astype("int64"))
             else:
                 eq = (av == bv) | (av.isna() & bv.isna())
         except Exception:

@@ -139,16 +139,19 @@ object CategoricalCodes {
   /** Build the (value, code) dictionary. First-appearance order is computed
     * DISTRIBUTED: `groupBy(value).agg(min(struct(orderCols)))` — a map-side-
     * partial hash aggregate, never a global window over the input (which
-    * would collapse to one task at scale). Only the final ranking of the
-    * dictionary itself (≤ declared cardinality ≤ 1000 rows) uses an
-    * unpartitioned window. */
+    * would collapse to one task at scale). The final ranking of the
+    * dictionary itself is also distributed (range-sort + `zipWithIndex`,
+    * [[graft.functions.DistributedRank]]) so even a dictionary with raw
+    * cardinality in the billions never funnels through one partition. */
   def dictionary(df: DataFrame, valueCol: Column, orderCols: Seq[Column]): DataFrame = {
     val first = df.select(valueCol.as("value"), struct(orderCols: _*).as("__ord"))
       .groupBy(col("value")).agg(min(col("__ord")).as("__first"))
-    // NULL (if present) sorts to the front => code 0 (cat_converter.py:33-38)
-    first.select(col("value"),
-      (row_number().over(Window.orderBy(col("value").isNotNull, col("__first"))) - 1)
-        .cast("long").as("code"))
+    // NULL (if present) sorts to the front => code 0 (cat_converter.py:33-38);
+    // (isNotNull, __first) is a total order — __first is the min PK struct of
+    // the value's rows, so it is unique per value.
+    graft.functions.DistributedRank
+      .withRank(first, Seq(col("value").isNotNull, col("__first")), "__rk")
+      .select(col("value"), (col("__rk") - 1).as("code"))
   }
 
   /** Apply a dictionary: join (broadcast — dictionaries are tiny). */

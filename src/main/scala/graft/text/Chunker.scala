@@ -92,18 +92,19 @@ object Chunker {
     * 0..k−1. THE tokenization + ranking contract shared by
     * [[encodeTokens]] callers — one definition, so the whitespace regex
     * and tiebreak can't drift between the vocab builder and the encoder.
-    * The global rank window runs over the distinct-token set (vocab-sized,
-    * not corpus-sized). Output: (token, tid, n). */
+    * Ranking is a distributed top-k (per-partition pre-cut + range-sort
+    * rank, [[graft.functions.DistributedRank.topK]]) — no single-partition
+    * window even when the raw distinct-token set is huge. Output:
+    * (token, tid, n). */
   def topKVocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    docs
+    val counts = docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .withColumn("tid", (row_number().over(
-        Window.orderBy(col("n").desc, col("token"))) - 1).cast("int"))
-      .filter(col("tid") < k)
-      .select("token", "tid", "n")
+    graft.functions.DistributedRank
+      .topK(counts, Seq(col("n").desc, col("token")), "__r", k)
+      .select(col("token"), (col("__r") - 1).cast("int").as("tid"), col("n"))
   }
 
   /** Tokenizer encode: map each document's tokens to integer ids through a

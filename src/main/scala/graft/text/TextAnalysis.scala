@@ -229,8 +229,10 @@ object TextAnalysis {
     * near −1; a synthetic or template-heavy corpus drifts far from it):
     * rank the top `topN` terms by frequency (term tiebreak), regress
     * `ln(freq)` on `ln(rank)` by least squares, report slope + intercept.
-    * One tokenize-and-count aggregation, a WindowGroupLimit-able top-N,
-    * and a 5-sum reduce — the regression itself is closed-form expression
+    * One tokenize-and-count aggregation, a distributed top-N (per-partition
+    * pre-cut + range-sort rank, [[graft.functions.DistributedRank.topK]] —
+    * no single-partition window however large the raw vocabulary), and a
+    * 5-sum reduce — the regression itself is closed-form expression
     * arithmetic over the sums (the same device as the bp2 normal
     * equations), no driver-side math beyond the final row. */
   def zipfSlope(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
@@ -239,9 +241,8 @@ object TextAnalysis {
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
       .filter(length(col("__tok")) > 0)
     val counts = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("__c").desc, col("__tok"))
-    val ranked = counts.withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= topN)
+    val ranked = graft.functions.DistributedRank
+      .topK(counts, Seq(col("__c").desc, col("__tok")), "__r", topN)
       .select(log(col("__r")).as("__x"), log(col("__c")).as("__y"))
     val s = ranked.agg(
       count(lit(1)).cast("double").as("n"), sum(col("__x")).as("sx"),

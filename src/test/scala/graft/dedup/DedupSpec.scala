@@ -40,6 +40,25 @@ class DedupSpec extends SparkSpec {
     assert(!ids.exists(p => p._2 == 4L || p._1 == 4L))   // unrelated docs never verified in
   }
 
+  test("minhash at threshold 1.0 equals the exact-Jaccard join (the d2b anchor)") {
+    // identical shingle sets => identical signatures => every band collides,
+    // so the LSH pipeline's output at threshold 1.0 is provably the exact
+    // self-join — pin it against ngramJaccardPairs on a corpus with a
+    // planted exact-dup pair (1,3) plus whitespace-normalized copies
+    val corpus = docs.union(Seq(
+      (6L, base.toUpperCase),       // lower(trim()) normalizes case away
+      (7L, "  " + base + "  ")      // and surrounding whitespace
+    ).toDF("doc_id", "text"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairSet(Dedup.minhashNearDups(corpus, "doc_id", "text",
+      k = 16, bands = 4, shingleN = 3, threshold = 1.0))
+    val exact = pairSet(Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 1.0))
+    assert(lsh == exact)
+    assert(lsh == Set((1L, 3L), (1L, 6L), (1L, 7L), (3L, 6L), (3L, 7L), (6L, 7L)))
+  }
+
   test("simhash distance 0 for identical docs, large for unrelated") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

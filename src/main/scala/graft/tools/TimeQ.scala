@@ -13,6 +13,13 @@ object TimeQ {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup + the Bench calibration probe: a TimeQ number is only
+    // comparable across runs/rounds relative to the probe (BENCH_NOTES
+    // records both) — the box's effective speed drifts 2-3x between
+    // measurement windows (judge A/B, round 8)
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    val cal = graft.Bench.calibrate(spark)
+    println(f"[cal] probe=$cal%.2f s load=${graft.Bench.loadAvg()}%.2f cpus=$cpus")
     for (n <- args) {
       val t0 = System.nanoTime()
       val c = graft.SparkEntry.queries(n)(spark, sfDir).count()

@@ -1406,6 +1406,26 @@ object SparkEntry {
       .orderBy("query_id", "neighbor_id"),
     None)
 
+  /** Degenerate-parameter LSH anchor (the d2b/sim4 device): nPlanes = 0
+    * yields the constant signature, so every vector lands in ONE bucket and
+    * the bucketed search degenerates to the exhaustive all-pairs top-k —
+    * recall 1 by construction, output ≡ brute-force cosine top-k, restated
+    * below in SQL. `sim2` stays the rows-only scale exercise at nPlanes=6. */
+  private val qLshAnchor = Q("sim2b_lsh_exact_anchor",
+    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 3, nPlanes = 0, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id"),
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos FROM ranked
+      WHERE rn <= 3 ORDER BY query_id, neighbor_id"""))
+
   // ====================================================================
   // Text analysis
   // ====================================================================
@@ -3555,7 +3575,7 @@ object SparkEntry {
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qMinhashAnchor,
     qSimhash, qSimhash128, qEmbDedup,
-    qBruteTopK, qLshTopK, qIvfTopK, qRangeSearch,
+    qBruteTopK, qLshTopK, qLshAnchor, qIvfTopK, qRangeSearch,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,
     qAsof, qRangeJoin, qRolling, qRepetition, qTfidf, qGroupSplit, qQuantiles,

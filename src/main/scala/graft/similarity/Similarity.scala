@@ -191,12 +191,14 @@ object Similarity {
   /** Random-hyperplane LSH signature: bit p = sign(v · plane_p), packed into
     * a long. Cosine-similar vectors collide with high probability. */
   def lshSignature(vecCol: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    require(nPlanes <= 63, "signature packs into one long")
+    require(nPlanes >= 0 && nPlanes <= 63, "signature packs into one long")
     val planes = hyperplanes(nPlanes, dim, seed)
+    // nPlanes = 0 degenerates to the constant signature (one bucket =
+    // exhaustive search) — the oracle-anchor parameter for lshTopK
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = litVec(plane)
       when(dot(vecCol, planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }.foldLeft(lit(0L))(_ + _)
   }
 
   /** LSH-bucketed ANN (the scale path): vectors sharing an exact nPlanes-bit

@@ -41,6 +41,22 @@ class SimilaritySpec extends SparkSpec {
     assert((sig(1L) ^ sig(3L)) == 0xffL)
   }
 
+  test("lshTopK at nPlanes=0 equals brute force (the sim2b anchor)") {
+    // nPlanes=0 => constant signature => one bucket => exhaustive search
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.2f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.3f)),
+      (5L, Array(0.2f, 0.2f, 0.9f, 0.1f))).toDF("id", "v")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs(Similarity.lshTopK(vecs, "id", "v", k = 2, nPlanes = 0, dim = 4))
+    val brute = pairs(Similarity.bruteForceTopK(vecs, vecs, "id", "v", k = 2))
+    assert(lsh == brute && lsh.size == 10) // 5 queries x k=2
+  }
+
   test("softmaxArray sums to 1 and argmaxArray is 0-based") {
     val df = Seq(Array(0.1, 2.0, 0.5)).toDF("v")
     val r = df.select(

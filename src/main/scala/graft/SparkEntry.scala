@@ -1346,6 +1346,23 @@ object SparkEntry {
       .orderBy("id1", "id2"),
     None)
 
+  /** Degenerate-parameter embedding-LSH anchor (the d2b/sim2b device): at
+    * nPlanes = 0 the single signature table has one constant bucket, so the
+    * candidate set is provably ALL id1<id2 pairs and the pipeline computes
+    * exactly the exhaustive cosine threshold join the SQL below restates.
+    * `d5` stays the rows-only scale exercise (banded buckets, 3 OR-ed
+    * tables). */
+  private val qEmbDedupAnchor = Q("d5b_embedding_exact_anchor",
+    (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.25, nPlanes = 0, nTables = 1)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+      .orderBy("id1", "id2"),
+    Some("""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id1, id2, round(cos, 4) AS cos FROM p
+      WHERE cos >= 0.25 ORDER BY id1, id2"""))
+
   // ====================================================================
   // Similarity search
   // ====================================================================
@@ -2884,6 +2901,32 @@ object SparkEntry {
     },
     None)
 
+  /** Degenerate-parameter MMR anchor: λ = 1 zeroes the diversity term, so
+    * by mmrRerank's own contract the greedy selection reduces to plain
+    * relevance order with the (cos desc, id) tiebreak — i.e. the top-m of
+    * the brute-force shortlist, restated in SQL as a rank cut. `sim6`
+    * stays the rows-only diversity exercise at λ = 0.7. */
+  private val qMmrAnchor = Q("sim6b_mmr_exact_anchor",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val shortlist = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb, "vec_id", "embedding", k = 15, roundDigits = 6)
+      Similarity.mmrRerank(shortlist, emb, "vec_id", "embedding",
+          m = 5, lambda = 1.0)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+      SELECT query_id, neighbor_id, cos, rn AS rank FROM ranked
+      WHERE rn <= 5 ORDER BY query_id, rank"""))
+
   /** Sliding-window token chunking (window 32, stride 24): the
     * context-length-bounded training-sample cutter. Pure per-row explode —
     * zero shuffles; the DuckDB restatement is generate_series over the
@@ -3574,7 +3617,7 @@ object SparkEntry {
     qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qMinhashAnchor,
-    qSimhash, qSimhash128, qEmbDedup,
+    qSimhash, qSimhash128, qEmbDedup, qEmbDedupAnchor,
     qBruteTopK, qLshTopK, qLshAnchor, qIvfTopK, qRangeSearch,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,
@@ -3584,7 +3627,7 @@ object SparkEntry {
     qPageRankAnchor, qKCoreAnchor, qWeightedPr,
     qFunnel, qCohort, qScd2, qKeyProfile, qStratified, qContamination, qZOrder,
     qTriangles, qUpsert, qDataQuality, qCorrelation, qEqualFreqBins,
-    qHeavyHitters, qGroupedQuantiles, qMmr,
+    qHeavyHitters, qGroupedQuantiles, qMmr, qMmrAnchor,
     qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,

@@ -37,7 +37,11 @@ class PlanQualitySpec extends SparkSpec {
     "wau1_rolling_actives", // date-range clip vs the 1-ROW bounds aggregate
     "sim7_int8_topk", // broadcast tiny query side, like the other ANN paths
     "sim8_range_search", // same broadcast-queries scoring scan as sim1
-    "tc2_clustering_coeff") // two 1-ROW aggregates cross-joined
+    "tc2_clustering_coeff", // two 1-ROW aggregates cross-joined
+    // the degenerate-parameter oracle anchors are DELIBERATELY exhaustive:
+    // a constant bucket key folds the equi-join into a nested loop
+    "sim2b_lsh_exact_anchor", "sim6b_mmr_exact_anchor",
+    "d5b_embedding_exact_anchor")
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

@@ -1346,6 +1346,34 @@ object SparkEntry {
       .orderBy("id1", "id2"),
     None)
 
+  /** SemDeDup-style semantic dedup, the cluster-then-prune curation step:
+    * cells from the deterministic IVF Lloyd trainer, within-cell pairs
+    * only, keep-min-id prune at the cosine threshold. Rows-only (cell
+    * assignment is centroid-defined — no SQL restatement); `sem1b` is the
+    * oracle anchor at nCells=1 and DedupSpec pins cells-vs-global
+    * semantics. */
+  private val qSemDedup = Q("sem1_semantic_dedup",
+    (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 8, threshold = 0.25, iters = 1)
+      .orderBy("vec_id"),
+    None)
+
+  /** Degenerate-parameter anchor for sem1 (the d2b/sim2b device): at
+    * nCells = 1 every vector shares the one cell, so the within-cell prune
+    * provably equals the global threshold prune — keep(i) ⟺ no j<i with
+    * cos ≥ τ, restated below via the d5b pair CTE. */
+  private val qSemDedupAnchor = Q("sem1b_semantic_dedup_anchor",
+    (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 1, threshold = 0.25, iters = 1)
+      .orderBy("vec_id"),
+    Some("""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      dropped AS (SELECT DISTINCT id2 FROM p WHERE cos >= 0.25)
+      SELECT e.vec_id, d.id2 IS NULL AS keep
+      FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id2
+      ORDER BY e.vec_id"""))
+
   /** Degenerate-parameter embedding-LSH anchor (the d2b/sim2b device): at
     * nPlanes = 0 the single signature table has one constant bucket, so the
     * candidate set is provably ALL id1<id2 pairs and the pipeline computes
@@ -3617,7 +3645,7 @@ object SparkEntry {
     qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qMinhashAnchor,
-    qSimhash, qSimhash128, qEmbDedup, qEmbDedupAnchor,
+    qSimhash, qSimhash128, qEmbDedup, qEmbDedupAnchor, qSemDedup, qSemDedupAnchor,
     qBruteTopK, qLshTopK, qLshAnchor, qIvfTopK, qRangeSearch,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,

@@ -575,6 +575,48 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space with the IVF
+    * trainer's deterministic Lloyd centroids ([[graft.similarity.Ivf]]),
+    * generate candidate pairs WITHIN cells only, and drop every vector
+    * that has a smaller-id neighbor above the cosine threshold in its
+    * cell — the one-pass keep-min-id contract (keep(i) ⟺ no j<i in i's
+    * cell with cos(i,j) ≥ τ), deterministic under any partitioning.
+    *
+    * Scale shape: pair generation is bounded per cell (n/nCells expected
+    * members — the SemDeDup device exists precisely because global
+    * all-pairs is impossible at 100 TB), the centroid table is a tiny
+    * driver-side artifact shipped as literals (the IVF pattern), and the
+    * verify dot products stay in codegen. At nCells = 1 the operator
+    * provably degenerates to the exact global threshold prune — the
+    * oracle anchor (sem1b). Zero-norm vectors never pair (cosine
+    * undefined ⇒ NaN fails every threshold) and are kept.
+    *
+    * @return (id, keep) for every input row */
+  def semanticDedup(data: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double, iters: Int = 3): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val cents = graft.similarity.Ivf.trainCentroids(
+      data.select(col(idCol), col(vecCol)), idCol, vecCol, nCells, iters)
+    val celled = graft.similarity.Ivf.withCell(
+      data.select(col(idCol), col(vecCol)), vecCol, cents)
+    val units = celled.select(col(idCol), col("__cell"),
+        Similarity.norm(col(vecCol)).as("__n"), col(vecCol))
+      .select(col(idCol), col("__cell"),
+        Similarity.unit(col(vecCol), col("__n")).as("__u"))
+    val l = units.select(col("__cell"), col(idCol).as("__id1"), col("__u").as("__v1"))
+    val r = units.select(col("__cell"), col(idCol).as("__id2"), col("__u").as("__v2"))
+    val dropped = l.join(r, "__cell")
+      .filter(col("__id1") < col("__id2"))
+      .filter(Similarity.dot(col("__v1"), col("__v2")) >= threshold)
+      .select(col("__id2").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    data.select(col(idCol)).join(dropped, Seq(idCol), "left")
+      .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
+
   /** Bloom-prefiltered incremental dedup — the 100 TB shape of the
     * fingerprint anti-join: build ONE Bloom sketch over the historical
     * fingerprint set (a treeAggregate; the sketch is a reusable artifact —

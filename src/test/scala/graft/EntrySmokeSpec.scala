@@ -32,6 +32,8 @@ class EntrySmokeSpec extends SparkSpec {
       "d4_simhash_neardups", "d4b_simhash128_neardups", "d5_embedding_neardups",
       "sim2_lsh_topk", "t4_text_embed_stub",
       "pr1_pagerank", "sim6_mmr_topk",
+      "sem1_semantic_dedup", // cell assignment is centroid-defined; sem1b anchors
+      // the nCells=1 degenerate under the oracle, DedupSpec pins cell semantics
       "kc1_kcore", // iterate-to-fixpoint peel: no SQL restatement
       // BPE's merge-round loop (argmax + fold per round) has no SQL
       // restatement; the classic-corpus closed form is pinned in ChunkerSpec

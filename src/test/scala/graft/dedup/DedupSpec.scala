@@ -294,6 +294,26 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
 
+  test("semanticDedup: one-pass keep-min-id prune; separable cells match global") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.95f, 0.3122f, 0.0f, 0.0f)),  // cos(1,2) ~ 0.95
+      (3L, Array(0.81f, 0.59f, 0.0f, 0.0f)),    // cos(2,3) ~ 0.95, cos(1,3) ~ 0.81
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),      // far cluster
+      (5L, Array(0.0f, 0.0f, 0.98f, 0.2f))      // cos(4,5) ~ 0.98
+    ).toDF("id", "v")
+    def keeps(nCells: Int) =
+      Dedup.semanticDedup(vecs, "id", "v", nCells, threshold = 0.9, iters = 1)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val global = keeps(1)
+    // one-pass contract: 3 is dropped because of its smaller-id neighbor 2,
+    // even though 2 itself is dropped (keep(i) <=> no j<i with cos >= tau)
+    assert(global == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
+    // separable clusters: celling cannot change the answer (cross-cluster
+    // cosines are all below tau)
+    assert(keeps(2) == global)
+  }
+
   test("incrementalDedupBloom is bit-identical to the plain anti-join") {
     val incoming = Seq(
       (1L, "seen before"), (2L, "brand new"), (3L, "also seen"),

@@ -106,8 +106,30 @@ class SchemaAnalyzer(
 
   /** One-pass per-table stats for the columns whose heuristics need data
     * (integers, strings, booleans). Cached per analyzer instance, like the
-    * reference's lru_caches (schema_autodetect.py:261-310). */
-  private val statsCache = scala.collection.mutable.Map.empty[String, Map[String, ColumnStats]]
+    * reference's lru_caches (schema_autodetect.py:261-310). TrieMap because
+    * [[prewarmStats]] fills it from concurrent per-table jobs. */
+  private val statsCache = scala.collection.concurrent.TrieMap.empty[String, Map[String, ColumnStats]]
+
+  /** Run every table's stats pass CONCURRENTLY before the sequential guess
+    * loop reads them: each per-table aggregate alone cannot fill the
+    * cluster through its whole lifetime (planning, scan ramp-up, the final
+    * 1-partition reduce), so a 10-table catalog run back-to-back leaves
+    * most cores idle most of the time. Submitting the jobs from a small
+    * thread pool lets Spark's scheduler interleave them — same results
+    * (the cache is keyed per table; `statsFor` is idempotent), wall-clock
+    * bounded by the widest table instead of the sum. */
+  private def prewarmStats(tables: Seq[String]): Unit = {
+    if (tables.sizeIs <= 1) { tables.foreach(statsFor); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(tables.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = scala.concurrent.Future.sequence(
+        tables.map(t => scala.concurrent.Future(statsFor(t))))
+      scala.concurrent.Await.result(done, scala.concurrent.duration.Duration.Inf)
+      ()
+    } finally { pool.shutdown() }
+  }
 
   def statsFor(table: String): Map[String, ColumnStats] = statsCache.getOrElseUpdate(table, {
     val df = catalog.table(table)
@@ -216,7 +238,9 @@ class SchemaAnalyzer(
   /** Analyze every table (schema_autodetect.py:486-508), then apply the
     * post-guess hook (the infer → patch layering of SURVEY §1.3). */
   def guessSchema(): Schema = {
-    val tables = catalog.listTables().map { t =>
+    val names = catalog.listTables()
+    prewarmStats(names)
+    val tables = names.map { t =>
       val cols = ListMap(catalog.columns(t).fieldNames.map(c => c -> guessColumnType(t, c)): _*)
       t -> TableSchema(cols, catalog.foreignKeys(t))
     }

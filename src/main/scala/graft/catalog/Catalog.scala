@@ -127,11 +127,31 @@ final class ParquetCatalog(
   /** S6: copy the database to another parquet directory, constraints
     * travelling as sidecar schema JSON (helpers/database.py:12-55 recreates
     * constraints then bulk-inserts; here: parquet rewrite, which preserves
-    * types and is distributed). */
-  def copyTo(outDir: String): Unit =
-    listTables().foreach { t =>
-      table(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    * types and is distributed). Per-table write jobs are submitted
+    * CONCURRENTLY (the a5 prewarm device): a single table's rewrite cannot
+    * fill the cluster through planning and commit, so back-to-back writes
+    * of a many-table catalog leave cores idle — the scheduler interleaves
+    * them, and the copy completes in the widest table's time, not the sum.
+    * Each table targets its own directory, so commits never interfere. */
+  def copyTo(outDir: String): Unit = {
+    val tables = listTables()
+    if (tables.sizeIs <= 1) {
+      tables.foreach(t => table(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet"))
+      return
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(tables.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = scala.concurrent.Future.sequence(tables.map { t =>
+        scala.concurrent.Future {
+          table(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+        }
+      })
+      scala.concurrent.Await.result(done, scala.concurrent.duration.Duration.Inf)
+      ()
+    } finally { pool.shutdown() }
+  }
 
   /** Ordered map of every table's DataFrame (lazy plans). */
   def allTables(): ListMap[String, DataFrame] =

@@ -133,12 +133,15 @@ object Quantiles {
       .join(binned(refRaw, "n_ref"), Seq("bin"), "left")
       .join(binned(cur, "n_cur"), Seq("bin"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
-    val totR = sum(col("n_ref") + 1).over()
-    val totC = sum(col("n_cur") + 1).over()
-    joined
+    // smoothed totals ride as a broadcast 1-ROW aggregate (the t6/tc2
+    // device) instead of an unpartitioned window over the bin table —
+    // same values, no single-task WindowExec in any plan
+    val tots = joined.agg(sum(col("n_ref") + 1).as("__tr"),
+      sum(col("n_cur") + 1).as("__tc"))
+    joined.crossJoin(broadcast(tots))
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        (((col("n_ref") + 1) / totR) - ((col("n_cur") + 1) / totC)).as("__d"),
-        log(((col("n_ref") + 1) / totR) / ((col("n_cur") + 1) / totC)).as("__l"))
+        (((col("n_ref") + 1) / col("__tr")) - ((col("n_cur") + 1) / col("__tc"))).as("__d"),
+        log(((col("n_ref") + 1) / col("__tr")) / ((col("n_cur") + 1) / col("__tc"))).as("__l"))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(col("__d") * col("__l"), 6).as("psi_term"))
   }

@@ -34,6 +34,7 @@ class PlanQualitySpec extends SparkSpec {
     "sim1_bruteforce_topk", "sim2_lsh_topk", "sim4_pq_topk", "sim6_mmr_topk",
     "t6_tfidf_topk", "t7_bm25", "sk2_key_profile",
     "lm1_bigram_surprisal", // vocab-size V is a 1-row broadcast scalar
+    "dr1_psi_drift", // smoothed totals are a 1-row broadcast aggregate
     "wau1_rolling_actives", // date-range clip vs the 1-ROW bounds aggregate
     "sim7_int8_topk", // broadcast tiny query side, like the other ANN paths
     "sim8_range_search", // same broadcast-queries scoring scan as sim1
@@ -56,6 +57,23 @@ class PlanQualitySpec extends SparkSpec {
         bad
       }
       assert(offenders.isEmpty, s"plan regressions: $offenders")
+    }
+  }
+
+  test("no registered query plans an unpartitioned window (single-task funnel)") {
+    // round-9 guard: row_number() over an empty partition spec moves the
+    // WHOLE input to one task ("WindowExec: No Partition Defined") — every
+    // global ranking now goes through DistributedRank (range-sort +
+    // zipWithIndex), so any reappearance is a scale regression
+    withStaticPlans {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        plan(name).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => s"$name: WindowExec"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+            s"$name: WindowGroupLimitExec"
+        }
+      }
+      assert(offenders.isEmpty, s"unpartitioned windows: $offenders")
     }
   }
 

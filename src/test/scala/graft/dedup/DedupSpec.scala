@@ -314,6 +314,29 @@ class DedupSpec extends SparkSpec {
     assert(keeps(2) == global)
   }
 
+  test("semanticDedup at nCells=1 matches driver-side brute force on random vectors") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 4) {
+      val n = 3 + rnd.nextInt(20)
+      val dim = 4
+      val vs = (0 until n).map(i =>
+        i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val tau = 0.3 + rnd.nextDouble() * 0.5
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = (0 until dim).map(i => a(i).toDouble * b(i)).sum
+        d / math.sqrt(vs.head._2.indices.map(i => a(i).toDouble * a(i)).sum *
+          vs.head._2.indices.map(i => b(i).toDouble * b(i)).sum)
+      }
+      val want = vs.map { case (i, v) =>
+        i -> !vs.exists { case (j, w) => j < i && cos(w, v) >= tau }
+      }.toMap
+      val got = Dedup.semanticDedup(vs.toDF("id", "v"), "id", "v",
+          nCells = 1, threshold = tau, iters = 1)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == want, s"trial $trial (n=$n, tau=$tau)")
+    }
+  }
+
   test("incrementalDedupBloom is bit-identical to the plain anti-join") {
     val incoming = Seq(
       (1L, "seen before"), (2L, "brand new"), (3L, "also seen"),

@@ -466,7 +466,7 @@ object SparkEntry {
     * native timestamp[us] since the 2026-08-13 testdata regeneration; under
     * the pre-regeneration ns data it read as LongType via nanos-as-long).
     * Static fixture knowledge, like the table names in every other oracle. */
-  private val physicalKinds: Map[String, Seq[(String, String)]] = Map(
+  private[graft] val physicalKinds: Map[String, Seq[(String, String)]] = Map(
     "customer" -> Seq("c_custkey" -> "int", "c_name" -> "str", "c_nationkey" -> "int",
       "c_acctbal" -> "num", "c_mktsegment" -> "str"),
     "documents" -> Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",

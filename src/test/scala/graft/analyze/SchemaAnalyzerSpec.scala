@@ -90,4 +90,27 @@ class SchemaAnalyzerSpec extends SparkSpec {
       assert(!r.isNullAt(0) && r.getLong(0) == 0L, s"counter $dc")
     }
   }
+
+  test("a5's static physicalKinds fixture matches the actual testdata schemas") {
+    // the generated a5 oracle bakes in each column's physical kind; if the
+    // driver regenerates the testdata with different physical types (it
+    // did on 2026-08-13: events.ts ns-as-long -> native timestamp[us]),
+    // fail HERE at build time instead of as a mysterious oracle mismatch
+    // in the driver's gate
+    import org.apache.spark.sql.types._
+    def kind(dt: DataType): String = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "int"
+      case _: FloatType | _: DoubleType | _: DecimalType => "num"
+      case _: StringType => "str"
+      case _: TimestampType | _: DateType => "datetime"
+      case _ => "other"
+    }
+    val fixture = graft.SparkEntry.physicalKinds
+    assert(fixture.keySet == cat.listTables().toSet)
+    for (t <- cat.listTables()) {
+      val actual = cat.columns(t).fields.map(f => f.name -> kind(f.dataType)).toSeq
+      assert(fixture(t) == actual,
+        s"$t: fixture=${fixture(t)} actual=$actual — regenerate physicalKinds")
+    }
+  }
 }

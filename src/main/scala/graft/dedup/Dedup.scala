@@ -563,9 +563,14 @@ object Dedup {
     val r = banded.select(col("__bucket"), col(idCol).as("id2"))
     val cands = l.join(r, "__bucket").filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-    // normalize each vector once; per-pair cosine is then a single dot fold
+    // normalize each vector once; per-pair cosine is then a single dot fold.
+    // Zero-norm vectors are excluded: their unit form is all-NaN, and Spark
+    // orders NaN above every number, so `NaN >= threshold` would PASS the
+    // verify filter and emit cos=NaN pairs. Cosine to a zero vector is
+    // undefined; such rows simply produce no pairs.
     val units = data.select(col(idCol),
         col(vecCol), Similarity.norm(col(vecCol)).as("__n"))
+      .filter(col("__n") > 0)
       .select(col(idCol), Similarity.unit(col(vecCol), col("__n")).as("__u"))
     cands
       .join(units.select(col(idCol).as("id1"), col("__u").as("__v1")), "id1")
@@ -589,21 +594,43 @@ object Dedup {
     * driver-side artifact shipped as literals (the IVF pattern), and the
     * verify dot products stay in codegen. At nCells = 1 the operator
     * provably degenerates to the exact global threshold prune — the
-    * oracle anchor (sem1b). Zero-norm vectors never pair (cosine
-    * undefined ⇒ NaN fails every threshold) and are kept.
+    * oracle anchor (sem1b). Zero-norm vectors never pair (they are
+    * filtered from the pair join — see the in-body note) and are kept.
+    *
+    * Cell-size bound (`maxCellSize > 0`): the within-cell pair join is
+    * O(cell²), and nCells is caller-fixed — under real embedding skew
+    * (clusters are Zipfian) one hot cell can go quadratic. With a bound,
+    * any cell larger than `maxCellSize` is recursively re-clustered
+    * (sub-Lloyd on the hot cell's own rows, the IVF device) into
+    * `ceil(size/maxCellSize)` sub-cells, to a fixed depth of 4; pairs are
+    * then generated within final sub-cells only. This trades recall at
+    * sub-cell boundaries for a hard quadratic bound — the standard
+    * SemDeDup tradeoff, just applied recursively. Degenerate data (one
+    * point repeated > maxCellSize times) cannot be split by ANY
+    * partitioner; the depth cap makes that terminate rather than loop,
+    * and such a cell stays hot (its pairs are all true dups anyway).
+    * `maxCellSize = 0` (default) disables splitting — the sem1b anchor
+    * (nCells = 1 ≡ exact global prune) holds only in this mode.
     *
     * @return (id, keep) for every input row */
   def semanticDedup(data: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, threshold: Double, iters: Int = 3): DataFrame = {
+      nCells: Int, threshold: Double, iters: Int = 3,
+      maxCellSize: Int = 0): DataFrame = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val cents = graft.similarity.Ivf.trainCentroids(
-      data.select(col(idCol), col(vecCol)), idCol, vecCol, nCells, iters)
-    val celled = graft.similarity.Ivf.withCell(
-      data.select(col(idCol), col(vecCol)), vecCol, cents)
+    require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
+    val celled = boundedCells(data.select(col(idCol), col(vecCol)),
+      idCol, vecCol, nCells, iters, maxCellSize)
+    // Zero-norm rows are EXCLUDED from the pair join, not merely expected
+    // to fail the threshold: unit() of a zero vector is all-NaN, dot of a
+    // NaN vector is NaN, and Spark orders NaN GREATER than every number —
+    // so `NaN >= threshold` is TRUE and an unguarded zero vector would
+    // pair with every cellmate. Filtered out here, such rows can never
+    // appear in `dropped` and fall through the final left join as keep.
     val units = celled.select(col(idCol), col("__cell"),
         Similarity.norm(col(vecCol)).as("__n"), col(vecCol))
+      .filter(col("__n") > 0)
       .select(col(idCol), col("__cell"),
         Similarity.unit(col(vecCol), col("__n")).as("__u"))
     val l = units.select(col("__cell"), col(idCol).as("__id1"), col("__u").as("__v1"))
@@ -615,6 +642,56 @@ object Dedup {
       .withColumn("__dup", lit(true))
     data.select(col(idCol)).join(dropped, Seq(idCol), "left")
       .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
+
+  /** Cell assignment with the recursive hot-cell split described on
+    * [[semanticDedup]]: returns (idCol, vecCol, __cell) where __cell is a
+    * string path ("3", "3/1", …) — the root Lloyd cell id, then one
+    * segment per split level. Deterministic: root centroids and every
+    * sub-Lloyd use the id-ordered deterministic init
+    * ([[graft.similarity.Ivf.trainCentroids]]), so the tree of cells is a
+    * pure function of the data. Each level re-clusters ONLY the cells
+    * still above the bound (expected few — skew is the premise), with the
+    * sub-cell count sized ceil(size/maxCellSize) (floor 2, cap 64).
+    * Package-private so DedupSpec can assert the post-split bound. */
+  private[graft] def boundedCells(data: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int, maxCellSize: Int): DataFrame = {
+    val cents = graft.similarity.Ivf.trainCentroids(data, idCol, vecCol, nCells, iters)
+    var celled = graft.similarity.Ivf.withCell(data, vecCol, cents)
+      .withColumn("__cell", col("__cell").cast("string"))
+    if (maxCellSize > 0) {
+      val maxDepth = 4
+      var depth = 0
+      var hot: Array[(String, Long)] = celled.groupBy(col("__cell")).count()
+        .filter(col("count") > maxCellSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      while (hot.nonEmpty && depth < maxDepth) {
+        val hotPaths = hot.map(_._1).toSeq
+        val cool = celled.filter(!col("__cell").isin(hotPaths: _*))
+        val resplit = hot.toSeq.map { case (path, size) =>
+          // the hot cell's rows are re-read several times by the
+          // sub-Lloyd (count + iters assign/mean passes); at cluster
+          // scale persist this fragment for the duration of the split
+          val rows = celled.filter(col("__cell") === path).drop("__cell")
+          val sub = math.max(2,
+            math.min(64, math.ceil(size.toDouble / maxCellSize).toInt))
+          val subCents =
+            graft.similarity.Ivf.trainCentroids(rows, idCol, vecCol, sub, iters)
+          graft.similarity.Ivf.withCell(rows, vecCol, subCents)
+            .withColumn("__cell",
+              concat_ws("/", lit(path), col("__cell").cast("string")))
+        }
+        celled = (cool +: resplit).reduce(_.unionByName(_))
+        // a sub-Lloyd can fail to separate (e.g. one point repeated
+        // beyond the bound — no partitioner can split it): the depth cap
+        // turns that from an infinite loop into a documented residual
+        depth += 1
+        hot = celled.groupBy(col("__cell")).count()
+          .filter(col("count") > maxCellSize)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }
+    }
+    celled
   }
 
   /** Bloom-prefiltered incremental dedup — the 100 TB shape of the

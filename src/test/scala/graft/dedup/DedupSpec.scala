@@ -337,6 +337,66 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: zero-norm vectors never pair and are kept") {
+    // Spark orders NaN above every number, so an unguarded zero vector's
+    // NaN cosine would PASS `>= threshold` and pair with every cellmate.
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),      // zero — must be kept
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),      // cos(2,3)=0 < tau: kept
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f)),      // second zero — also kept
+      (5L, Array(0.97f, 0.243f, 0.0f, 0.0f))    // cos(2,5)~0.97: dropped
+    ).toDF("id", "v")
+    val got = Dedup.semanticDedup(vecs, "id", "v", nCells = 1,
+        threshold = 0.9, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false))
+  }
+
+  test("embeddingNearDups emits no pairs for zero-norm vectors") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.99f, 0.141f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    // nPlanes=0: every row lands in one bucket, so without the norm guard
+    // the zero vector would pair with both others at cos=NaN
+    val pairs = Dedup.embeddingNearDups(vecs, "id", "v", dim = 4,
+        threshold = 0.9, nPlanes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
+  test("boundedCells splits a planted hot cell below the bound") {
+    val rnd = new scala.util.Random(7)
+    // 90% of rows in one tight cluster, 10% scattered: nCells=4 will put
+    // the cluster in one hot cell; maxCellSize=25 must break it up
+    val clustered = (0 until 180).map { i =>
+      i.toLong -> Array(10f + rnd.nextFloat(), 10f + rnd.nextFloat(),
+        rnd.nextFloat(), rnd.nextFloat())
+    }
+    val scattered = (180 until 200).map { i =>
+      i.toLong -> Array.fill(4)(rnd.nextGaussian().toFloat * 5f)
+    }
+    val df = (clustered ++ scattered).toDF("id", "v")
+    val cells = Dedup.boundedCells(df, "id", "v", nCells = 4, iters = 1,
+        maxCellSize = 25)
+      .groupBy("__cell").count().collect().map(_.getLong(1))
+    assert(cells.sum == 200L)
+    assert(cells.max <= 25L,
+      s"hot cell not split below bound: max=${cells.max}")
+    // candidate-pair bound follows: sum(c_i^2) << n^2
+    val pairBound = cells.map(c => c * c).sum
+    assert(pairBound < 200L * 200L / 4,
+      s"pair bound not reduced: $pairBound")
+    // and the keep output at the same settings is still a valid partition
+    val keeps = Dedup.semanticDedup(df, "id", "v", nCells = 4,
+        threshold = 0.999, iters = 1, maxCellSize = 25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keeps.size == 200 && keeps.values.exists(identity))
+  }
+
   test("incrementalDedupBloom is bit-identical to the plain anti-join") {
     val incoming = Seq(
       (1L, "seen before"), (2L, "brand new"), (3L, "also seen"),

@@ -713,16 +713,20 @@ object SparkEntry {
             ORDER BY l_extendedprice DESC, l_linenumber) AS rn
         FROM lineitem) WHERE rn <= 3 ORDER BY l_orderkey, l_linenumber"""))
 
-  /** W6: seeded random split — rand() has no SQL-oracle equivalent, so the
-    * contract checked here is structural (driver rows-only check): exactly
-    * one row per split with positive counts summing to the table size. */
+  /** W6: train/validation split masks. The md5-coin portable variant is
+    * registered (a pure function of the key — engine-reproducible, so the
+    * full per-row mask is oracle-checked); the `rand(seed)` variant
+    * ([[graft.sample.Sampling.withSplitMasks]]) remains as the
+    * RNG-stream fast path, spec-pinned in SamplingSpec. hex4(0.2) =
+    * 0x3333 — the same quantization constant on both sides. */
   private val qSplit = Q("w6_random_split",
-    (s, d) => {
-      val masked = t(s, d, "customer")
-        .withColumn("split", when(rand(42) < 0.8, "train").otherwise("val"))
-      masked.groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")
-    },
-    None)
+    (s, d) => Sampling.withSplitMasksPortable(
+        t(s, d, "customer").select(col("c_custkey")), "c_custkey", 0.2)
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+        substring(md5(c_custkey::VARCHAR || ':42'), 1, 4) < '3333' AS val_mask,
+        NOT (substring(md5(c_custkey::VARCHAR || ':42'), 1, 4) < '3333') AS train_mask
+      FROM customer ORDER BY c_custkey"""))
 
   // ====================================================================
   // §2.6 set operations

@@ -24,17 +24,44 @@ import org.apache.spark.sql.types.LongType
   */
 object DistributedRank {
 
+  /** Rows above this are refused by [[withRank]] unless the caller raises
+    * `maxRows` deliberately: the rank itself stays distributed at any
+    * size, but every ranked row pays the off-codegen RDD `Row` round-trip
+    * and a checkpoint block — a frame big enough to need real scale
+    * should go through [[topK]]'s pre-cut (when a rank cut follows) or
+    * accept the cost explicitly. */
+  val DefaultMaxRankRows: Long = 100000000L
+
   /** Append `rankCol` = 1-based global rank of `df` rows under the total
     * order `order`.
     *
-    * The sorted frame is eagerly `localCheckpoint`ed first: `zipWithIndex`
-    * runs one extra job for partition offsets and the ranked output is an
-    * RDD-backed frame, so without the checkpoint the upstream aggregate +
-    * sort would recompute for the offset job, the map job, AND every
-    * downstream action. */
-  def withRank(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
+    * Contract and tradeoffs — read before adding a call site:
+    *  - EAGER: the sorted frame is `localCheckpoint(true)`ed, so merely
+    *    CONSTRUCTING (or explaining) the returned frame runs the upstream
+    *    plan as Spark jobs. Without the checkpoint the upstream aggregate
+    *    + sort would recompute for `zipWithIndex`'s offset job, its map
+    *    job, AND every downstream action — but the side effect is real:
+    *    don't build this frame speculatively.
+    *  - NOT fault-tolerant: `localCheckpoint` blocks live on executors;
+    *    losing one after the checkpoint invalidates the blocks and fails
+    *    every downstream action (no lineage to recompute from). Fine in
+    *    single-JVM/local mode and for short-lived bounded frames; a
+    *    long-lived cluster pipeline that cannot tolerate a restart should
+    *    swap in `persist(DISK_ONLY)+count` or a reliable `checkpoint`.
+    *  - BOUNDED: refuses frames above `maxRows` (cheap — the count reads
+    *    the just-materialized checkpoint blocks). Callers that only keep
+    *    the top k must use [[topK]], whose pre-cut bounds this input at
+    *    `partitions × k`; callers ranking a genuinely huge frame must
+    *    raise `maxRows` at the call site, where a reviewer can see it. */
+  def withRank(df: DataFrame, order: Seq[Column], rankCol: String,
+      maxRows: Long = DefaultMaxRankRows): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(order: _*).localCheckpoint(true)
+    val n = sorted.count()
+    require(n <= maxRows,
+      s"withRank input has $n rows > maxRows=$maxRows: every ranked row " +
+        "pays the off-codegen RDD round-trip — pre-cut with topK (if a " +
+        "rank cut follows) or raise maxRows explicitly at the call site")
     val ranked = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     spark.createDataFrame(ranked, sorted.schema.add(rankCol, LongType, nullable = false))
   }

@@ -20,7 +20,10 @@ import graft.schema.Schema
   *    :52-60) and reverse (other tables' FK columns -> current table's
   *    FIRST column, :62-82, reproducing the reference's first-column
   *    assumption);
-  *  - single-column keys only (reference TODO at :54);
+  *  - composite (multi-column) FK frontiers are supported — the reference
+  *    declares them in its schema (schema.py:163-182) but left the sampler
+  *    single-column (TODO at :54); the frontier join here is the same
+  *    zipped equi-join shape as [[graft.graph.RelGraph.fkEdges]];
   *  - tables queued forward in a step are not re-queued reverse in that
   *    step (`processed_foreigns`, :61), and the immediate parent is never
   *    re-visited (:69-71);
@@ -48,11 +51,31 @@ object Sampling {
   }
 
   /** W6: train/validation boolean masks by seeded random threshold
-    * (`T.RandomNodeSplit('train_rest')`, main.py:220-221). */
+    * (`T.RandomNodeSplit('train_rest')`, main.py:220-221). Spark's RNG
+    * stream is partitioning-dependent and engine-private — use
+    * [[withSplitMasksPortable]] when the assignment must be reproducible
+    * across runs or restatable in another engine. */
   def withSplitMasks(nodes: DataFrame, valFraction: Double, seed: Long = 42L): DataFrame = {
     val r = rand(seed)
     nodes.withColumn("val_mask", r < valFraction)
       .withColumn("train_mask", !(r < valFraction))
+  }
+
+  /** Engine-portable [[withSplitMasks]]: the per-row coin is the first 4
+    * hex chars of `md5(key || ":" || seed)` (the
+    * [[stratifiedSamplePortable]] device), so the mask is a pure function
+    * of (key, seed) — stable across runs, partitionings and engines, and
+    * SQL-restatable. A row is validation iff its coin falls below
+    * `valFraction` quantized to 1/65536. Pure codegen filter-free
+    * projection: no shuffle, no RNG state. */
+  def withSplitMasksPortable(nodes: DataFrame, keyCol: String,
+      valFraction: Double, seed: String = "42"): DataFrame = {
+    require(valFraction >= 0 && valFraction <= 1,
+      s"valFraction must be in [0, 1], got $valFraction")
+    val coin = substring(md5(concat(col(keyCol).cast("string"),
+      lit(":" + seed))), 1, 4)
+    val isVal = coin < lit(hex4(valFraction))
+    nodes.withColumn("val_mask", isVal).withColumn("train_mask", !isVal)
   }
 
   /** Leakage-free GROUP split: every row whose `keyCol` hashes below the
@@ -308,8 +331,13 @@ object Sampling {
 
 class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) {
 
+  // joinCols are the COLUMNS OF `table` the frontier keys match; keys'
+  // columns are __k0..__kn aligned positionally with joinCols. Composite
+  // keys ride the same shape as RelGraph.fkEdges — the reference left
+  // multi-column frontiers as a TODO (bfs.py:54) even though its schema
+  // declares them (schema.py:163-182); here they just work.
   private case class QueueItem(table: String, depth: Int, parent: Option[String],
-      key: Option[String], keys: Option[DataFrame])
+      joinCols: Option[Seq[String]], keys: Option[DataFrame])
 
   /** The seed row: LIMIT 1 OFFSET idx of the target table in PK order
     * (bfs.py:38; order pinned by the engine contract, see class doc). */
@@ -329,7 +357,7 @@ class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) 
     val acc = mutable.Map.empty[String, DataFrame]
 
     while (queue.nonEmpty) {
-      val QueueItem(tableName, depth, parent, key, keys) = queue.dequeue()
+      val QueueItem(tableName, depth, parent, joinCols, keys) = queue.dequeue()
       if (depth >= maxDepth) return acc.toMap.map { case (t, df) => t -> df.distinct() }
 
       val full = tables(tableName)
@@ -337,29 +365,38 @@ class BfsSampler(schema: Schema, tables: Map[String, DataFrame], maxDepth: Int) 
         seedRow(tableName, idx)
       } else {
         val k = keys.get.distinct()
-        full.join(broadcast(k), full(key.get) === k(k.columns.head), "left_semi")
+        val cond = joinCols.get.zip(k.columns)
+          .map { case (c, kc) => full(c) === k(kc) }.reduce(_ && _)
+        full.join(broadcast(k), cond, "left_semi")
       }
       acc(tableName) = acc.get(tableName).fold(batch)(_.unionAll(batch))
 
       if (depth + 1 != maxDepth) {
         val collected = acc(tableName)
         val processedForeign = mutable.Set.empty[String]
-        // forward: FK values of collected rows -> parent ref column (:52-60)
+        // positionally-aligned frontier key frame: one __k<i> per FK column
+        def keyFrame(cols: Seq[String]) = collected.select(
+          cols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }: _*)
+        // forward: FK values of collected rows -> parent ref columns (:52-60)
         schema(tableName).foreignKeys.foreach { fk =>
-          val fkeys = collected.select(col(fk.columns.head).as("__k"))
           queue.enqueue(QueueItem(fk.refTable, depth + 1, Some(tableName),
-            Some(fk.refColumns.head), Some(fkeys)))
+            Some(fk.refColumns), Some(keyFrame(fk.columns))))
           processedForeign += fk.refTable
         }
-        // reverse: tables referencing this one, probed by this table's
-        // FIRST column (:62-82)
-        val pkeys = collected.select(col(collected.columns.head).as("__k"))
+        // reverse: tables referencing this one (:62-82). Single-column
+        // edges keep the reference's first-column probe assumption; a
+        // composite edge has no reference analogue (its TODO), so it
+        // probes by the FK's declared referenced columns.
         schema.tables.foreach { case (nextTable, nextSchema) =>
           val skip = processedForeign.contains(nextTable) || parent.contains(nextTable)
           if (!skip) {
             nextSchema.foreignKeys.filter(_.refTable == tableName).foreach { fk =>
+              val probe =
+                if (fk.columns.lengthCompare(1) == 0)
+                  collected.select(col(collected.columns.head).as("__k0"))
+                else keyFrame(fk.refColumns)
               queue.enqueue(QueueItem(nextTable, depth + 1, Some(tableName),
-                Some(fk.columns.head), Some(pkeys)))
+                Some(fk.columns), Some(probe)))
             }
           }
         }

@@ -48,7 +48,21 @@ object ScaleUp {
 
     def shifted(df: DataFrame, i: Int): DataFrame =
       df.columns.foldLeft(df) { (d, c) =>
-        if (shiftCols(c)) d.withColumn(c, col(c) + lit(i * Offset)) else d
+        if (shiftCols(c)) {
+          // preserve the SOURCE physical type: a bare `+ lit(Long)` widens
+          // a 32-bit key to bigint (and union coercion then widens copy 0
+          // too), so the scaled dataset's schema would diverge from the
+          // real one and schema-sensitive paths (the a5 physical-kind
+          // fixture, analyzer heuristics) would misread it. Every current
+          // key is int64, making the cast a no-op; a narrower key cannot
+          // hold copy × 10^9 and must fail loud here, not overflow.
+          val srcType = df.schema(c).dataType
+          require(srcType == org.apache.spark.sql.types.LongType,
+            s"shift column $c is ${srcType.simpleString}: the per-copy " +
+              s"$Offset shift assumes a 64-bit key — shrink the offset " +
+              "or widen the source before scaling")
+          d.withColumn(c, (col(c) + lit(i * Offset)).cast(srcType))
+        } else d
       }
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part",

@@ -27,8 +27,9 @@ class EntrySmokeSpec extends SparkSpec {
     // keep this list in sync when adding
     // (mm2_decode_batched left this list in round 9: the default decode
     // codec is now the real javax.imageio path, pinned by a closed-form
-    // PNG oracle)
-    assert(rowsOnly == Set("w6_random_split", "d2_minhash_neardups",
+    // PNG oracle; w6_random_split left in round 10: the registered split
+    // is the md5-coin portable variant, oracle-checked per row)
+    assert(rowsOnly == Set("d2_minhash_neardups",
       "d4_simhash_neardups", "d4b_simhash128_neardups", "d5_embedding_neardups",
       "sim2_lsh_topk", "t4_text_embed_stub",
       "pr1_pagerank", "sim6_mmr_topk",

@@ -39,6 +39,23 @@ class DistributedRankSpec extends SparkSpec {
     }
   }
 
+  test("withRank refuses frames above maxRows; topK's pre-cut keeps it bounded") {
+    val df = (1L to 100L).toDF("id")
+    intercept[IllegalArgumentException] {
+      DistributedRank.withRank(df, Seq(col("id")), "r", maxRows = 50L)
+    }
+    // raising the bound at the call site is the documented escape hatch
+    assert(DistributedRank.withRank(df, Seq(col("id")), "r", maxRows = 100L)
+      .count() == 100L)
+    // topK pre-cuts to partitions×k before ranking: its withRank input is
+    // bounded however large the frame, so a tight maxRows via the default
+    // path still succeeds (8 partitions × k=3 = 24 ranked rows here)
+    val wide = (1L to 10000L).toDF("id").repartition(8)
+    val top = DistributedRank.topK(wide, Seq(col("id")), "r", k = 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
   test("rank output survives downstream joins (checkpointed, not recomputed)") {
     val df = (1L to 20L).map(i => (i, 21L - i)).toDF("id", "v")
     val ranked = DistributedRank.withRank(df, Seq(col("v"), col("id")), "r")

@@ -46,6 +46,43 @@ class BfsSamplerSpec extends SparkSpec {
     assert(out("child").collect().map(_.getInt(0)).toSeq == Seq(12))
   }
 
+  // composite-FK star: line references (order_no, site) of header — a
+  // two-column frontier the reference's sampler rejects (bfs.py:54 TODO)
+  private def compositeSchema = Schema(ListMap(
+    "header" -> TableSchema(ListMap(
+      "order_no" -> OmitColumnDef(key = true), "site" -> OmitColumnDef(key = true),
+      "note" -> OmitColumnDef())),
+    "line" -> TableSchema(ListMap(
+      "line_id" -> OmitColumnDef(key = true),
+      "order_no" -> OmitColumnDef(), "site" -> OmitColumnDef()),
+      Seq(ForeignKeyDef(Seq("order_no", "site"), "header", Seq("order_no", "site"))))))
+
+  private def compositeTables = Map(
+    // two headers share order_no=1 but differ on site: a single-column
+    // frontier on order_no alone would wrongly pull BOTH
+    "header" -> Seq((1, "east", "a"), (1, "west", "b"), (2, "east", "c"))
+      .toDF("order_no", "site", "note"),
+    "line" -> Seq((100, 1, "east"), (101, 1, "west"), (102, 2, "east"))
+      .toDF("line_id", "order_no", "site"))
+
+  test("composite-FK forward frontier joins on the full column zip") {
+    val s = new BfsSampler(compositeSchema, compositeTables, maxDepth = 2)
+    val out = s.sample("line", 0) // line_id=100 -> header (1, east) ONLY
+    assert(out("line").count() == 1)
+    val headers = out("header").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(headers.toSeq == Seq((1, "east")),
+      s"expected only the (1,east) header, got ${headers.mkString(",")}")
+  }
+
+  test("composite-FK reverse frontier probes the declared ref columns") {
+    val s = new BfsSampler(compositeSchema, compositeTables, maxDepth = 3)
+    val out = s.sample("header", 0) // header (1, east)
+    // reverse edge header -> line must pull only line 100, not 101 (same
+    // order_no, different site) or 102
+    val lines = out("line").collect().map(_.getInt(0)).sorted
+    assert(lines.toSeq == Seq(100), s"got ${lines.mkString(",")}")
+  }
+
   test("virtual _target_table node + edge point at the seed row") {
     val s = new BfsSampler(schema, tables, maxDepth = 2)
     val (out, edge) = s.sampleWithVirtualTarget("child", 1) // seed cid=11

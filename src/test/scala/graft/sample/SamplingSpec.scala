@@ -35,6 +35,30 @@ class SamplingSpec extends SparkSpec {
     assert(counts.getLong(1) > 200L && counts.getLong(1) < 400L)
   }
 
+  test("withSplitMasksPortable: complementary, proportional, and repartition-stable") {
+    val nodes = (1L to 1000L).toDF("id")
+    val masked = Sampling.withSplitMasksPortable(nodes, "id", valFraction = 0.3)
+    val counts = masked.agg(
+      sum(when(col("train_mask"), 1).otherwise(0)).as("tr"),
+      sum(when(col("val_mask"), 1).otherwise(0)).as("va"),
+      sum(when(col("train_mask") === col("val_mask"), 1).otherwise(0)).as("overlap"))
+      .collect()(0)
+    assert(counts.getLong(0) + counts.getLong(1) == 1000L)
+    assert(counts.getLong(2) == 0L)
+    assert(counts.getLong(1) > 200L && counts.getLong(1) < 400L)
+    // pure function of the key: any partitioning draws the identical masks
+    // (the property rand(seed) cannot give)
+    val a = masked.orderBy("id").collect().toSeq
+    val b = Sampling.withSplitMasksPortable(nodes.repartition(7), "id", 0.3)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // fraction edge cases ride the hex4 clamp
+    assert(Sampling.withSplitMasksPortable(nodes, "id", 1.0)
+      .filter(!col("val_mask")).count() == 0L)
+    assert(Sampling.withSplitMasksPortable(nodes, "id", 0.0)
+      .filter(col("val_mask")).count() == 0L)
+  }
+
   test("groupSplit: every row of a group lands in the same split, ~80/20") {
     // 10 rows per group — leakage would show as a group with mixed splits
     val rows = for (g <- 1L to 500L; r <- 1 to 10) yield (g, r)

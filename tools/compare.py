@@ -56,12 +56,17 @@ for name in sorted(os.listdir(out_dir)):
         av, bv = a[c], b[c]
         try:
             if str(av.dtype).startswith("datetime") or str(bv.dtype).startswith("datetime"):
-                # normalize both sides to a COMMON resolution first:
-                # astype(int64) yields ticks in the column's own unit, so a
-                # datetime64[ns] vs datetime64[us] pair would compare ns
-                # against us and flag equal values as diffs
-                eq = (pd.to_datetime(av).astype("datetime64[us]").astype("int64")
-                      == pd.to_datetime(bv).astype("datetime64[us]").astype("int64"))
+                # normalize both sides to a COMMON resolution AND tz form:
+                # astype(int64) yields ticks in the column's own unit (a
+                # ns vs us pair would flag equal values as diffs), and
+                # pandas refuses tz-aware -> naive astype outright — so
+                # read both sides as UTC instants, drop the tz, then
+                # compare us ticks. Equal instants compare equal whether
+                # either side arrived tz-aware or naive.
+                def _us_ticks(s):
+                    s = pd.to_datetime(s, utc=True).dt.tz_localize(None)
+                    return s.astype("datetime64[us]").astype("int64")
+                eq = _us_ticks(av) == _us_ticks(bv)
             else:
                 eq = (av == bv) | (av.isna() & bv.isna())
         except Exception:

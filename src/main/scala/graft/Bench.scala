@@ -162,6 +162,17 @@ object Bench {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("id")).orderBy(col("y"))))
         .agg(sum("rn")).collect()
+      // (c) one untimed pass of the first registered query: even with (a)
+      // and (b), the first TIMED slot intermittently absorbed an external
+      // stall (r10 back-to-back sf0.1 sweeps: 9.2 s vs a 1.06 s same-JVM
+      // re-time with identical shuffle bytes and 21 ms GC — the time was
+      // outside the JVM). Whatever hits the first-work window lands on
+      // the session here, like every other warmup cost.
+      SparkEntry.queries.headOption.foreach { case (_, fn) =>
+        fn(spark, sfDir).count()
+      }
+      spark.catalog.clearCache()
+      System.gc()
     } catch { case _: Throwable => () }
     // self-calibration AFTER warmup (so it measures the box, not JIT):
     // median-of-3 CPU and I/O probes + load average, emitted in the summary.

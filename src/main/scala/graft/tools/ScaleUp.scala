@@ -34,6 +34,10 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // write timestamps as the source's physical form (timestamp[us]),
+      // not Spark's INT96 default — scaled data should differ from the
+      // real dataset ONLY in row count
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -81,6 +85,17 @@ object ScaleUp {
               slice(col("embedding"), lit(1), lit(i)))))
         case _ => copies(df, (d, i) => shifted(d, i))
       }
+      // Timestamps: written as int64 micros (outputTimestampType above),
+      // matching the source's physical form. They stay LTZ on the Spark
+      // side: the source files are pyarrow-written NAIVE micros that the
+      // engine sessions read as LTZ via inferTimestampNTZ=false — but
+      // that conf only governs INFERENCE for files without Spark schema
+      // metadata. A Spark-written NTZ column carries explicit NTZ
+      // metadata that overrides the conf, so casting to NTZ here would
+      // make every engine session read the scaled data as NTZ and break
+      // LTZ-typed paths (measured: 4 queries failed on unix_micros).
+      // Net: pyarrow sees an isAdjustedToUTC annotation the source lacks;
+      // every engine session sees the IDENTICAL Spark schema either way.
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scaleup] $t x$mult -> $outDir")
     }

@@ -3273,12 +3273,17 @@ object SparkEntry {
         UNION ALL SELECT 'matches(source)', v3, n FROM m)
       ORDER BY expectation"""))
 
-  /** Fuzzy entity matching: supplier names within edit distance 1,
-    * length-banded candidates, thresholded-levenshtein verify. */
+  /** Fuzzy entity matching: supplier names within edit distance 1 —
+    * FastSS deletion-neighborhood blocking + thresholded-levenshtein
+    * verify. (Round 10 switched from length banding: supplier names are
+    * constant-width, so the length histogram is ONE band and in-band
+    * pairs grew quadratically — 17× at the sf1 sweep. FastSS candidates
+    * track the true near-pair count; output is bit-identical, oracle
+    * unchanged.) */
   private val qFuzzy = Q("fz1_fuzzy_match",
     (s, d) => {
       val sup = t(s, d, "supplier")
-      graft.joins.FuzzyJoin.editDistanceJoin(sup, "s_suppkey", sup,
+      graft.joins.FuzzyJoin.editDistanceJoinFastSS(sup, "s_suppkey", sup,
           "s_suppkey", "s_name", 1)
         .filter(col("id1") < col("id2"))
         .orderBy("id1", "id2")

@@ -33,4 +33,39 @@ class FuzzyJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded == naive)
   }
+
+  test("editDistanceJoinFastSS is bit-identical to the banded join, k=1 and 2") {
+    val rnd = new scala.util.Random(41)
+    // constant-width ID-style strings — the length histogram is ONE band
+    // (the degenerate case FastSS exists for) — plus a few ragged extras
+    val base = (0 until 120).map(i => (i.toLong, f"Supplier#${rnd.nextInt(300)}%04d"))
+    val ragged = Seq((200L, ""), (201L, "S"), (202L, "Supplier#"),
+      (203L, null: String))
+    val df = (base ++ ragged).toDF("id", "name")
+    for (k <- 1 to 2) {
+      val banded = FuzzyJoin.editDistanceJoin(df, "id", df, "id", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val fastss = FuzzyJoin.editDistanceJoinFastSS(df, "id", df, "id", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fastss == banded, s"k=$k: ${fastss.size} vs ${banded.size}")
+    }
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoinFastSS(df, "id", df, "id", "name", 3)
+    }
+  }
+
+  test("deletionVariants: exact neighborhood for small strings") {
+    val out = Seq(Tuple1("abc")).toDF("t")
+      .select(FuzzyJoin.deletionVariants(col("t"), 1).as("v"))
+      .collect()(0).getSeq[String](0).toSet
+    assert(out == Set("abc", "bc", "ac", "ab"))
+    val k2 = Seq(Tuple1("abc")).toDF("t")
+      .select(FuzzyJoin.deletionVariants(col("t"), 2).as("v"))
+      .collect()(0).getSeq[String](0).toSet
+    assert(k2 == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    val empty = Seq(Tuple1("")).toDF("t")
+      .select(FuzzyJoin.deletionVariants(col("t"), 2).as("v"))
+      .collect()(0).getSeq[String](0).toSet
+    assert(empty == Set(""))
+  }
 }

@@ -669,10 +669,15 @@ object Dedup {
         val hotPaths = hot.map(_._1).toSeq
         val cool = celled.filter(!col("__cell").isin(hotPaths: _*))
         val resplit = hot.toSeq.map { case (path, size) =>
-          // the hot cell's rows are re-read several times by the
-          // sub-Lloyd (count + iters assign/mean passes); at cluster
-          // scale persist this fragment for the duration of the split
+          // materialize the hot-cell fragment ONCE: the sub-Lloyd scans
+          // it 1 + iters times (count + assign/mean passes) and the
+          // final assignment once more — without the checkpoint each of
+          // those re-executes the whole upstream filter/union lineage of
+          // every previous level. Fragment size is bounded (it IS the
+          // oversized cell), and the localCheckpoint fault-tolerance
+          // tradeoff documented on DistributedRank.withRank applies.
           val rows = celled.filter(col("__cell") === path).drop("__cell")
+            .localCheckpoint(true)
           val sub = math.max(2,
             math.min(64, math.ceil(size.toDouble / maxCellSize).toInt))
           val subCents =

@@ -190,6 +190,23 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: bit p = sign(v · plane_p), packed into
     * a long. Cosine-similar vectors collide with high probability. */
+  /** The nPlanes that holds expected LSH bucket occupancy near
+    * `targetBucketSize` as the corpus grows: 2^nPlanes buckets ⇒
+    * `ceil(log2(n / target))`, clamped to [1, 63]. The REGISTERED
+    * benchmark queries fix nPlanes so their hash-defined outputs stay
+    * stable round-over-round — but in-bucket candidate pairs grow
+    * ~n²/2^nPlanes, so a fixed nPlanes at 10× the data means ~100× the
+    * pair work (measured: d5 ran 36× at the r10 sf1 sweep). A production
+    * pipeline derives nPlanes from the corpus count with this helper and
+    * the pair work stays ~n·target/2. */
+  def nPlanesFor(corpusSize: Long, targetBucketSize: Int = 16): Int = {
+    require(corpusSize >= 1, s"corpusSize must be >= 1, got $corpusSize")
+    require(targetBucketSize >= 1, s"targetBucketSize must be >= 1, got $targetBucketSize")
+    val raw = math.ceil(
+      math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.max(1, math.min(63, raw))
+  }
+
   def lshSignature(vecCol: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     require(nPlanes >= 0 && nPlanes <= 63, "signature packs into one long")
     val planes = hyperplanes(nPlanes, dim, seed)

@@ -129,4 +129,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 3 && out.toSet == Set(1L, 2L, 3L))
     assert(out.head == 1L) // relevance still leads
   }
+
+  test("nPlanesFor holds bucket occupancy as the corpus scales") {
+    assert(Similarity.nPlanesFor(2048, 16) == 7)     // 2^7 buckets of ~16
+    assert(Similarity.nPlanesFor(20480, 16) == 11)   // 10x data -> +log2(10)
+    assert(Similarity.nPlanesFor(1, 16) == 1)        // clamp low
+    assert(Similarity.nPlanesFor(Long.MaxValue, 1) == 63) // clamp to one long
+    // monotone in corpus size
+    val seq = Seq(100L, 1000L, 10000L, 100000L).map(Similarity.nPlanesFor(_, 16))
+    assert(seq == seq.sorted)
+    // expected occupancy n / 2^p stays within [target/2, target] at the
+    // computed p (ceil rounds the bucket count up, halving occupancy at most)
+    for (n <- Seq(500L, 5000L, 50000L, 500000L)) {
+      val p = Similarity.nPlanesFor(n, 16)
+      val occ = n.toDouble / (1L << p)
+      assert(occ <= 16.0 + 1e-9 && occ > 8.0 - 1e-9, s"n=$n p=$p occ=$occ")
+    }
+    intercept[IllegalArgumentException] { Similarity.nPlanesFor(0, 16) }
+  }
 }

@@ -54,6 +54,25 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("FastSS agrees with naive levenshtein on supplementary-plane unicode") {
+    // emoji are surrogate PAIRS in UTF-16: if length/substr counted code
+    // units while levenshtein counted code points, the variant arithmetic
+    // would slice half a character and the blocking would silently lose
+    // pairs — all three are code-point based, asserted here
+    val df = Seq((1L, "ab😀cd"), (2L, "abcd"), (3L, "ab😀c"),
+      (4L, "😀😁"), (5L, "😀😂"), (6L, "😀😁x")).toDF("id", "name")
+    val naive = df.as("a").crossJoin(df.as("b"))
+      .withColumn("d", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("d") <= 1 && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fast = FuzzyJoin.editDistanceJoinFastSS(df, "id", df, "id", "name", 1)
+      .filter(col("id1") < col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast == naive, s"fastss=$fast naive=$naive")
+    assert(naive.contains((1L, 3L, 1)) && naive.contains((4L, 5L, 1)))
+  }
+
   test("deletionVariants: exact neighborhood for small strings") {
     val out = Seq(Tuple1("abc")).toDF("t")
       .select(FuzzyJoin.deletionVariants(col("t"), 1).as("v"))

@@ -38,7 +38,17 @@ object KCore {
     * across the anti-join boundary, so per-round shuffle volume, not
     * action latency, dominates at this scale. The default therefore stays
     * 1; raise it only in action-latency-bound regimes (tiny cores, very
-    * high peel depth, remote cluster with slow job scheduling). */
+    * high peel depth, remote cluster with slow job scheduling).
+    *
+    * Also measured and rejected (round 10): `repartition(col("a"))`
+    * before each checkpoint, on the theory that LogicalRDD's preserved
+    * partitioning would let the degree groupBy and the `a`-side anti-join
+    * plan without an exchange. The byte counter says otherwise: shuffle
+    * WRITE rose 118.0 → 128.3 MB at identical reads (graft.tools.ShufProbe,
+    * sf0.1 co-purchase graph) — the explicit round-trip exchange costs
+    * more than the aggregate exchange it was meant to elide. Wall-clock
+    * A/Bs were ±50% window noise; the byte delta is the decisive
+    * instrument. */
   def vertices(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, maxIter: Int = 50, innerPeels: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

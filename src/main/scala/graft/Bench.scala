@@ -162,6 +162,14 @@ object Bench {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("id")).orderBy(col("y"))))
         .agg(sum("rn")).collect()
+      // (b2) the portable-hash expression classes (md5-in-min-aggregate +
+      // hex-digit conv decode) that only d2c/d4c/d4d load — their codegen
+      // JIT cost 13.5 s first-pass vs 4.8 s warm for d2c when unwarmed
+      small.select(col("id"), explode(col("a")).cast("string").as("s"))
+        .groupBy(col("id"))
+        .agg(min(substring(md5(concat(lit("0:"), col("s"))), 1, 16)),
+          sum(conv(substring(md5(col("s")), 1, 1), 16, 10).cast("int")))
+        .agg(count(lit(1))).collect()
       // (c) one untimed pass of the first registered query: even with (a)
       // and (b), the first TIMED slot intermittently absorbed an external
       // stall (r10 back-to-back sf0.1 sweeps: 9.2 s vs a 1.06 s same-JVM

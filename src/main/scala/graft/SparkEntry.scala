@@ -1339,6 +1339,88 @@ object SparkEntry {
       .orderBy("id1", "id2"),
     None)
 
+  /** Portable-hash MinHash anchor at the WORKING threshold: the whole
+    * pipeline — shingle → k md5-minima signature → 2-row band keys →
+    * bucket self-join → exact-Jaccard verify — restated in SQL, because
+    * h_i(s) = substr(md5(i ':' s), 1, 16) is computable by any engine and
+    * fixed-width hex minima order identically as strings. Complements d2b:
+    * that anchor pins the pipeline at the degenerate threshold (recall 1
+    * by construction); this one checks the PROBABILISTIC banding itself —
+    * DuckDB independently computes which pairs collide in a band. */
+  private val qMinhashPortable = Q("d2c_minhash_portable",
+    (s, d) => Dedup.minhashNearDupsPortable(t(s, d, "documents"), "doc_id", "text",
+        k = 8, bands = 4, shingleN = 3, threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
+      inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      mh AS (SELECT doc_id, i, min(substr(md5(i::VARCHAR || ':' || sh), 1, 16)) AS mh
+        FROM inv CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
+      band AS (SELECT doc_id, (i // 2)::INTEGER AS b, string_agg(mh, '|' ORDER BY i) AS key
+        FROM mh GROUP BY doc_id, (i // 2)::INTEGER),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+        FROM band a JOIN band c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+      inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+        FROM inv x JOIN inv y ON x.sh = y.sh
+        JOIN cand ON cand.id1 = x.doc_id AND cand.id2 = y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT id1, id2, round(inter::DOUBLE / (z1.sz + z2.sz - inter), 4) AS jaccard
+      FROM inter JOIN sz z1 ON id1 = z1.doc_id JOIN sz z2 ON id2 = z2.doc_id
+      WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 0.5
+      ORDER BY id1, id2"""))
+
+  /** Portable SimHash signatures as 64-char bit strings: every vote —
+    * md5 hex digit decode, bit extract, majority, tie→0 — recomputed
+    * independently by the oracle. Pins the signature math that d4/d4b's
+    * hash-defined (xxhash64) variants can only spec-test. */
+  private val qSimhashPortable = Q("d4c_simhash_portable",
+    (s, d) => Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), lpad(bin(col("simhash")), 64, "0").as("sig64"))
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+      v AS (SELECT doc_id, b,
+          sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - b // 4, 1)) - 1)
+                >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, b)
+      SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS sig64
+      FROM v GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Pigeonhole-banding FULL-RECALL proof on real data: the engine's
+    * banded chunk join (5 chunks at d=4) vs the oracle's brute-force
+    * all-pairs Hamming join over the same portable signatures — equal
+    * output means the banding missed nothing, turning the pigeonhole
+    * recall argument into a checked fact. The oracle's O(n²) scan is the
+    * gate-SF restatement; the engine side stays the banded scale shape. */
+  private val qSimhashPortablePairs = Q("d4d_simhash_portable_pairs",
+    (s, d) => Dedup.simhashPortableNearDups(t(s, d, "documents"), "doc_id", "text",
+        maxDistance = 4)
+      .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
+      .orderBy("id1", "id2"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+      v AS (SELECT doc_id, b,
+          sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - b // 4, 1)) - 1)
+                >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS sig64
+        FROM v GROUP BY doc_id)
+      SELECT a.doc_id AS id1, c.doc_id AS id2,
+        (SELECT count(*) FROM range(64) r(p)
+          WHERE substr(a.sig64, (p+1)::INTEGER, 1) <> substr(c.sig64, (p+1)::INTEGER, 1))::BIGINT AS hamming
+      FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+      WHERE (SELECT count(*) FROM range(64) r(p)
+          WHERE substr(a.sig64, (p+1)::INTEGER, 1) <> substr(c.sig64, (p+1)::INTEGER, 1)) <= 4
+      ORDER BY id1, id2"""))
+
   private val qEmbDedup = Q("d5_embedding_neardups",
     // the synthetic embeddings are near-orthogonal random vectors (max
     // pairwise cos ~0.51), so the "near-dup" bar is set low enough to
@@ -3389,6 +3471,90 @@ object SparkEntry {
     },
     None)
 
+  /** Degenerate-parameter BPE TRAINING anchor: at nMerges=1 the learner is
+    * exactly one weighted adjacent-pair count + one (count desc, pair asc)
+    * argmax — no iteration, so the whole round restates in SQL. Pins the
+    * pair-count definition (char symbols + endword mark, word-frequency
+    * weighting) and the tiebreak that makes training deterministic; the
+    * 10-merge `bpe1` stays the iterative scale exercise. */
+  private val qBpeTrainAnchor = Q("bpe1b_bpe_first_merge",
+    (s, d) => {
+      val merges = graft.text.Chunker.trainBpe(t(s, d, "documents"), "text",
+        nMerges = 1)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "left", "right", "weight")
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      wc AS (SELECT w, count(*) AS n FROM w WHERE length(w) > 0 GROUP BY w),
+      idx AS (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
+      p AS (SELECT substr(w, i::INTEGER, 1) AS a,
+          CASE WHEN i = length(w) THEN '</w>' ELSE substr(w, (i+1)::INTEGER, 1) END AS b, n
+        FROM idx)
+      SELECT 1 AS rank, a AS "left", b AS "right", sum(n)::BIGINT AS weight
+      FROM p GROUP BY a, b ORDER BY weight DESC, a, b LIMIT 1"""))
+
+  /** Fixed-rule BPE APPLY anchor: segment the corpus with a LITERAL 3-rule
+    * merge table (the corpus's true first three merges, learned once and
+    * pinned) so the apply-time fold has a closed form the oracle restates —
+    * each merge over space-joined symbols is one boundary-anchored
+    * string replace, applied in rule order; `mergePair`'s left-to-right
+    * non-overlapping greed is exactly replace()'s scan (DedupSpec-style
+    * cross-check in ChunkerSpec). Pins the fold + join-back + in-order
+    * reassembly that `bpe2` exercises with learned rules. */
+  private val qBpeSegmentAnchor = Q("bpe2b_bpe_apply_fixed",
+    (s, d) => graft.text.Chunker.applyBpe(t(s, d, "documents"), "doc_id", "text",
+        Seq(("e", "r", 4568L), ("e", "</w>", 4473L), ("n", "</w>", 2834L)))
+      .select(col("doc_id"), size(col("subwords")).cast("bigint").as("n_subwords"),
+        concat_ws(" ", col("subwords")).as("subwords"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      seg AS (SELECT doc_id, flatten(list_transform(ws, w ->
+          string_split(trim(
+            replace(replace(replace(
+              ' ' || array_to_string(list_transform(range(1, length(w)+1),
+                       i -> substr(w, i::INTEGER, 1)), ' ') || ' </w> ',
+              ' e r ', ' er '),
+              ' e </w> ', ' e</w> '),
+              ' n </w> ', ' n</w> ')
+          ), ' '))) AS subs FROM t)
+      SELECT doc_id, len(subs)::BIGINT AS n_subwords,
+        array_to_string(subs, ' ') AS subwords
+      FROM seg ORDER BY doc_id"""))
+
+  /** qc1's pinned "trained model": 64 small integer weights (quantized
+    * logit points per hash bucket). Declared before [[qHashedScore]] —
+    * object vals initialize in declaration order. */
+  private val Qc1Weights: Seq[Int] = Seq(
+    0, -3, 1, 5, -5, -4, 3, -4, 0, 4, -5, 3, -2, -5, -4, 1,
+    1, -4, -2, -4, 3, 1, -5, 4, -4, -2, 5, 5, 4, -5, 4, 4,
+    1, -5, -2, -5, 3, -3, -1, 1, -3, 3, -4, 4, -1, 3, 5, -3,
+    -4, 4, 4, 5, -2, 0, -4, 3, -4, 4, -5, 4, -2, 2, 5, 3)
+
+  /** fastText-style hashed linear quality filter, oracle-checked end to
+    * end: the 64 integer weights are a pinned literal (stand-in for a
+    * trained model's quantized weights), the md5 bucket hash is portable,
+    * and integer scores make the sum order-independent — DuckDB recomputes
+    * every bucket and score exactly. */
+  private val qHashedScore = Q("qc1_hashed_linear_score",
+    (s, d) => TextAnalysis.hashedLinearScore(t(s, d, "documents"), "doc_id", "text",
+        Qc1Weights.map(_.toLong))
+      .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      b AS (SELECT doc_id,
+          (list_sum(list_transform(range(1, 8), j ->
+            ((strpos('0123456789abcdef', substr(md5(tok), j::INTEGER, 1)) - 1)::BIGINT
+              << ((4 * (7 - j))::INTEGER)))) % 64)::INTEGER AS bucket
+        FROM toks),
+      s AS (SELECT doc_id, sum(list_extract(${Qc1Weights.mkString("[", ", ", "]")}, bucket + 1))::BIGINT AS score,
+          count(*)::BIGINT AS n_tokens
+        FROM b GROUP BY doc_id)
+      SELECT doc_id, score, n_tokens, (score >= 0) AS keep FROM s ORDER BY doc_id"""))
+
   /** PSI drift between all lineitems (reference) and the discounted
     * subpopulation (current) over price deciles — every bin term a ratio
     * of exact integer counts. */
@@ -3654,7 +3820,8 @@ object SparkEntry {
     qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qMinhashAnchor,
-    qSimhash, qSimhash128, qEmbDedup, qEmbDedupAnchor, qSemDedup, qSemDedupAnchor,
+    qSimhash, qSimhash128, qMinhashPortable, qSimhashPortable, qSimhashPortablePairs,
+    qEmbDedup, qEmbDedupAnchor, qSemDedup, qSemDedupAnchor,
     qBruteTopK, qLshTopK, qLshAnchor, qIvfTopK, qRangeSearch,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,
@@ -3667,11 +3834,12 @@ object SparkEntry {
     qHeavyHitters, qGroupedQuantiles, qMmr, qMmrAnchor,
     qChunks, qRedact, qSurprisal, qCanonical, qCharEntropy,
     qPack, qLenBatches, qTempMix, qPii, qWinsorize, qBloomDedup, qInt8,
-    qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau,
+    qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau, qHashedScore,
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
     qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
-    qLabelProp, qBpeTrain, qBpeSegment, qGapFill, qUnpivot, qKFold,
+    qLabelProp, qBpeTrain, qBpeSegment, qBpeTrainAnchor, qBpeSegmentAnchor,
+    qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment)

@@ -221,10 +221,16 @@ object Dedup {
     * 5-6 bits → 32-64 bucket values → candidate blowup); use
     * [[simhashNearDups128]] there, which keeps chunks ≥ 11 bits at d=10. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3): DataFrame =
+    bandedHammingPairs(simhash(docs, idCol, textCol), idCol, maxDistance)
+
+  /** Pigeonhole-banded Hamming near-dup pairs over a precomputed
+    * `(idCol, simhash: Long)` signature frame — the banding/verify stage
+    * shared by [[simhashNearDups]] and [[simhashPortableNearDups]]. */
+  private def bandedHammingPairs(sh: DataFrame, idCol: String,
+      maxDistance: Int): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance=$maxDistance must be in [0, 63] for 64-bit SimHash banding")
-    val sh = simhash(docs, idCol, textCol)
     val nChunks = maxDistance + 1
     val bounds = chunkBounds(64, nChunks)
     val chunks = (0 until nChunks).map { i =>
@@ -305,6 +311,85 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
+
+  // ------------------------------------ portable (md5) hash variants
+
+  /** MinHash+LSH near-dups over a CROSS-ENGINE hash family:
+    * h_i(shingle) = the first 16 hex chars of `md5(i ":" shingle)`, minima
+    * taken in lexicographic order (≡ numeric order at fixed width), band
+    * keys the `"|"`-join of each band's minima. md5 + string minima cost
+    * more than [[minhashNearDups]]'s xxhash64/universal-hash family — but
+    * every stage is expressible in portable SQL, so the d2c oracle checks
+    * the ENTIRE pipeline (shingle → signature → band → bucket join → exact
+    * Jaccard verify) value-for-value against an independent engine, which
+    * no hash-defined fast path can offer. Same plan shape as the fast
+    * path: explode → one groupBy(id) with k partial-aggregable min()s,
+    * band equi-join, verify join — the 100 TB story is unchanged. */
+  def minhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    withShingleSets(docs, idCol, textCol, shingleN) { sets =>
+      val mins = (0 until k).map { i =>
+        min(substring(md5(concat(lit(s"$i:"), col("__sh"))), 1, 16)).as(s"mh_$i")
+      }
+      val sigs = sets.select(col(idCol), explode(col("__set")).as("__sh"))
+        .groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      // band key = the band's minima joined verbatim (no re-hash: a hash
+      // collision between UNEQUAL band keys would admit a candidate the
+      // SQL restatement does not see — correctness over key width here)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"mh_$i")): _*)
+            .as("key")).as(s"__b$b")
+      }
+      val banded = sigs.select(col(idCol) +: bandCols: _*)
+        .select(col(idCol),
+          explode(array((0 until bands).map(b => col(s"__b$b")): _*)).as("__band"))
+      val l = banded.select(col("__band"), col(idCol).as("id1"))
+      val rt = banded.select(col("__band"), col(idCol).as("id2"))
+      val cands = l.join(rt, "__band").filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+      verifyJaccardSets(sets, cands, idCol, threshold)
+    }
+  }
+
+  /** 64-bit SimHash over the same cross-engine hash: per token the first
+    * 16 hex chars of md5, each hex digit decoded with `conv`, 64
+    * majority-vote bits (bit b lives in hex digit `16 - b/4` — 1-based
+    * from the left — at in-digit position `b % 4`; a tie votes 0). Output
+    * is `(idCol, simhash: Long)` like [[simhash]]; [[simhashPortableNearDups]]
+    * reuses the pigeonhole banding unchanged. Same single
+    * explode → groupBy(id) shape — 16 digit decodes per token then 64
+    * conditional sums, all partial-aggregable. */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val digitCols = (1 to 16).map { j =>
+      conv(substring(col("__md5"), j, 1), 16, 10).cast("int").as(s"__d$j")
+    }
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+      .withColumn("__md5", substring(md5(col("__t")), 1, 16))
+      .select(col(idCol) +: digitCols: _*)
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col(s"__d${16 - b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v_$b")
+    }
+    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val packed = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol), packed.as("simhash"))
+  }
+
+  /** [[simhashNearDups]] on the portable signature: full-recall pigeonhole
+    * banding + exact popcount verify, every stage restatable in SQL — the
+    * d4d oracle checks banded output ≡ the brute-force all-pairs Hamming
+    * join, i.e. it PROVES the pigeonhole banding's full-recall claim on
+    * real data rather than asserting it. */
+  def simhashPortableNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 4): DataFrame =
+    bandedHammingPairs(simhashPortable(docs, idCol, textCol), idCol, maxDistance)
 
   // ------------------------------------------- n-gram Jaccard (exact)
 

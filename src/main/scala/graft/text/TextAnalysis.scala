@@ -499,6 +499,33 @@ object TextAnalysis {
         PhonePattern, "[PHONE]").as("redacted"))
   }
 
+  /** fastText-style hashed-feature linear scorer — the classic cheap
+    * quality filter for pretraining corpora (a trained linear model over
+    * hashed token buckets, applied corpus-wide; cf. the CCNet/fastText
+    * filtering recipe). Each token hashes to `weights.size` buckets via a
+    * PORTABLE hash (the first 7 hex chars of md5, mod nBuckets — any
+    * engine can recompute it), the document score is the weight sum plus
+    * bias, `keep` thresholds at 0. INTEGER weights by contract: the score
+    * stays exact under any aggregation order, so outputs are
+    * engine-reproducible bit-for-bit (no float-sum hazard). One explode +
+    * one groupBy(id) — map-side partial sums, no join (the weight table
+    * rides along as a literal array, never shuffled or broadcast).
+    * Scale shape: linear in corpus tokens, the same contract as t1. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], bias: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val nB = weights.size
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
+    val bucket = pmod(conv(substring(md5(col("__t")), 1, 7), 16, 10).cast("long"), lit(nB))
+    val w = element_at(typedLit(weights), (bucket + 1).cast("int"))
+    toks.select(col(idCol), w.as("__w"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__w")) + lit(bias)).as("score"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("keep", col("score") >= 0)
+  }
+
   /** Project a documents DataFrame to per-document analysis columns. */
   def analyze(docs: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -225,6 +225,58 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) == sh(3L))
   }
 
+  test("portable simhash matches an independent driver-side md5 reimplementation") {
+    // the d4c oracle device, in miniature: recompute every signature from
+    // java.security MD5 with no Spark expressions involved
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def sigOf(text: String): Long = {
+      val votes = new Array[Int](64)
+      text.trim.toLowerCase.split("\\s+").foreach { tok =>
+        val h = md5hex(tok).substring(0, 16)
+        for (b <- 0 until 64) {
+          val digit = Integer.parseInt(h.charAt(15 - b / 4).toString, 16)
+          votes(b) += (if (((digit >> (b % 4)) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 64).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }
+    val got = Dedup.simhashPortable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> sigOf(r.getString(1))).toMap
+    assert(got == want)
+    assert(got(1L) == got(3L)) // identical docs, identical signature
+  }
+
+  test("portable simhash banded pairs equal brute force (the d4d full-recall claim)") {
+    val sh = Dedup.simhashPortable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (d <- Seq(0, 4, 20)) {
+      val want = (for {
+        (i, hi) <- sh.toSeq; (j, hj) <- sh.toSeq
+        if i < j && java.lang.Long.bitCount(hi ^ hj) <= d
+      } yield (i, j)).toSet
+      val got = Dedup.simhashPortableNearDups(docs, "doc_id", "text", maxDistance = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"maxDistance $d: got $got want $want")
+    }
+  }
+
+  test("portable minhash: verified subset of exact pairs, exact dups always found") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minhashNearDupsPortable(docs, "doc_id", "text",
+        k = 8, bands = 4, shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact-Jaccard verify makes the output a SUBSET of the true pair
+    // set (banding can only lose candidates, never admit false ones) …
+    assert(got.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+    // … and identical shingle sets give identical signatures, so the
+    // planted exact dup collides in every band with jaccard exactly 1
+    assert(got.exists(p => (p._1, p._2) == ((1L, 3L)) && p._3 == 1.0))
+  }
+
   test("connectedComponents: min-label propagation over a multi-round chain") {
     // path 1-2-3-4-5 needs several propagation rounds; 6-7 separate; 8 isolated
     val verts = (1L to 8L).map(Tuple1(_)).toDF("id")

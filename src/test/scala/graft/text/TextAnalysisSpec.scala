@@ -327,4 +327,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(err.getMessage.contains("GloVe") ||
       err.getCause != null && err.getCause.getMessage.contains("GloVe"))
   }
+
+  test("hashedLinearScore matches an independent driver-side md5 rescoring") {
+    import spark.implicits._
+    val weights: Seq[Long] = Seq(2L, -3L, 5L, -1L, 0L, 4L, -5L, 1L)
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  MIXED Case   Tokens  "),   // trim + lower + multi-space split
+      (3L, "solo"),
+      (4L, null.asInstanceOf[String])    // NULL text drops out entirely
+    ).toDF("doc_id", "text")
+    def bucketOf(tok: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(h.substring(0, 7), 16) % weights.size).toInt
+    }
+    val got = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", weights, bias = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val want = Map(
+      1L -> "the quick brown fox", 2L -> "mixed case tokens", 3L -> "solo"
+    ).map { case (id, norm) =>
+      val toks = norm.split(" ")
+      val score = 10L + toks.map(t => weights(bucketOf(t))).sum
+      id -> ((score, toks.length.toLong, score >= 0))
+    }
+    assert(got == want)
+    assert(!got.contains(4L))
+  }
 }

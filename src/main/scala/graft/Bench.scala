@@ -39,9 +39,12 @@ import org.apache.spark.storage.StorageLevel
   *    heavies' first-pass vs re-time ratio separates "the query is slow"
   *    from "the box was degraded when the query happened to run";
   *  - the full per-query detail written to a FILE (default
-  *    BENCH_DETAIL_r10.json, override SPARK_GRAFT_BENCH_DETAIL) — the
-  *    harness keeps only a bounded tail of stdout, which head-truncated
-  *    the r9 per-query map into an unparseable fragment.
+  *    BENCH_DETAIL_r{N}.json where N = 1 + the highest BENCH_r*.json
+  *    already in the working directory — the driver commits one per
+  *    round, so the default self-versions and no round's official
+  *    detail overwrites the last; override SPARK_GRAFT_BENCH_DETAIL) —
+  *    the harness keeps only a bounded tail of stdout, which
+  *    head-truncated the r9 per-query map into an unparseable fragment.
   */
 object Bench {
 
@@ -118,10 +121,24 @@ object Bench {
   final case class QStat(sec: Double, gcMs: Long, shufRead: Long,
       shufWrite: Long, memSpill: Long, diskSpill: Long)
 
+  /** Default per-query detail filename: `BENCH_DETAIL_r{N}.json` with
+    * N = 1 + the highest round among `BENCH_r*.json` files in the working
+    * directory (the driver commits one per completed round), so each
+    * round's official detail lands beside — never over — the last one.
+    * Falls back to r10, the round this device first shipped in. */
+  def defaultDetailPath(dir: String = "."): String = {
+    val re = """BENCH_r(\d+)\.json""".r
+    val rounds =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).collect { case re(n) => n.toInt }
+    val next = if (rounds.isEmpty) 10 else rounds.max + 1
+    f"BENCH_DETAIL_r$next%02d.json"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL_r10.json")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetailPath())
     val nRetime = sys.env.getOrElse("SPARK_GRAFT_RETIME", "12").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

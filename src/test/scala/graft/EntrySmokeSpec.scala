@@ -21,6 +21,19 @@ class EntrySmokeSpec extends SparkSpec {
     }
   }
 
+  test("bench detail filename self-versions off committed BENCH_r*.json rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench").toFile
+    try {
+      assert(Bench.defaultDetailPath(dir.getPath) == "BENCH_DETAIL_r10.json")
+      java.nio.file.Files.createFile(new java.io.File(dir, "BENCH_r09.json").toPath)
+      assert(Bench.defaultDetailPath(dir.getPath) == "BENCH_DETAIL_r10.json")
+      java.nio.file.Files.createFile(new java.io.File(dir, "BENCH_r10.json").toPath)
+      assert(Bench.defaultDetailPath(dir.getPath) == "BENCH_DETAIL_r11.json")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("every registered query has either an oracle or a documented rows-only reason") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // hash-/seed-defined pipelines and iterative float fixpoints only —

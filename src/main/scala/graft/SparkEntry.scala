@@ -2078,6 +2078,45 @@ object SparkEntry {
       WHERE len(list_intersect(a.st, b.st))::DOUBLE / len(a.st) >= 0.8
       ORDER BY id_a, id_b"""))
 
+  /** Substring-level (span) duplication profile — Lee et al. 2022's
+    * exact-substring-dedup measurement at word-8-gram granularity: per
+    * doc, how many start positions carry an n-gram that occurs anywhere
+    * else in the corpus. Positional grams (duplicates kept), NOT the
+    * distinct shingle sets of d3. */
+  private val qRepeatedSpans = Q("dupspan1_repeated_spans",
+    (s, d) => Dedup.repeatedSpanStats(t(s, d, "documents"), "doc_id", "text",
+        n = 8)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM t WHERE len(w) >= 8),
+      g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM p),
+      dg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      tot AS (SELECT gram, sum(c) AS ct FROM dg GROUP BY 1)
+      SELECT dg.doc_id, sum(c)::BIGINT AS n_spans,
+        sum(CASE WHEN ct > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_spans,
+        round(sum(CASE WHEN ct > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 4)
+          AS dup_ratio
+      FROM dg JOIN tot USING (gram) GROUP BY 1 ORDER BY 1"""))
+
+  /** Corpus-wide most-repeated 8-grams (the boilerplate/template report
+    * behind span-removal thresholds); deterministic (n_occ desc, gram)
+    * order before the top-20 cut — TakeOrderedAndProject, no global
+    * sort. */
+  private val qTopRepeatedSpans = Q("dupspan2_top_repeated",
+    (s, d) => Dedup.topRepeatedSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 8, k = 20),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM t WHERE len(w) >= 8),
+      g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM p)
+      SELECT gram, count(*)::BIGINT AS n_occ,
+        count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM g GROUP BY 1 HAVING count(*) > 1
+      ORDER BY n_occ DESC, gram LIMIT 20"""))
+
   /** Repeated-sentence removal per document — first occurrences kept in
     * order; the oracle rebuilds the same first-occurrence sequence from
     * zipped unnest positions. */
@@ -3126,6 +3165,26 @@ object SparkEntry {
         (st // 64)::BIGINT AS seq_id, (st % 64)::BIGINT AS seq_offset
       FROM c ORDER BY lang, doc_id"""))
 
+  /** Deterministic balanced sharding: docs dealt round-robin over the
+    * (token count desc, id) rank; the per-shard summary is the balance
+    * proof (doc counts ±1, token mass within a few %). */
+  private val qBalancedShards = Q("shard1_balanced_shards",
+    (s, d) => graft.text.Chunker.balancedShards(t(s, d, "documents"),
+        "doc_id", "text", nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+      .orderBy("shard"),
+    Some("""WITH c AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split(trim(text), ' ')) END::INT AS n_tokens
+        FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+          row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk FROM c)
+      SELECT ((rk - 1) % 8)::INT AS shard, count(*)::BIGINT AS n_docs,
+        sum(n_tokens)::BIGINT AS total_tokens, min(n_tokens)::INT AS min_tokens,
+        max(n_tokens)::INT AS max_tokens
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
   /** Length-bucketed batching: similar-length docs batched together,
     * per-batch padding-waste report (the padded-inference economics). */
   private val qLenBatches = Q("lb1_length_batches",
@@ -3842,7 +3901,7 @@ object SparkEntry {
     qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
-    qContainment)
+    qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

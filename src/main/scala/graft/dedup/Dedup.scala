@@ -226,8 +226,9 @@ object Dedup {
 
   /** Pigeonhole-banded Hamming near-dup pairs over a precomputed
     * `(idCol, simhash: Long)` signature frame — the banding/verify stage
-    * shared by [[simhashNearDups]] and [[simhashPortableNearDups]]. */
-  private def bandedHammingPairs(sh: DataFrame, idCol: String,
+    * shared by [[simhashNearDups]], [[simhashPortableNearDups]] and the
+    * image-hash path ([[graft.multimodal.Multimodal.ahashNearDups]]). */
+  private[graft] def bandedHammingPairs(sh: DataFrame, idCol: String,
       maxDistance: Int): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance=$maxDistance must be in [0, 63] for 64-bit SimHash banding")
@@ -811,4 +812,62 @@ object Dedup {
       .join(history.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     definiteNew.unionByName(maybeDup)
   }
+
+  // --------------------------------------- repeated spans (substring dedup)
+
+  /** POSITIONAL word n-grams — one entry per start position, duplicates
+    * kept (unlike [[wordShingles]], which is the distinct SET form for
+    * Jaccard). Docs shorter than `n` tokens contribute no spans. */
+  private[graft] def positionalGrams(c: Column, n: Int): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), count), i =>
+        concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Substring-level (span) duplication profile — the exact-substring-dedup
+    * measurement from "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., ACL 2022) restated at word-n-gram granularity:
+    * a span (a start position's n-gram) is DUPLICATED when the same n-gram
+    * occurs anywhere else in the corpus (another doc, or another position
+    * of the same doc). Output per doc: `n_spans`, `n_dup_spans`,
+    * `dup_ratio` (rounded 4dp) — the per-document figure a span-removal or
+    * doc-drop policy thresholds on. Docs with fewer than `n` tokens emit
+    * no row (they have no spans).
+    *
+    * Scale shape: explode is map-side; the (id, gram) pre-aggregate makes
+    * the gram-partitioned window input one row per doc-gram (combiner
+    * bounded), and the window is PARTITIONED by gram — no funnel. The
+    * widest shuffled key is the n-gram string itself; for a 100 TB corpus
+    * swap the gram for `xxhash64(gram)` at the window stage (collision
+    * odds |grams|²/2⁶⁴ — the oracle-checked form keeps strings exact). */
+  def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val perDocGram = docs
+      .select(col(idCol), explode(positionalGrams(col(textCol), n)).as("__gram"))
+      .groupBy(col(idCol), col("__gram")).agg(count(lit(1)).as("__c"))
+    val corpusTotal = sum(col("__c")).over(Window.partitionBy(col("__gram")))
+    perDocGram.withColumn("__ct", corpusTotal)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_spans"),
+        sum(when(col("__ct") > 1, col("__c")).otherwise(lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+  }
+
+  /** The `k` most-repeated n-grams corpus-wide (occurrences > 1), with
+    * occurrence and containing-doc counts — the boilerplate/template
+    * report that guides span-removal thresholds. Deterministic total
+    * order (n_occ desc, gram) before the cut; `orderBy + limit` compiles
+    * to TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    * never a global sort. */
+  def topRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, k: Int = 20): DataFrame =
+    docs.select(col(idCol), explode(positionalGrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_occ") > 1)
+      .orderBy(desc("n_occ"), col("gram"))
+      .limit(k)
 }

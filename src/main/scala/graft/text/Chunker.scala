@@ -261,4 +261,29 @@ object Chunker {
       .agg(flatten(transform(array_sort(collect_list(col("__e"))),
         e => e.getField("__sub"))).as("subwords"))
   }
+
+  /** Deterministic BALANCED shard assignment for training-data export:
+    * rank documents by (token count desc, id) and deal them round-robin
+    * across `nShards` (shard = (rank−1) mod n) — the static analogue of
+    * longest-processing-time scheduling, so every shard gets the same doc
+    * count (±1) and near-equal token mass, and the assignment is an
+    * engine-portable closed form (`row_number` restates it in SQL).
+    *
+    * Scale: the global rank is [[graft.functions.DistributedRank.withRank]]
+    * (range-sort + zipWithIndex — distributed, but EAGER and bounded at
+    * its default 100M rows; see its contract). When balance doesn't need
+    * to be deterministic-exact, prefer `pmod(xxhash64(id), n)` (the
+    * s10_hash_sample device): one scan, no sort, balanced in expectation.
+    *
+    * Output: (id, n_tokens, shard). */
+  def balancedShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val counted = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    graft.functions.DistributedRank
+      .withRank(counted, Seq(col("n_tokens").desc, col(idCol)), "__rk")
+      .select(col(idCol), col("n_tokens"),
+        pmod(col("__rk") - 1, lit(nShards.toLong)).cast("int").as("shard"))
+  }
 }

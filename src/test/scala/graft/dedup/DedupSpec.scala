@@ -469,4 +469,41 @@ class DedupSpec extends SparkSpec {
       Dedup.incrementalDedupBloom(incL, histL, "fp", fpp = 0.0)
     }
   }
+
+  test("repeatedSpanStats counts positions whose n-gram recurs anywhere in the corpus") {
+    // doc 1 and 2 share the 4-gram "a b c d" (cross-doc dup); doc 3 repeats
+    // "p q r s" internally at two positions (within-doc dup); doc 4 is all
+    // unique; doc 5 is shorter than n and must emit no row.
+    val corpus = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "w2 a b c d v2 u2"),
+      (3L, "p q r s t3 p q r s"),
+      (4L, "m n o m n o m1 n1"), // the 3-gram "m n o" repeats but no 4-gram does
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanStats(corpus, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(5L))
+    assert(out(1L) == ((4L, 1L)))  // 4 spans, only "a b c d" duplicated
+    assert(out(2L) == ((4L, 1L)))
+    assert(out(3L) == ((6L, 2L)))  // "p q r s" at positions 1 and 6
+    assert(out(4L) == ((5L, 0L)))
+    val ratio = Dedup.repeatedSpanStats(corpus, "doc_id", "text", n = 4)
+      .filter(col("doc_id") === 1L).select("dup_ratio").head.getDouble(0)
+    assert(ratio == 0.25)
+  }
+
+  test("topRepeatedSpans returns only recurring grams in (count desc, gram) order") {
+    val corpus = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"), (4L, "x y z w"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.topRepeatedSpans(corpus, "doc_id", "text", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a b c", 3L, 3L)))   // the only gram with n_occ > 1
+    // k cuts deterministically after the (n_occ desc, gram) total order
+    val corpus2 = corpus.union(Seq((5L, "a b c d"), (6L, "b c d e")).toDF("doc_id", "text"))
+    val top1 = Dedup.topRepeatedSpans(corpus2, "doc_id", "text", n = 3, k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("a b c"))                   // 4 occurrences beats "b c d"'s 3
+  }
 }

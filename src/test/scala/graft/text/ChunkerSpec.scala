@@ -170,4 +170,23 @@ class ChunkerSpec extends SparkSpec {
       Chunker.trainBpe(docs, "text", nMerges = 0)
     }
   }
+
+  test("balancedShards deals the size-sorted rank round-robin") {
+    // token counts 6,5,4,3,2,1 → rank order ids (1,2,3,4,5,6) → shards
+    // 0,1,0,1,0,1; doc counts equal, token mass 6+4+2=12 vs 5+3+1=9
+    val corpus = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e"), (3L, "a b c d"),
+      (4L, "a b c"), (5L, "a b"), (6L, "a")).toDF("doc_id", "text")
+    val out = Chunker.balancedShards(corpus, "doc_id", "text", nShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 0, 6L -> 1))
+    // ties broken by id: equal counts assign in id order
+    val ties = Seq((10L, "x y"), (11L, "x y"), (12L, "x y")).toDF("doc_id", "text")
+    val t2 = Chunker.balancedShards(ties, "doc_id", "text", nShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(t2 == Map(10L -> 0, 11L -> 1, 12L -> 0))
+    intercept[IllegalArgumentException] {
+      Chunker.balancedShards(ties, "doc_id", "text", nShards = 0)
+    }
+  }
 }

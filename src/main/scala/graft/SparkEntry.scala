@@ -1711,6 +1711,33 @@ object SparkEntry {
         ((height // 2) * b1 + (height - height // 2) * b2)::DOUBLE / height AS mean_b
       FROM s ORDER BY media_id"""))
 
+  /** Perceptual image near-dup (aHash + pigeonhole-banded Hamming join)
+    * over the real-decode PNG fixture. The hash comes ONLY from actual
+    * `javax.imageio` decode; the oracle re-derives each image's 8×8
+    * average-hash bits in closed form from the two-band construction
+    * (integer gray + strict integer mean test — no float anywhere), then
+    * brute-forces all pairs. Banding guarantees full recall at the
+    * threshold, so the LSH side must equal the brute-force side exactly. */
+  private val qAhashNearDups = Q("mm4_ahash_neardups",
+    (s, d) => Multimodal.ahashNearDups(twoBandPngMedia(s, d), maxDistance = 8)
+      .orderBy("id1", "id2"),
+    Some(s"""WITH $twoBandPngCte,
+      jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+      rb AS (SELECT media_id, j,
+          CASE WHEN (j * height) // 8 < height // 2
+            THEN (r1 + g1 + b1) // 3 ELSE (r2 + g2 + b2) // 3 END AS gray
+        FROM s CROSS JOIN jj),
+      tot AS (SELECT media_id, 8 * sum(gray) AS sum64 FROM rb GROUP BY 1),
+      bits AS (SELECT rb.media_id, j,
+          CASE WHEN 64 * gray > sum64 THEN 1 ELSE 0 END AS b
+        FROM rb JOIN tot USING (media_id)),
+      ham AS (SELECT a.media_id AS id1, c.media_id AS id2,
+          8 * sum(CASE WHEN a.b != c.b THEN 1 ELSE 0 END) AS hamming
+        FROM bits a JOIN bits c ON a.j = c.j AND a.media_id < c.media_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, hamming::INT AS hamming FROM ham
+      WHERE hamming <= 8 ORDER BY id1, id2"""))
+
   /** Stateful running totals (mapGroupsWithState) — on a bounded input the
     * final state per key equals the plain aggregate, which IS the oracle. */
   private val qRunningTotals = Q("st2_running_totals",
@@ -3901,7 +3928,8 @@ object SparkEntry {
     qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
-    qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards)
+    qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
+    qAhashNearDups)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -171,6 +171,52 @@ object Multimodal {
       .toDF("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  /** 64-bit average hash (aHash) from REAL image decode — the standard
+    * perceptual near-dup fingerprint: nearest-neighbor 8×8 downsample
+    * (sample pixel `((i·w)/8, (j·h)/8)`, integer floor), integer gray
+    * `(r+g+b)/3`, bit `j·8+i` set when `64·gray > Σgray` (strict,
+    * integer-exact — which is what lets a lossless fixture's hash be
+    * restated in closed form by an oracle). Element-wise decode like
+    * [[decodeImageStats]]; undecodable payloads fail loudly with the id.
+    *
+    * Output: (media_id, ahash). */
+  def averageHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media_id=$id: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Long](64)
+        var sum = 0L
+        var k = 0
+        while (k < 64) {
+          val p = img.getRGB(((k % 8) * w) / 8, ((k / 8) * h) / 8)
+          val g = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+          gray(k) = g; sum += g; k += 1
+        }
+        var hash = 0L
+        k = 0
+        while (k < 64) { if (gray(k) * 64L > sum) hash |= (1L << k); k += 1 }
+        (id, hash)
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** Perceptual image near-dup pairs over [[averageHash]] signatures:
+    * pigeonhole banding (`maxDistance + 1` chunks ⇒ FULL recall at the
+    * threshold, no tuning) + exact popcount verify — the image-corpus
+    * dedup pass, sharing the text SimHash pipeline's banding stage. One
+    * decode scan, then an equi-join on (chunk, value): never an image×image
+    * cross product. Output: (id1, id2, hamming), id1 < id2. */
+  def ahashNearDups(df: DataFrame, maxDistance: Int = 8): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(
+      averageHash(df).withColumnRenamed("ahash", "simhash"),
+      "media_id", maxDistance)
+
   /** REAL image resize via JDK `Graphics2D` bilinear scaling + PNG
     * re-encode: data and metadata are rewritten to the target geometry.
     * Executor-side, element-wise like [[decodeImageStats]]. The output

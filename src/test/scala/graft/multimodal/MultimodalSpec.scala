@@ -116,6 +116,34 @@ class MultimodalSpec extends SparkSpec {
       stats.getDouble(5) == 200.0)
   }
 
+  test("averageHash + ahashNearDups: closed-form bits, full recall at the threshold") {
+    // 8×8 two-band images: top 4 sample rows read band 1, bottom 4 band 2.
+    // Brighter band ⇒ its rows' gray beats the mean ⇒ bits set there.
+    def png(c1: (Int, Int, Int), c2: (Int, Int, Int)) =
+      Multimodal.encodeTwoBandPng(8, 8, c1, c2)
+    val media = Seq(
+      (1L, png((200, 200, 200), (10, 10, 10))),  // bright top: bits rows 0-3
+      (2L, png((201, 199, 203), (12, 9, 8))),    // same pattern → hamming 0
+      (3L, png((10, 10, 10), (200, 200, 200))),  // inverted: hamming 64 vs 1
+      (4L, png((50, 50, 50), (50, 50, 50)))      // uniform: gray == mean, all 0
+    ).toDF("id", "png")
+    val m = Multimodal.asMedia(media, "id", "png", "image/png")
+    val hashes = Multimodal.averageHash(m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val low32 = (1L << 32) - 1L   // bits 0-31 = sample rows 0-3
+    assert(hashes(1L) == low32 && hashes(2L) == low32)
+    assert(hashes(3L) == ~low32) // bottom rows set
+    assert(hashes(4L) == 0L)     // strict > never fires on a uniform image
+    val pairs = Multimodal.ahashNearDups(m, maxDistance = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs == Map((1L, 2L) -> 0))  // inverted/uniform are 32-64 away
+    // distance-32 pairs appear once the threshold admits them (recall is
+    // pigeonhole-guaranteed at any threshold, not tuned for small ones)
+    val wide = Multimodal.ahashNearDups(m, maxDistance = 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(wide((3L, 4L)) == 32 && wide((1L, 4L)) == 32 && !wide.contains((1L, 3L)))
+  }
+
   test("frameOffsets samples every N ms over the recorded duration") {
     val withDur = media.withColumn("meta",
       struct(col("meta.format"), col("meta.width"), col("meta.height"),

@@ -2127,6 +2127,35 @@ object SparkEntry {
           AS dup_ratio
       FROM dg JOIN tot USING (gram) GROUP BY 1 ORDER BY 1"""))
 
+  /** Span removal applied (the other half of dupspan1): every non-first
+    * occurrence of a duplicated 8-gram has its token range stripped, and
+    * the cleaned text is reassembled — exact-substring dedup as a
+    * transform, not just a measurement. */
+  private val qRemoveSpans = Q("dupspan3_remove_spans",
+    (s, d) => Dedup.removeRepeatedSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 8)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS wo,
+          string_split(lower(trim(text)), ' ') AS w FROM documents),
+      p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM t WHERE len(w) >= 8),
+      g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram FROM p),
+      r AS (SELECT doc_id, i,
+          row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn FROM g),
+      m AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS tp
+        FROM r WHERE rn >= 2),
+      tok AS (SELECT doc_id, unnest(wo) AS tok,
+          unnest(generate_series(1, len(wo))) AS tp FROM t),
+      kept AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok
+        LEFT JOIN m ON tok.doc_id = m.doc_id AND tok.tp = m.tp
+        WHERE m.doc_id IS NULL),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(tok, ' ' ORDER BY tp) AS text_clean FROM kept GROUP BY 1)
+      SELECT t.doc_id, len(t.wo)::BIGINT AS n_tokens,
+        (len(t.wo) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+        coalesce(text_clean, '') AS text_clean
+      FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
   /** Corpus-wide most-repeated 8-grams (the boilerplate/template report
     * behind span-removal thresholds); deterministic (n_occ desc, gram)
     * order before the top-20 cut — TakeOrderedAndProject, no global
@@ -3929,7 +3958,7 @@ object SparkEntry {
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
-    qAhashNearDups)
+    qAhashNearDups, qRemoveSpans)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

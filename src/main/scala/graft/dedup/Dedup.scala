@@ -856,6 +856,51 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
   }
 
+  /** Repeated-span REMOVAL — the apply side of [[repeatedSpanStats]]
+    * (Lee et al. 2022's dedup applied, not just measured): every n-gram
+    * instance that is NOT the corpus-first occurrence of its gram (first =
+    * minimum (doc, position) in the gram's window) has its n-token range
+    * removed; surviving tokens reassemble in order. First occurrences
+    * always survive, so shared boilerplate keeps exactly one copy
+    * corpus-wide. Docs shorter than `n` tokens pass through untouched.
+    * Gram identity is case-normalized (lower), reconstruction keeps the
+    * original-case tokens (positions align — lowercasing never changes
+    * whitespace).
+    *
+    * Scale shape: one gram-partitioned window (deterministic
+    * (doc, pos) total order inside each gram), then the removal ranges
+    * explode to at most n × (duplicated instances) token positions —
+    * proportional to the duplication actually found, never to corpus
+    * size — and the anti-join back to tokens is an equi-join on
+    * (doc, position).
+    *
+    * Output: (id, n_tokens, n_removed, text_clean). */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val toksOrig = split(trim(col(textCol)), "\\s+")
+    val inst = docs.select(col(idCol),
+      posexplode(positionalGrams(col(textCol), n)).as(Seq("__p", "__g")))
+    val firstW = Window.partitionBy(col("__g")).orderBy(col(idCol), col("__p"))
+    val marked = inst.withColumn("__rn", row_number().over(firstW))
+      .filter(col("__rn") >= 2)
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + lit(n - 1))).as("__tp"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(toksOrig).as(Seq("__tp", "__tok")))
+    val agg = toks.join(marked, Seq(idCol, "__tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+          e => e.getField("__tok"))).as("text_clean"))
+    docs.select(col(idCol), size(toksOrig).cast("long").as("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** The `k` most-repeated n-grams corpus-wide (occurrences > 1), with
     * occurrence and containing-doc counts — the boilerplate/template
     * report that guides span-removal thresholds. Deterministic total

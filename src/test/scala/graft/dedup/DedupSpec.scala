@@ -493,6 +493,34 @@ class DedupSpec extends SparkSpec {
     assert(ratio == 0.25)
   }
 
+  test("removeRepeatedSpans strips non-first occurrences and keeps the first copy") {
+    val corpus = Seq(
+      (1L, "a b c d tail1 end1"),     // first occurrence of "a b c d": kept whole
+      (2L, "head2 a b c d tail2"),    // later occurrence: the 4 tokens vanish
+      (3L, "p q r s x p q r s"),      // within-doc repeat: second instance stripped
+      (4L, "short one")               // < n tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(corpus, "doc_id", "text", n = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((6L, 0L, "a b c d tail1 end1")))
+    assert(out(2L) == ((6L, 4L, "head2 tail2")))
+    // doc 3: grams at 0..4; dup instance starts at pos 5 → tokens 5-8 go
+    assert(out(3L) == ((9L, 4L, "p q r s x")))
+    assert(out(4L) == ((2L, 0L, "short one")))
+    // an exact-dup document loses everything (its every gram is non-first)
+    val dup = corpus.union(Seq((5L, "a b c d tail1 end1")).toDF("doc_id", "text"))
+    val d5 = Dedup.removeRepeatedSpans(dup, "doc_id", "text", n = 4)
+      .filter(col("doc_id") === 5L).collect()(0)
+    assert(d5.getLong(2) == 6L && d5.getString(3) == "")
+    // gram identity is case-normalized, reconstruction keeps original case
+    val cased = Seq((1L, "A b C d x y"), (2L, "a B c D z w")).toDF("doc_id", "text")
+    val c2 = Dedup.removeRepeatedSpans(cased, "doc_id", "text", n = 4)
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(c2.getLong(2) == 4L && c2.getString(3) == "z w")
+  }
+
   test("topRepeatedSpans returns only recurring grams in (count desc, gram) order") {
     val corpus = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"), (4L, "x y z w"))

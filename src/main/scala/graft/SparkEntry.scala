@@ -2105,6 +2105,39 @@ object SparkEntry {
       WHERE len(list_intersect(a.st, b.st))::DOUBLE / len(a.st) >= 0.8
       ORDER BY id_a, id_b"""))
 
+  /** REAL audio decode (javax.sound.sampled WAV/PCM): deterministic
+    * 16-bit PCM ramp signals are WAV-encoded per nation row executor-side,
+    * then decoded back by [[Multimodal.decodeWavStats]] — sample rate,
+    * channel count, and exact integer sample statistics come ONLY from
+    * actual WAV parse + sample reads, while the oracle knows them in
+    * closed form from the generation formula (PCM is lossless and the
+    * stats are pure integer arithmetic). The audio sibling of mm3. */
+  private val qWavDecode = Q("mm5_wav_decode",
+    (s, d) => {
+      import s.implicits._
+      val media = t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id"),
+          (lit(64) + pmod(col("n_nationkey"), lit(5)) * 16).cast("int").as("ns"))
+        .as[(Long, Int)]
+        .map { case (k, ns) =>
+          val samples = Array.tabulate(ns)(i =>
+            (((k.toInt * 1717 + i * 313) % 65536) - 32768).toShort)
+          (k, Multimodal.encodePcm16Wav(8000, samples))
+        }
+        .toDF("media_id", "data")
+      Multimodal.decodeWavStats(media).orderBy("media_id")
+    },
+    Some("""WITH n AS (SELECT n_nationkey::BIGINT AS media_id,
+          n_nationkey AS k, (64 + (n_nationkey % 5) * 16) AS ns FROM nation),
+      i AS (SELECT media_id, k, ns,
+          unnest(generate_series(0, ns - 1)) AS i FROM n),
+      s AS (SELECT media_id, ns,
+          ((k * 1717 + i * 313) % 65536) - 32768 AS v FROM i)
+      SELECT media_id, 8000 AS sample_rate, 1 AS channels,
+        ns::BIGINT AS n_samples, min(v)::INT AS s_min, max(v)::INT AS s_max,
+        sum(v)::BIGINT AS s_sum, sum(abs(v))::BIGINT AS s_sumabs
+      FROM s GROUP BY media_id, ns ORDER BY media_id"""))
+
   /** Substring-level (span) duplication profile — Lee et al. 2022's
     * exact-substring-dedup measurement at word-8-gram granularity: per
     * doc, how many start positions carry an n-gram that occurs anywhere
@@ -3958,7 +3991,7 @@ object SparkEntry {
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
-    qAhashNearDups, qRemoveSpans)
+    qAhashNearDups, qRemoveSpans, qWavDecode)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -217,6 +217,78 @@ object Multimodal {
       averageHash(df).withColumnRenamed("ahash", "simhash"),
       "media_id", maxDistance)
 
+  // ---------------------------------------------------------------- audio
+  // Real WAV/PCM codec via the JDK's javax.sound.sampled — file parsing
+  // only, headless-safe, no audio hardware touched. Compressed codecs
+  // (mp3/aac/opus) still don't ship in the JVM; they plug the same
+  // element-wise decode seam.
+
+  /** Encode signed 16-bit little-endian mono PCM samples as a WAV payload
+    * — the deterministic fixture generator for the audio-decode path
+    * (PCM is lossless: decoded samples are bit-identical to the input, so
+    * integer sample statistics are closed-form in the generation formula).
+    * Runs inside executor-side maps (pure function of its arguments). */
+  def encodePcm16Wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate >= 1 && samples.nonEmpty, "empty audio fixture")
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode: each payload through the JDK's
+    * `javax.sound.sampled` WAV reader, reporting the decoded format and
+    * EXACT integer sample statistics (min/max/sum/sum-of-abs over all
+    * interleaved 16-bit samples) — the loudness/clipping/silence pass an
+    * audio-curation pipeline runs before feature extraction, integer-exact
+    * so a lossless fixture's output is closed-form checkable. Element-wise
+    * like [[decodeImageStats]]; non-WAV or non-16-bit payloads fail loudly
+    * with the media id.
+    *
+    * @return (media_id, sample_rate, channels, n_samples, s_min, s_max,
+    *         s_sum, s_sumabs) */
+  def decodeWavStats(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"media_id=$id: expected 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+        val data = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        var (sum, sumAbs) = (0L, 0L)
+        var (mn, mx) = (Int.MaxValue, Int.MinValue)
+        var i = 0
+        while (i + 1 < data.length) {
+          val v = if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toInt
+            else ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+          sum += v; sumAbs += math.abs(v)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 2
+        }
+        (id, fmt.getSampleRate.toInt, fmt.getChannels, (data.length / 2).toLong,
+          mn, mx, sum, sumAbs)
+      }
+      .toDF("media_id", "sample_rate", "channels", "n_samples",
+        "s_min", "s_max", "s_sum", "s_sumabs")
+  }
+
   /** REAL image resize via JDK `Graphics2D` bilinear scaling + PNG
     * re-encode: data and metadata are rewritten to the target geometry.
     * Executor-side, element-wise like [[decodeImageStats]]. The output

@@ -144,6 +144,24 @@ class MultimodalSpec extends SparkSpec {
     assert(wide((3L, 4L)) == 32 && wide((1L, 4L)) == 32 && !wide.contains((1L, 3L)))
   }
 
+  test("real WAV round-trip: PCM encode, decode stats are sample-exact") {
+    val samples = Array[Short](100, -200, 32767, -32768, 0, 5)
+    val wav = Multimodal.encodePcm16Wav(44100, samples)
+    val m = Multimodal.asMedia(Seq((7L, wav)).toDF("id", "w"), "id", "w", "audio/wav")
+    val r = Multimodal.decodeWavStats(m).collect()(0)
+    assert(r.getInt(1) == 44100 && r.getInt(2) == 1)       // rate, mono
+    assert(r.getLong(3) == 6L)                              // n_samples
+    assert(r.getInt(4) == -32768 && r.getInt(5) == 32767)   // min, max
+    assert(r.getLong(6) == samples.map(_.toLong).sum)
+    assert(r.getLong(7) == samples.map(s => math.abs(s.toLong)).sum)
+    // junk bytes fail loudly, not silently
+    val junk = Multimodal.asMedia(Seq((8L, "not audio")).toDF("id", "w"),
+      "id", "w", "audio/wav")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavStats(junk).collect()
+    }
+  }
+
   test("frameOffsets samples every N ms over the recorded duration") {
     val withDur = media.withColumn("meta",
       struct(col("meta.format"), col("meta.width"), col("meta.height"),

@@ -839,13 +839,18 @@ object Dedup {
     * Scale shape: explode is map-side; the (id, gram) pre-aggregate makes
     * the gram-partitioned window input one row per doc-gram (combiner
     * bounded), and the window is PARTITIONED by gram — no funnel. The
-    * widest shuffled key is the n-gram string itself; for a 100 TB corpus
-    * swap the gram for `xxhash64(gram)` at the window stage (collision
-    * odds |grams|²/2⁶⁴ — the oracle-checked form keeps strings exact). */
+    * widest shuffled key is the n-gram string itself; `hashGrams = true`
+    * swaps it for `xxhash64(gram)` before anything shuffles — ~25-byte
+    * string keys become 8-byte longs, the 100 TB default (counts equal
+    * the string form up to 64-bit collisions, odds |grams|²/2⁶⁴; the
+    * oracle-checked registry form keeps strings exact). */
   def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
-    val perDocGram = docs
-      .select(col(idCol), explode(positionalGrams(col(textCol), n)).as("__gram"))
+      n: Int = 8, hashGrams: Boolean = false): DataFrame = {
+    val grams = positionalGrams(col(textCol), n)
+    val keyed = docs.select(col(idCol),
+      explode(if (hashGrams) transform(grams, g => xxhash64(g)) else grams)
+        .as("__gram"))
+    val perDocGram = keyed
       .groupBy(col(idCol), col("__gram")).agg(count(lit(1)).as("__c"))
     val corpusTotal = sum(col("__c")).over(Window.partitionBy(col("__gram")))
     perDocGram.withColumn("__ct", corpusTotal)

@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * ±50% (BENCH_NOTES round 10), byte deltas are the trustworthy way to
   * A/B a shuffle-shape change. */
 object ShufProbe {
+
+  /** Probe-only variants of registered queries (alternate knob settings
+    * worth A/B-ing without adding registry entries — the registry stays
+    * the oracle-checked configuration). */
+  private val devVariants: Map[String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "dev_dupspan1_hashed" -> ((s, dir) =>
+      graft.dedup.Dedup.repeatedSpanStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 8, hashGrams = true)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -24,7 +35,7 @@ object ShufProbe {
     for (n <- args) {
       val s0 = io.snapshot()
       val t0 = System.nanoTime()
-      val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val c = graft.SparkEntry.queries.getOrElse(n, devVariants(n))(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(100) // listener bus drain
       val s1 = io.snapshot()

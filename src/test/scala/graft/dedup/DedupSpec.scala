@@ -493,6 +493,40 @@ class DedupSpec extends SparkSpec {
     assert(ratio == 0.25)
   }
 
+  test("repeatedSpanStats: hashed-gram scale path matches the exact-string form") {
+    // randomized corpus from a small vocabulary so spans genuinely repeat
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val corpus = (1L to 40L).map { id =>
+      (id, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.repeatedSpanStats(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashed = Dedup.repeatedSpanStats(corpus, "doc_id", "text", n = 3,
+        hashGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == hashed)
+    assert(exact.exists(_._3 > 0)) // the corpus really has duplicated spans
+  }
+
+  test("removeRepeatedSpans conserves tokens: kept + removed = original, kept is a subsequence") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("w1", "w2", "w3", "w4")
+    val corpus = (1L to 30L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val orig = corpus.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    Dedup.removeRepeatedSpans(corpus, "doc_id", "text", n = 3).collect().foreach { r =>
+      val (id, nTok, nRem, clean) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val kept = if (clean.isEmpty) Seq.empty[String] else clean.split(" ").toSeq
+      assert(nTok == orig(id).length)
+      assert(kept.length == nTok - nRem)
+      // kept tokens appear in the original in order (subsequence test)
+      val it = orig(id).iterator
+      assert(kept.forall(t => it.contains(t)))
+    }
+  }
+
   test("removeRepeatedSpans strips non-first occurrences and keeps the first copy") {
     val corpus = Seq(
       (1L, "a b c d tail1 end1"),     // first occurrence of "a b c d": kept whole

@@ -2105,6 +2105,41 @@ object SparkEntry {
       WHERE len(list_intersect(a.st, b.st))::DOUBLE / len(a.st) >= 0.8
       ORDER BY id_a, id_b"""))
 
+  /** Image dup CLUSTERS: the mm4 perceptual pair set collapsed into
+    * connected components with a min-id representative — the multimodal
+    * composition of the text dedup pipeline (same `dupClusters` CC
+    * device as d6, fed by real-decode aHash pairs); the oracle re-derives
+    * the pairs in closed form and runs the same transitive closure
+    * recursively. */
+  private val qImageDupClusters = Q("mm6_image_dup_clusters",
+    (s, d) => {
+      val media = twoBandPngMedia(s, d)
+      val pairs = Multimodal.ahashNearDups(media, maxDistance = 8)
+      Dedup.dupClusters(media.select(col("media_id")), "media_id", pairs)
+        .orderBy("media_id")
+    },
+    Some(s"""WITH RECURSIVE $twoBandPngCte,
+      jj AS (SELECT unnest(generate_series(0, 7)) AS j),
+      rb AS (SELECT media_id, j,
+          CASE WHEN (j * height) // 8 < height // 2
+            THEN (r1 + g1 + b1) // 3 ELSE (r2 + g2 + b2) // 3 END AS gray
+        FROM s CROSS JOIN jj),
+      tot AS (SELECT media_id, 8 * sum(gray) AS sum64 FROM rb GROUP BY 1),
+      bits AS (SELECT rb.media_id, j,
+          CASE WHEN 64 * gray > sum64 THEN 1 ELSE 0 END AS b
+        FROM rb JOIN tot USING (media_id)),
+      hp AS (SELECT a.media_id AS id1, c.media_id AS id2
+        FROM bits a JOIN bits c ON a.j = c.j AND a.media_id < c.media_id
+        GROUP BY 1, 2
+        HAVING 8 * sum(CASE WHEN a.b != c.b THEN 1 ELSE 0 END) <= 8),
+      e AS (SELECT id1 AS a, id2 AS b FROM hp
+        UNION SELECT id2, id1 FROM hp),
+      reach AS (SELECT a, b FROM e
+        UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      mn AS (SELECT a AS media_id, min(b) AS m FROM reach GROUP BY a)
+      SELECT s.media_id, least(coalesce(m, s.media_id), s.media_id) AS rep
+      FROM s LEFT JOIN mn USING (media_id) ORDER BY media_id"""))
+
   /** REAL audio decode (javax.sound.sampled WAV/PCM): deterministic
     * 16-bit PCM ramp signals are WAV-encoded per nation row executor-side,
     * then decoded back by [[Multimodal.decodeWavStats]] — sample rate,
@@ -3991,7 +4026,7 @@ object SparkEntry {
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
-    qAhashNearDups, qRemoveSpans, qWavDecode)
+    qAhashNearDups, qRemoveSpans, qWavDecode, qImageDupClusters)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -1948,6 +1948,28 @@ object SparkEntry {
     Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  /** JSONL sink/source round-trip: the documents corpus through
+    * line-delimited JSON (THE LLM-corpus interchange format) and back,
+    * then a text-fidelity aggregate (md5 extrema + distinct content
+    * count) the oracle computes straight off parquet — value equality
+    * proves the JSON encode/decode preserved every byte of every text. */
+  private val qJsonlRoundTrip = Q("jsonl1_jsonl_roundtrip",
+    (s, d) => {
+      val dir = scratchDir("graft_jsonl")
+      graft.sources.Ingest.viaJsonl(t(s, d, "documents"), s"$dir/documents_jsonl")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(md5(col("text"))).as("n_distinct_texts"),
+          min(md5(col("text"))).as("md5_min"),
+          max(md5(col("text"))).as("md5_max"),
+          count_distinct(col("lang"), col("source")).as("n_lang_source"))
+    },
+    Some("""SELECT count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
+        count(DISTINCT md5(text)) AS n_distinct_texts,
+        min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
+        count(DISTINCT (lang, source)) AS n_lang_source
+      FROM documents"""))
+
   /** l-diversity privacy audit: within (nation, segment) groups the
     * sensitive attribute is the customer's account-balance bracket —
     * groups where fewer than l = 9 brackets appear leak attribute
@@ -4026,7 +4048,8 @@ object SparkEntry {
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
-    qAhashNearDups, qRemoveSpans, qWavDecode, qImageDupClusters)
+    qAhashNearDups, qRemoveSpans, qWavDecode, qImageDupClusters,
+    qJsonlRoundTrip)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -111,4 +111,14 @@ object Ingest {
     df.write.mode("overwrite").orc(outPath)
     df.sparkSession.read.orc(outPath)
   }
+
+  /** JSONL (line-delimited JSON) sink/source round-trip — the standard
+    * LLM-corpus interchange format. The re-read pins the SOURCE schema:
+    * bare JSON inference widens types (int → bigint, date → string), so
+    * an unpinned roundtrip would silently change the frame's shape. */
+  def viaJsonl(df: DataFrame, outPath: String): DataFrame = {
+    Sinks.requireNotSourcePath(df, outPath)
+    df.write.mode("overwrite").json(outPath)
+    df.sparkSession.read.schema(df.schema).json(outPath)
+  }
 }

@@ -176,4 +176,29 @@ class PlanQualitySpec extends SparkSpec {
         s"generated methods near/over the 64 KB janino limit: $oversized")
     }
   }
+
+  test("physical plan fingerprints match the committed PLANS.lock") {
+    // The sweeps above catch KNOWN anti-patterns; the lock catches every
+    // OTHER silent plan-shape change (broadcast→sort-merge flip, an extra
+    // Exchange, a split codegen stage) as a reviewable diff. After an
+    // intentional plan change: `sbt "runMain graft.tools.PlanLock"` and
+    // commit the lock diff as the plan review.
+    val lockFile = java.nio.file.Paths.get(graft.tools.PlanLock.LockPath)
+    assert(java.nio.file.Files.exists(lockFile),
+      "PLANS.lock missing — generate with `sbt \"runMain graft.tools.PlanLock\"`")
+    val locked = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(lockFile)).asScala
+      .filter(_.nonEmpty)
+      .map { l => val Array(n, f) = l.split(": ", 2); n -> f }.toMap
+    val current = graft.tools.PlanLock.fingerprints(spark, sf()).toMap
+    val missing = (current.keySet -- locked.keySet).toSeq.sorted
+    val stale = (locked.keySet -- current.keySet).toSeq.sorted
+    val changed = current.keySet.intersect(locked.keySet).toSeq.sorted
+      .filter(n => current(n) != locked(n))
+      .map(n => s"$n:\n  locked:  ${locked(n)}\n  current: ${current(n)}")
+    assert(missing.isEmpty && stale.isEmpty && changed.isEmpty,
+      s"plan fingerprints drifted from PLANS.lock — review and regenerate " +
+        s"if intentional.\nnew queries not in lock: $missing\n" +
+        s"locked queries gone: $stale\nchanged: ${changed.mkString("\n")}")
+  }
 }

@@ -1970,6 +1970,35 @@ object SparkEntry {
         count(DISTINCT (lang, source)) AS n_lang_source
       FROM documents"""))
 
+  /** S8/S6 under the ORACLE gate: the documents corpus through the REAL
+    * JDBC sink and range-partitioned JDBC source — embedded Derby, the
+    * same in-process execution path (dialect DDL, batched INSERTs,
+    * range-predicate parallel read) a remote MariaDB would take, with
+    * zero egress — then the jsonl1-style fidelity aggregate the oracle
+    * computes straight off parquet. The partition bounds are deliberately
+    * narrower than the id range at larger SFs: Spark's JDBC partitioner
+    * puts out-of-range rows in the edge partitions, so the read is
+    * correct at every scale (and that property is what this pins). */
+  private val qJdbcRoundTrip = Q("jdbc1_derby_roundtrip",
+    (s, d) => {
+      val src = graft.sources.JdbcSource.embedded(
+        "jdbc:derby:memory:graft_verify;create=true",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      src.writeTable(t(s, d, "documents"), "documents_rt")
+      src.tablePartitioned(s, "documents_rt", "doc_id", 0, 400, 4)
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(md5(col("text"))).as("n_distinct_texts"),
+          min(md5(col("text"))).as("md5_min"),
+          max(md5(col("text"))).as("md5_max"),
+          count_distinct(col("lang"), col("source")).as("n_lang_source"))
+    },
+    Some("""SELECT count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
+        count(DISTINCT md5(text)) AS n_distinct_texts,
+        min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
+        count(DISTINCT (lang, source)) AS n_lang_source
+      FROM documents"""))
+
   /** l-diversity privacy audit: within (nation, segment) groups the
     * sensitive attribute is the customer's account-balance bracket —
     * groups where fewer than l = 9 brackets appear leak attribute
@@ -4049,7 +4078,7 @@ object SparkEntry {
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
     qAhashNearDups, qRemoveSpans, qWavDecode, qImageDupClusters,
-    qJsonlRoundTrip)
+    qJsonlRoundTrip, qJdbcRoundTrip)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

@@ -1970,6 +1970,27 @@ object SparkEntry {
         count(DISTINCT (lang, source)) AS n_lang_source
       FROM documents"""))
 
+  /** CSV round-trip of quoted free text — the third interchange format
+    * beside parquet/ORC/JSONL: embedded commas and quotes must survive
+    * Spark's CSV quoting verbatim or the md5 fidelity aggregate (same
+    * device as jsonl1) diverges from the parquet truth. */
+  private val qCsvRoundTrip = Q("csv1_csv_roundtrip",
+    (s, d) => {
+      val dir = scratchDir("graft_csv")
+      graft.sources.Ingest.viaCsv(t(s, d, "documents"), s"$dir/documents_csv")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(md5(col("text"))).as("n_distinct_texts"),
+          min(md5(col("text"))).as("md5_min"),
+          max(md5(col("text"))).as("md5_max"),
+          count_distinct(col("lang"), col("source")).as("n_lang_source"))
+    },
+    Some("""SELECT count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
+        count(DISTINCT md5(text)) AS n_distinct_texts,
+        min(md5(text)) AS md5_min, max(md5(text)) AS md5_max,
+        count(DISTINCT (lang, source)) AS n_lang_source
+      FROM documents"""))
+
   /** S8/S6 under the ORACLE gate: the documents corpus through the REAL
     * JDBC sink and range-partitioned JDBC source — embedded Derby, the
     * same in-process execution path (dialect DDL, batched INSERTs,
@@ -4078,7 +4099,7 @@ object SparkEntry {
     qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
     qAhashNearDups, qRemoveSpans, qWavDecode, qImageDupClusters,
-    qJsonlRoundTrip, qJdbcRoundTrip)
+    qJsonlRoundTrip, qJdbcRoundTrip, qCsvRoundTrip)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full build slice — catalog → row ids → FK edge joins → reverse

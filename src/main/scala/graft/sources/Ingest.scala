@@ -121,4 +121,17 @@ object Ingest {
     df.write.mode("overwrite").json(outPath)
     df.sparkSession.read.schema(df.schema).json(outPath)
   }
+
+  /** CSV sink/source round-trip with QUOTED free text — the classic
+    * fidelity trap (embedded commas, quotes, leading/trailing spaces):
+    * header on, source schema pinned on re-read, default quote/escape
+    * rules. Note CSV cannot distinguish NULL from the empty string
+    * (both serialize to an empty field and read back NULL) — a format
+    * limitation the caller owns; the fidelity gate holds because the
+    * corpus has no empty texts. */
+  def viaCsv(df: DataFrame, outPath: String): DataFrame = {
+    Sinks.requireNotSourcePath(df, outPath)
+    df.write.mode("overwrite").option("header", "true").csv(outPath)
+    df.sparkSession.read.schema(df.schema).option("header", "true").csv(outPath)
+  }
 }

@@ -229,11 +229,17 @@ object Bench {
       }
       spark.catalog.clearCache()
       // clearCache does not touch localCheckpoint blocks (dedup pipelines,
-      // connected components); those are freed by the ContextCleaner only
-      // after the referencing DataFrames are garbage collected. Nudge the
-      // collector so block-manager memory from one query can't distort the
-      // next — the r4 driver sweep showed one query inflating 10x+ under
-      // accumulated block pressure that a fresh JVM didn't reproduce.
+      // connected components). The iterative operators release their own
+      // superseded generations now (graft.util.Checkpoints), but each
+      // query's FINAL result frame is still persisted — drop every
+      // remaining persistent RDD explicitly so query N+1 (and, crucially,
+      // the post-sweep retime loop) starts with an empty block manager.
+      // r10 evidence for why GC alone is not enough: d6/d8 re-timed
+      // SLOWER than their first passes purely from block accretion ahead
+      // of the retime loop, and the r4 driver sweep showed one query
+      // inflating 10x+ under block pressure a fresh JVM didn't reproduce.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
 

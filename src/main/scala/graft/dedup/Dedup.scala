@@ -553,6 +553,11 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = vertices.select(col(idCol).as("a"), col(idCol).as("comp"))
       .localCheckpoint(true)
+    // the checkpointed frame of the CURRENT round — held separately from
+    // `labels` (which below becomes a lazy projection of it) so the
+    // superseded generation can be released as soon as the next one
+    // materializes (graft.util.Checkpoints contract)
+    var ck = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -578,9 +583,14 @@ object Dedup {
       val next = jumped.localCheckpoint(true)
       // cached-partition scan of the checkpoint — cheap, no shuffle
       converged = next.filter(col("comp") =!= col("__old")).isEmpty
+      graft.util.Checkpoints.release(ck)
+      ck = next
       labels = next.select(col("a"), col("comp"))
       iter += 1
     }
+    // the returned plan reads only the LAST checkpoint; the symmetrized
+    // edge frame is dead weight the moment the loop exits
+    graft.util.Checkpoints.release(sym)
     Console.err.println(
       s"[graft] connectedComponents: converged=$converged rounds=$iter")
     labels.select(col("a").as(idCol), col("comp").as("component"))

@@ -71,6 +71,12 @@ object KCore {
       }
       val e2 = cur.localCheckpoint(true)
       val cnt = e2.count()
+      // e2 is materialized, so the previous round's checkpoint blocks are
+      // dead weight from here — release them NOW rather than waiting on
+      // driver GC + the async ContextCleaner (r10: 5.1 s GC on kc1's
+      // official pass and a 24 GB heap floor at 30×, both attributed to
+      // exactly these superseded blocks)
+      graft.util.Checkpoints.release(e)
       // equal count ⇒ no weak vertex existed; zero ⇒ the core is empty —
       // either way the fixpoint is reached and e2 IS it
       if (cnt == prev || cnt == 0L) { stable = true; e = e2 }

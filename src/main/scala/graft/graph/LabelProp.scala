@@ -43,10 +43,16 @@ object LabelProp {
       val mode = nbr.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("dst").as("id"), col("__l").as("__new"))
-      labels = labels.join(mode, Seq("id"), "left")
+      val next = labels.join(mode, Seq("id"), "left")
         .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint(true)
+      // next is materialized — release the superseded round's blocks now
+      // instead of leaving them to driver GC (graft.util.Checkpoints)
+      graft.util.Checkpoints.release(labels)
+      labels = next
     }
+    // returned labels are their own checkpoint; the edge frame is done
+    graft.util.Checkpoints.release(e)
     labels
   }
 }

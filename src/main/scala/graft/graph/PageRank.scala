@@ -56,13 +56,20 @@ object PageRank {
       val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("rank") / col("__deg")).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
-      ranks = ids.join(contrib, Seq("id"), "left")
+      val next = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("__s"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
         .localCheckpoint(true)
+      // next is materialized — the superseded generation's blocks go now,
+      // not at the ContextCleaner's leisure (see graft.util.Checkpoints)
+      graft.util.Checkpoints.release(ranks)
+      ranks = next
     }
+    // the returned frame is its own checkpoint; the loop-static inputs are
+    // dead weight once the last iteration has run
+    Seq(e, ids, hasOut).foreach(graft.util.Checkpoints.release)
     ranks
   }
 
@@ -115,13 +122,16 @@ object PageRank {
       val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("rank") * col("__frac")).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
-      ranks = ids.join(contrib, Seq("id"), "left")
+      val next = ids.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("__s"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
         .localCheckpoint(true)
+      graft.util.Checkpoints.release(ranks)
+      ranks = next
     }
+    Seq(e, ids, hasOut).foreach(graft.util.Checkpoints.release)
     ranks
   }
 }

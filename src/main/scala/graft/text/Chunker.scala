@@ -227,11 +227,18 @@ object Chunker {
         else {
           val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((a, b, c))
-          words = words.withColumn("__s", mergePair(col("__s"), a, b))
+          val next = words.withColumn("__s", mergePair(col("__s"), a, b))
             .localCheckpoint(true)
+          // next is materialized — drop the superseded round's blocks now
+          // rather than leaving them to driver GC (graft.util.Checkpoints)
+          graft.util.Checkpoints.release(words)
+          words = next
         }
       }
     }
+    // the result is the driver-side merge table: even the final working
+    // frame is dead weight once the loop exits
+    graft.util.Checkpoints.release(words)
     merges.toSeq
   }
 

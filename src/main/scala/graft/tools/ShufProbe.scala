@@ -35,7 +35,11 @@ object ShufProbe {
     for (n <- args) {
       val s0 = io.snapshot()
       val t0 = System.nanoTime()
-      val c = graft.SparkEntry.queries.getOrElse(n, devVariants(n))(spark, sfDir).count()
+      val fn = graft.SparkEntry.queries.get(n).orElse(devVariants.get(n))
+        .getOrElse(sys.error(s"unknown query '$n'; dev variants: " +
+          s"${devVariants.keys.mkString(", ")}; registered: " +
+          s"${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      val c = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(100) // listener bus drain
       val s1 = io.snapshot()
@@ -44,6 +48,10 @@ object ShufProbe {
         f"write=${(s1.shufWrite - s0.shufWrite) / 1e6}%.1f MB " +
         f"spill=${(s1.memSpill - s0.memSpill + s1.diskSpill - s0.diskSpill) / 1e6}%.1f MB")
       spark.catalog.clearCache()
+      // same inter-query isolation as Bench.runOne: the result frame's
+      // checkpoint blocks must not distort the next probe
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
     spark.stop()

@@ -25,6 +25,8 @@ object TimeQ {
       val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(f"[time] $n rows=$c ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -1,0 +1,52 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Explicit storage release for superseded `localCheckpoint` frames.
+  *
+  * Every iterate-to-fixpoint operator in this engine (k-core peel,
+  * connected components, PageRank, label propagation) rebinds its loop
+  * frame each round: `e = e2`. Without an explicit release the previous
+  * round's checkpoint blocks stay in the block manager until the DRIVER
+  * garbage-collects the old DataFrame and the async ContextCleaner gets
+  * around to the removal — in local mode those blocks share the one heap
+  * with execution memory, and the round-10 telemetry measured the cost:
+  * kc1's official 30.0 s first pass carried 5,056 ms of GC against a
+  * 169 ms-GC same-JVM retime at identical shuffle bytes, and the 30×
+  * scale audit OOM'd an 8 GB heap on exactly these superseded blocks
+  * (BENCH_DETAIL_r10.json, BENCH_NOTES.md). On a real cluster the same
+  * leak wastes distributed storage memory proportional to round count.
+  *
+  * Contract: call ONLY on a frame whose data can never be re-read — a
+  * localCheckpoint truncates lineage, so a released frame is
+  * unrecomputable by design. The loop discipline is: materialize the new
+  * round's checkpoint (eager), THEN release the previous round's.
+  */
+object Checkpoints {
+
+  /** Unpersisting a locally-checkpointed RDD logs a WARN ("lineage has
+    * been truncated and cannot be recomputed") — here that is the whole
+    * POINT (the contract above releases only unreachable frames), and a
+    * 186-query sweep would emit hundreds of them. Drop that logger to
+    * ERROR once; the logger name is the concrete RDD class. */
+  private lazy val quietUnpersistWarning: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** Unpersist the storage blocks behind every `LogicalRDD` leaf in
+    * `df`'s analyzed plan (a checkpointed DataFrame IS one such leaf).
+    * Non-blocking: the block-manager removal proceeds asynchronously, but
+    * the RDD leaves the persistent-RDD registry immediately, so storage
+    * accounting (and [[org.apache.spark.SparkContext#getPersistentRDDs]])
+    * reflects the release at once. */
+  def release(df: DataFrame): Unit = {
+    quietUnpersistWarning
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+}

@@ -57,4 +57,68 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(cacheEmpty)
     assert(out.count() == 4) // 2 node rows + 1 fwd + 1 rev edge type
   }
+
+  /** The round-10 verdict's task #1: iterative loops must release each
+    * superseded localCheckpoint generation as soon as the next one
+    * materializes — kc1's official 30 s pass carried 5.1 s of GC and the
+    * 30× audit needed a 24 GB heap for exactly these blocks. Unpersist
+    * removes the RDD from the persistent registry synchronously, so the
+    * post-return registry delta counts surviving generations exactly. */
+  private def newlyPersisted(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    body
+    (sc.getPersistentRDDs.keySet -- before).size
+  }
+
+  test("KCore releases superseded peel generations (≤1 frame survives)") {
+    // triangle + tail: k=2 peels vertex 5, then 4 — a genuine 2-round peel
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val n = newlyPersisted {
+      val out = graft.graph.KCore.vertices(e, "u", "v", k = 2)
+      assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+    assert(n <= 1, s"KCore left $n persisted generations (want ≤1: the fixpoint frame)")
+  }
+
+  test("connectedComponents releases superseded label generations (≤1 survives)") {
+    val vs = (1L to 8L).toDF("id")
+    // a path 1-2-3-4-5 plus an isolated pair: several label rounds
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L)).toDF("src", "dst")
+    val n = newlyPersisted {
+      val out = Dedup.connectedComponents(vs, "id", e)
+      assert(out.filter($"component" === 1L).count() == 5)
+    }
+    assert(n <= 1, s"connectedComponents left $n persisted generations (want ≤1)")
+  }
+
+  test("PageRank releases rounds and loop-static inputs (≤1 survives)") {
+    val vs = (1L to 4L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val n = newlyPersisted {
+      val r = graft.graph.PageRank.run(vs, "id", e, iters = 4)
+      assert(math.abs(r.agg(org.apache.spark.sql.functions.sum($"rank"))
+        .head().getDouble(0) - 1.0) < 1e-9)
+    }
+    assert(n <= 1, s"PageRank left $n persisted frames (want ≤1: the final ranks)")
+  }
+
+  test("LabelProp releases superseded rounds and the edge frame (≤1 survives)") {
+    val vs = (1L to 5L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L))
+      .toDF("src", "dst")
+    val n = newlyPersisted {
+      val out = graft.graph.LabelProp.run(vs, "id", e, iters = 3)
+      assert(out.count() == 5)
+    }
+    assert(n <= 1, s"LabelProp left $n persisted frames (want ≤1: the final labels)")
+  }
+
+  test("trainBpe releases every working frame (driver-side result)") {
+    val n = newlyPersisted {
+      val merges = graft.text.Chunker.trainBpe(docs, "text", nMerges = 4)
+      assert(merges.nonEmpty)
+    }
+    assert(n == 0, s"trainBpe left $n persisted frames (want 0: result is driver-side)")
+  }
 }

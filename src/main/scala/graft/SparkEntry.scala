@@ -2254,8 +2254,8 @@ object SparkEntry {
     (s, d) => Dedup.repeatedSpanStats(t(s, d, "documents"), "doc_id", "text",
         n = 8)
       .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        FROM documents),
+    Some("""WITH t AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
       p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
         FROM t WHERE len(w) >= 8),
       g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM p),
@@ -2275,8 +2275,10 @@ object SparkEntry {
     (s, d) => Dedup.removeRepeatedSpans(t(s, d, "documents"), "doc_id", "text",
         n = 8)
       .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS wo,
-          string_split(lower(trim(text)), ' ') AS w FROM documents),
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            x -> x <> '') AS wo,
+          string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
       p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
         FROM t WHERE len(w) >= 8),
       g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram FROM p),
@@ -2303,8 +2305,8 @@ object SparkEntry {
   private val qTopRepeatedSpans = Q("dupspan2_top_repeated",
     (s, d) => Dedup.topRepeatedSpans(t(s, d, "documents"), "doc_id", "text",
         n = 8, k = 20),
-    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        FROM documents),
+    Some("""WITH t AS (SELECT doc_id,
+        string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
       p AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
         FROM t WHERE len(w) >= 8),
       g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM p)

@@ -892,7 +892,14 @@ object Dedup {
     * Output: (id, n_tokens, n_removed, text_clean). */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val toksOrig = split(trim(col(textCol)), "\\s+")
+    // Spark's split of a trimmed EMPTY string yields [""], which would
+    // report n_tokens=1 for a blank document (inconsistent with
+    // TextAnalysis.tokenCount's 0) and leave its phantom empty token in
+    // the n_removed arithmetic. Dropping empty tokens is a no-op for any
+    // non-blank trimmed text (\s+ splitting produces none) and zeroes the
+    // blank-doc case; positions still align with positionalGrams' split
+    // (identical arrays whenever grams exist at all).
+    val toksOrig = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
     val inst = docs.select(col(idCol),
       posexplode(positionalGrams(col(textCol), n)).as(Seq("__p", "__g")))
     val firstW = Window.partitionBy(col("__g")).orderBy(col(idCol), col("__p"))

@@ -270,6 +270,13 @@ object Multimodal {
         require(fmt.getSampleSizeInBits == 16,
           s"media_id=$id: expected 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
         val data = ais.readAllBytes()
+        // fail loudly (with the id) on truncated or empty payloads, like
+        // the other decode paths — otherwise a zero-frame WAV would emit
+        // Int.MaxValue/MinValue sentinel stats and an odd trailing byte
+        // would be silently dropped
+        require(data.length >= 2 && data.length % 2 == 0,
+          s"media_id=$id: PCM payload must be a non-empty whole number of" +
+            s" 16-bit samples, got ${data.length} bytes")
         val big = fmt.isBigEndian
         var (sum, sumAbs) = (0L, 0L)
         var (mn, mx) = (Int.MaxValue, Int.MinValue)

@@ -125,13 +125,25 @@ object Ingest {
   /** CSV sink/source round-trip with QUOTED free text — the classic
     * fidelity trap (embedded commas, quotes, leading/trailing spaces):
     * header on, source schema pinned on re-read, default quote/escape
-    * rules. Note CSV cannot distinguish NULL from the empty string
-    * (both serialize to an empty field and read back NULL) — a format
-    * limitation the caller owns; the fidelity gate holds because the
-    * corpus has no empty texts. */
+    * rules. Spark's CSV WRITER trims leading/trailing whitespace by
+    * default (ignoreLeading/TrailingWhiteSpace default TRUE on write,
+    * even inside quoted fields) — both are disabled here so edge spaces
+    * survive; the reader's write-side counterparts already default to
+    * false. Embedded newlines are quoted by the writer but split rows
+    * under the reader's default line-mode, so the re-read sets
+    * multiLine=true (fidelity over per-line splittability — at 100 TB
+    * prefer a splittable format outright; CSV is the interchange path).
+    * Remaining format limitation the caller owns: CSV cannot distinguish
+    * NULL from the empty string (both serialize to an empty field and
+    * read back NULL); the fidelity gate holds because the corpus has no
+    * empty texts. */
   def viaCsv(df: DataFrame, outPath: String): DataFrame = {
     Sinks.requireNotSourcePath(df, outPath)
-    df.write.mode("overwrite").option("header", "true").csv(outPath)
-    df.sparkSession.read.schema(df.schema).option("header", "true").csv(outPath)
+    df.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(outPath)
+    df.sparkSession.read.schema(df.schema).option("header", "true")
+      .option("multiLine", "true").csv(outPath)
   }
 }

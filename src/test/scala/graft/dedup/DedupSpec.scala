@@ -555,6 +555,30 @@ class DedupSpec extends SparkSpec {
     assert(c2.getLong(2) == 4L && c2.getString(3) == "z w")
   }
 
+  test("removeRepeatedSpans: blank docs report 0 tokens; whitespace runs tokenize like \\s+") {
+    val corpus = Seq(
+      (1L, ""),                    // empty
+      (2L, "   \t\n  "),           // whitespace-only
+      (3L, "a  b\tc\nd   e"),      // runs of spaces/tabs/newlines = single separators
+      (4L, "a b c d e")            // same tokens, single-spaced
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // blank docs: 0 tokens, nothing removed (no phantom "" token —
+    // consistent with TextAnalysis.tokenCount)
+    assert(out(1L) == ((0L, 0L, "")))
+    assert(out(2L) == ((0L, 0L, "")))
+    // docs 3 and 4 tokenize identically, so doc 4's every 3-gram is a
+    // repeat of doc 3's and is stripped entirely
+    assert(out(3L) == ((5L, 0L, "a b c d e")))
+    assert(out(4L) == ((5L, 5L, "")))
+    // and the stats side agrees on span counts across whitespace runs
+    val stats = Dedup.repeatedSpanStats(corpus, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats(3L) == 3L && stats(4L) == 3L && !stats.contains(1L))
+  }
+
   test("topRepeatedSpans returns only recurring grams in (count desc, gram) order") {
     val corpus = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"), (4L, "x y z w"))

@@ -160,6 +160,25 @@ class MultimodalSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       Multimodal.decodeWavStats(junk).collect()
     }
+    // a structurally valid but ZERO-FRAME wav (external payloads aren't
+    // bound by the encoder's non-empty rule) fails loudly too, instead of
+    // emitting Int.MaxValue/MinValue sentinel stats
+    val emptyWav = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.emptyByteArray), fmt, 0L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val zero = Multimodal.asMedia(Seq((9L, emptyWav)).toDF("id", "w"),
+      "id", "w", "audio/wav")
+    val ze = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavStats(zero).collect()
+    }
+    assert(ze.getMessage.contains("media_id=9") ||
+      Option(ze.getCause).exists(_.getMessage.contains("media_id=9")))
   }
 
   test("frameOffsets samples every N ms over the recorded duration") {

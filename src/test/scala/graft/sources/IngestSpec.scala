@@ -98,4 +98,21 @@ class IngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("source path"))
   }
+
+  test("viaCsv preserves edge whitespace and embedded newlines in quoted text") {
+    // Spark's CSV writer trims leading/trailing spaces by default (even
+    // inside quotes) and its default reader splits quoted newlines into
+    // broken rows — both fidelity traps viaCsv must survive
+    val dir = Files.createTempDirectory("graft_csv_ws").toString
+    val src = Seq(
+      (1L, "  leading and trailing  "),
+      (2L, "line one\nline two"),
+      (3L, "tab\tinside, and a \"quote\""),
+      (4L, "plain")).toDF("id", "text")
+    val back = Ingest.viaCsv(src, s"$dir/csv_copy")
+    val got = back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = src.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq,
+      s"CSV round-trip mutated text:\n got=${got.toSeq}\nwant=${want.toSeq}")
+  }
 }

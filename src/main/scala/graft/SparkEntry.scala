@@ -2403,6 +2403,46 @@ object SparkEntry {
       FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
       ORDER BY event_id"""))
 
+  /** Propositionalization over orders→lineitem: the FastProp battery
+    * (count + sum/mean/min/max per numeric + mode per categorical) per
+    * parent key, joined back to orders — one partial-aggregating shuffle
+    * for the numeric battery, one grouped-mode pass for the categorical.
+    * Float parity: l_quantity is integer-valued (sums exact, mean =
+    * exact-int/int — identical division both engines); extendedprice
+    * SUM rounds at 4dp (boundary-safe for cent-valued doubles — the a7
+    * device); min/max are value-picks, no summation order to disagree
+    * on. */
+  private val qPropositionalize = Q("fp1_propositionalize",
+    (s, d) => graft.features.Propositionalize.features(
+        t(s, d, "orders").select("o_orderkey"), t(s, d, "lineitem"),
+        ForeignKeyDef(Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+        numericCols = Seq("l_quantity", "l_extendedprice"),
+        catCols = Seq("l_returnflag"), prefix = "li")
+      .select(col("o_orderkey"), col("li_n"),
+        col("li_l_quantity_sum").cast("double").as("q_sum"),
+        round(col("li_l_quantity_mean"), 4).as("q_mean"),
+        round(col("li_l_extendedprice_sum"), 4).as("p_sum"),
+        col("li_l_extendedprice_min").as("p_min"),
+        col("li_l_extendedprice_max").as("p_max"),
+        col("li_l_returnflag_mode").as("flag_mode"))
+      .orderBy("o_orderkey"),
+    Some("""WITH agg AS (SELECT l_orderkey, count(*) AS li_n,
+        sum(l_quantity)::DOUBLE AS q_sum,
+        round(avg(l_quantity), 4) AS q_mean,
+        round(sum(l_extendedprice), 4) AS p_sum,
+        min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max
+        FROM lineitem GROUP BY 1),
+      m AS (SELECT l_orderkey, l_returnflag,
+        row_number() OVER (PARTITION BY l_orderkey
+          ORDER BY count(*) DESC, l_returnflag) AS rn
+        FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1, 2)
+      SELECT o_orderkey, coalesce(li_n, 0)::BIGINT AS li_n, q_sum, q_mean,
+        p_sum, p_min, p_max, m.l_returnflag AS flag_mode
+      FROM orders o
+      LEFT JOIN agg ON o.o_orderkey = agg.l_orderkey
+      LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON o.o_orderkey = m.l_orderkey
+      ORDER BY o_orderkey"""))
+
   /** Per-language min-max scaling of document length — group-relative
     * normalization; bit-identical division from identical min/max. */
   private val qGroupScaling = Q("sc2_grouped_scaling",
@@ -4098,7 +4138,7 @@ object SparkEntry {
     qLabelProp, qBpeTrain, qBpeSegment, qBpeTrainAnchor, qBpeSegmentAnchor,
     qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
-    qRankFeatures, qGroupScaling, qFkAudit, qSourceOverlap, qSentenceDedup,
+    qRankFeatures, qGroupScaling, qPropositionalize, qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
     qAhashNearDups, qRemoveSpans, qWavDecode, qImageDupClusters,
     qJsonlRoundTrip, qJdbcRoundTrip, qCsvRoundTrip)

@@ -1060,6 +1060,71 @@ object SparkEntry {
     },
     Some(fitMlpOracle(steps = 2, lr = 0.05)))
 
+  /** bp6's oracle: the GNN layer unrolled step by step — per step a
+    * message CTE (per-child hidden activation from the previous step's
+    * weights), the SCATTER-SUM CTE (per-parent message sum, zero when
+    * childless), the residual CTE, the readout-gradient aggregate over
+    * parents, and the JOIN-BACK aggregate over child rows (the adjoint of
+    * the scatter-sum), then the update CTE. Parameter naming: a1/a2 =
+    * w1(feature)(0), c = b1(0), v = w2(0), vb = b2. */
+  private def fitGnnOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""h$k AS (SELECT l_orderkey, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c))) AS h FROM ch, w${k - 1} w),
+      ag$k AS (SELECT p.o_orderkey, p.y, coalesce(s.a, 0.0) AS a0
+        FROM par p LEFT JOIN
+          (SELECT l_orderkey, sum(h) AS a FROM h$k GROUP BY 1) s
+          ON p.o_orderkey = s.l_orderkey),
+      d$k AS (SELECT a.o_orderkey, a.y, a.a0,
+          1/(1+exp(-((a0*w.v) + w.vb))) - y AS dm FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*a0) AS gv, sum(dm) AS gb FROM d$k),
+      bk$k AS (SELECT
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x1) AS ga1,
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x2) AS ga2,
+          sum(d.dm * w.v * (h.h*(1-h.h))) AS gc
+        FROM h$k h JOIN d$k d ON h.l_orderkey = d.o_orderkey, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b.ga1/n.n) AS a1, w.a2 - $lr*(b.ga2/n.n) AS a2,
+          w.c - $lr*(b.gc/n.n) AS c, w.v - $lr*(g.gv/n.n) AS v,
+          w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk$k b, n)"""
+    }.mkString(",\n      ")
+    s"""WITH ch AS (SELECT l_orderkey, l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2 FROM lineitem),
+      par AS (SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c, 6) AS bias_msg, round(v, 6) AS w_readout,
+        round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** One trainable GNN layer: 2 backprop steps where the gradient flows
+    * THROUGH the A7 scatter-sum (per-child message layer upstream of the
+    * per-order aggregation), each step = one scatter-sum shuffle + two
+    * scalar aggregates. */
+  private val qFitGnn = Q("bp6_fit_gnn_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitGnnGD(li, Seq("l_orderkey"), "feat",
+        ord, Seq("o_orderkey"), "y", dim = 2, hidden = 1, steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0), p.w1(1)(0), p.b1(0), p.w2(0), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e")
+        .select(round(col("__a"), 6).as("w_quantity"),
+          round(col("__b"), 6).as("w_linenumber"),
+          round(col("__c"), 6).as("bias_msg"),
+          round(col("__d"), 6).as("w_readout"),
+          round(col("__e"), 6).as("bias_out"))
+    },
+    Some(fitGnnOracle(steps = 2, lr = 0.05)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private val qEmbedStub = Q("t4_text_embed_stub",
@@ -4114,7 +4179,7 @@ object SparkEntry {
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
-    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qEmbedStub, qEmbedTable, qDuration,
+    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qFitGnn, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qMinhashAnchor,
     qSimhash, qSimhash128, qMinhashPortable, qSimhashPortable, qSimhashPortablePairs,

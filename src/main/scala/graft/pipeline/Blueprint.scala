@@ -289,6 +289,155 @@ object Blueprint {
     MlpParams(w1, b1, w2, b2)
   }
 
+  /** End-to-end backprop THROUGH the message-passing aggregation — the
+    * one genuinely graph-structured trainable layer the reference fits
+    * end-to-end (main.py:307-323 trains embedder + convs + decoder; the
+    * conv is a per-child transform followed by a per-parent reduce,
+    * nn/conv/mean_add.py:8-20). [[fitLogisticGD]]/[[fitMlpGD]] train
+    * dense layers on flat features; here the HIDDEN layer sits UPSTREAM
+    * of the A7 scatter-sum, so its gradient must flow backward through
+    * the aggregation.
+    *
+    * Model: each child row (one FK edge) emits a message
+    * `h_j = σ(Σ_i x_i·w1(i)(j) + b1(j))`; a parent aggregates its
+    * children's messages by SUM (`a_j = Σ_children h_j`, zero when
+    * childless — [[VectorAgg.propagate]]'s `sum` semantics); the readout
+    * is `p = σ(Σ_j a_j·w2(j) + b2)` against the parent label, mean
+    * logistic loss over parents.
+    *
+    * The adjoint of a scatter-sum is a JOIN-BACK: `∂L/∂h(child) =
+    * ∂L/∂a(its parent)`, so the backward pass joins each parent's
+    * residual onto its child rows and the parameter gradients reduce as
+    * FLAT sums over those joined rows — `Σ_edges dm·w2_j·h_j(1−h_j)·x_i`
+    * needs no per-child regrouping even when a source feeds several
+    * parents (the flat edge sum IS the sum over sources of their summed
+    * deltas). Each GD step therefore costs: one scatter-sum shuffle
+    * (forward, checkpointed), one scalar aggregate over parents (readout
+    * grads), one join-back + scalar aggregate over child rows (message
+    * grads). Updated parameters re-enter the next step as literals — no
+    * executor state, 1000-executor-safe; the per-step checkpoint is
+    * released as soon as the step's gradients are collected
+    * ([[graft.util.Checkpoints]]).
+    *
+    * General graphs: pass one row per EDGE (pre-join the source features
+    * onto the edge list); a multi-out-edge source's rows duplicate its
+    * features, which the flat-sum adjoint counts exactly once per edge —
+    * the correct gradient.
+    *
+    * Op order pinned as in [[fitMlpGD]] for the SQL restatement; drift
+    * is summation-order and exp ulps, below a round-6 contract.
+    *
+    * @param children one row per FK edge: fk columns + featCol
+    * @param parents  one row per parent: key columns + yCol (0/1)
+    * @return the trained [[MlpParams]] (w1/b1 = message layer upstream of
+    *         the aggregation, w2/b2 = readout) */
+  def fitGnnGD(children: DataFrame, fkCols: Seq[String], featCol: String,
+      parents: DataFrame, keyCols: Seq[String], yCol: String,
+      dim: Int, hidden: Int, steps: Int, lr: Double,
+      init: MlpParams = null): MlpParams = {
+    require(dim >= 1 && hidden >= 1, "need at least one feature and hidden unit")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    require(fkCols.nonEmpty && fkCols.length == keyCols.length,
+      s"FK arity mismatch: $fkCols vs $keyCols")
+    val p0 = if (init != null) init else MlpParams(
+      Array.tabulate(dim, hidden)((i, j) => 0.1 * (i + 1) * (if (j % 2 == 0) 1 else -1)),
+      Array.fill(hidden)(0.0),
+      Array.tabulate(hidden)(j => 0.1 * (j + 1)),
+      0.0)
+    require(p0.w1.length == dim && p0.w1.forall(_.length == hidden) &&
+      p0.b1.length == hidden && p0.w2.length == hidden, "init shape mismatch")
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    val w1 = p0.w1.map(_.clone()); val b1 = p0.b1.clone()
+    val w2 = p0.w2.clone(); var b2 = p0.b2
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    (1 to steps).foreach { _ =>
+      val h = (0 until hidden).map { j =>
+        sig((0 until dim).map(i => x(i) * lit(w1(i)(j))).reduce(_ + _) + lit(b1(j)))
+      }
+      // forward: ONE scatter-sum shuffle (the A7 groupBy-sum), parents
+      // attached so childless ones aggregate zero; checkpointed because
+      // both gradient passes read it
+      val aggd = children.groupBy(fkCols.map(col): _*)
+        .agg((0 until hidden).map(j => sum(h(j)).as(s"__a$j")).head,
+          (0 until hidden).map(j => sum(h(j)).as(s"__a$j")).tail: _*)
+      val renamed = fkCols.zip(keyCols).foldLeft(aggd) {
+        case (df, (c, k)) => df.withColumnRenamed(c, k)
+      }
+      val dst = parents
+        .select(keyCols.map(col) :+ y.as("__y"): _*)
+        .join(renamed, keyCols, "left")
+        .select(keyCols.map(col) ++ Seq(col("__y")) ++
+          (0 until hidden).map(j => coalesce(col(s"__a$j"), lit(0.0)).as(s"__a$j")): _*)
+        .localCheckpoint(true)
+      val m = (0 until hidden).map(j => col(s"__a$j") * lit(w2(j))).reduce(_ + _) + lit(b2)
+      val dm = sig(m) - col("__y")
+      // readout gradients: one scalar aggregate over parents
+      val dstSums = (0 until hidden).map(j => sum(dm * col(s"__a$j")).as(s"gv_$j")) ++
+        Seq(sum(dm).as("gb"), count(lit(1)).cast("double").as("n"))
+      val dRow = dst.agg(dstSums.head, dstSums.tail: _*).collect()(0)
+      def gd(name: String) = dRow.getDouble(dRow.fieldIndex(name))
+      val n = gd("n")
+      require(n > 0, "cannot fit on an empty parents frame")
+      // adjoint of the scatter-sum: join each parent's residual back onto
+      // its child rows, then flat sums over the joined edge rows
+      val dmPerDst = keyCols.zip(fkCols).foldLeft(
+          dst.select(keyCols.map(col) :+ dm.as("__dm"): _*)) {
+        case (df, (k, c)) => df.withColumnRenamed(k, c)
+      }
+      val back = children.join(dmPerDst, fkCols)
+      val backSums =
+        (for { i <- 0 until dim; j <- 0 until hidden }
+          yield sum(col("__dm") * lit(w2(j)) * (h(j) * (lit(1.0) - h(j))) * x(i))
+            .as(s"gw_${i}_$j")) ++
+        (0 until hidden).map(j =>
+          sum(col("__dm") * lit(w2(j)) * (h(j) * (lit(1.0) - h(j)))).as(s"gc_$j"))
+      val bRow = back.agg(backSums.head, backSums.tail: _*).collect()(0)
+      def gb(name: String) =
+        if (bRow.isNullAt(bRow.fieldIndex(name))) 0.0 // no child matched any parent
+        else bRow.getDouble(bRow.fieldIndex(name))
+      for (i <- 0 until dim; j <- 0 until hidden)
+        w1(i)(j) = w1(i)(j) - lr * (gb(s"gw_${i}_$j") / n)
+      for (j <- 0 until hidden) {
+        b1(j) = b1(j) - lr * (gb(s"gc_$j") / n)
+        w2(j) = w2(j) - lr * (gd(s"gv_$j") / n)
+      }
+      b2 = b2 - lr * (gd("gb") / n)
+      graft.util.Checkpoints.release(dst)
+    }
+    MlpParams(w1, b1, w2, b2)
+  }
+
+  /** Mean logistic loss of [[fitGnnGD]]'s network over the parents — one
+    * scatter-sum + one aggregate; the finite-difference anchor proving
+    * the analytic gradient really flows through the aggregation. */
+  def gnnLogLoss(children: DataFrame, fkCols: Seq[String], featCol: String,
+      parents: DataFrame, keyCols: Seq[String], yCol: String,
+      p: MlpParams): Double = {
+    val dim = p.w1.length; val hidden = p.b1.length
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val h = (0 until hidden).map { j =>
+      sig((0 until dim).map(i => x(i) * lit(p.w1(i)(j))).reduce(_ + _) + lit(p.b1(j)))
+    }
+    val aggd = children.groupBy(fkCols.map(col): _*)
+      .agg((0 until hidden).map(j => sum(h(j)).as(s"__a$j")).head,
+        (0 until hidden).map(j => sum(h(j)).as(s"__a$j")).tail: _*)
+    val renamed = fkCols.zip(keyCols).foldLeft(aggd) {
+      case (df, (c, k)) => df.withColumnRenamed(c, k)
+    }
+    val m = (0 until hidden)
+      .map(j => coalesce(col(s"__a$j"), lit(0.0)) * lit(p.w2(j))).reduce(_ + _) +
+      lit(p.b2)
+    val pr = sig(m)
+    parents.select(keyCols.map(col) :+ y.as("__y"): _*)
+      .join(renamed, keyCols, "left")
+      .agg(avg(-(col("__y") * log(pr) + (lit(1.0) - col("__y")) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
+  }
+
   /** Mean logistic loss of [[fitMlpGD]]'s network — one aggregation pass;
     * the training-progress metric and the finite-difference anchor for
     * gradient correctness in specs. */

@@ -219,6 +219,59 @@ class BlueprintSpec extends SparkSpec {
     }
   }
 
+  test("fitGnnGD: gradient flows THROUGH the scatter-sum; loss falls on the FK graph") {
+    // parents 1-4; parent 4 is CHILDLESS (aggregates zero messages) and a
+    // dangling child (fk=99) reaches nobody — both paths must be inert
+    val children = Seq(
+      (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (1L, Array(2.0, 1.0)),
+      (2L, Array(1.0, 1.0)),
+      (3L, Array(0.5, 2.0)), (3L, Array(1.5, 0.5)),
+      (99L, Array(9.0, 9.0))
+    ).toDF("fk", "feat")
+    val parents = Seq((1L, 1.0), (2L, 0.0), (3L, 1.0), (4L, 0.0))
+      .toDF("pid", "y")
+    val init = Blueprint.MlpParams(
+      Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(0.05, -0.05),
+      Array(0.25, -0.35), 0.1)
+    def deepCopy(p: Blueprint.MlpParams) = Blueprint.MlpParams(
+      p.w1.map(_.clone()), p.b1.clone(), p.w2.clone(), p.b2)
+    val lr = 1e-3
+    val stepped = Blueprint.fitGnnGD(children, Seq("fk"), "feat",
+      parents, Seq("pid"), "y", dim = 2, hidden = 2, steps = 1, lr = lr,
+      init = deepCopy(init))
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.MlpParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.gnnLogLoss(children, Seq("fk"), "feat", parents, Seq("pid"), "y", p)
+    }
+    // w1 sits UPSTREAM of the aggregation: this finite difference is the
+    // proof the adjoint join-back really backprops through the groupBy-sum
+    val gradW00 = (init.w1(0)(0) - stepped.w1(0)(0)) / lr
+    val fdW00 = (lossWith(_.w1(0)(0) += eps) - lossWith(_.w1(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradW00 - fdW00) < 1e-4, s"w1 grad $gradW00 vs fd $fdW00")
+    val gradB10 = (init.b1(0) - stepped.b1(0)) / lr
+    val fdB10 = (lossWith(_.b1(0) += eps) - lossWith(_.b1(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradB10 - fdB10) < 1e-4, s"b1 grad $gradB10 vs fd $fdB10")
+    // readout side too
+    val gradV0 = (init.w2(0) - stepped.w2(0)) / lr
+    val fdV0 = (lossWith(_.w2(0) += eps) - lossWith(_.w2(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradV0 - fdV0) < 1e-4, s"w2 grad $gradV0 vs fd $fdV0")
+    // training lowers the loss end to end
+    val trained = Blueprint.fitGnnGD(children, Seq("fk"), "feat",
+      parents, Seq("pid"), "y", dim = 2, hidden = 2, steps = 60, lr = 0.5,
+      init = deepCopy(init))
+    assert(Blueprint.gnnLogLoss(children, Seq("fk"), "feat",
+        parents, Seq("pid"), "y", trained) <
+      Blueprint.gnnLogLoss(children, Seq("fk"), "feat",
+        parents, Seq("pid"), "y", init))
+    // the per-step checkpoints are released (graft.util.Checkpoints)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Blueprint.fitGnnGD(children, Seq("fk"), "feat", parents, Seq("pid"), "y",
+      dim = 2, hidden = 2, steps = 3, lr = 0.1, init = deepCopy(init))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "fitGnnGD must release every per-step checkpoint")
+  }
+
   test("metrics: accuracy and regression suite") {
     val df = Seq((1, 1, 2.0, 2.5), (0, 1, 4.0, 3.5), (1, 1, 6.0, 6.0))
       .toDF("pred", "y", "yhat", "ytrue")

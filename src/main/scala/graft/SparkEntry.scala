@@ -1497,6 +1497,27 @@ object SparkEntry {
       .orderBy("id1", "id2"),
     None)
 
+  /** d5's contract-sized SCALE path: nPlanes derived from the corpus
+    * count via [[Similarity.nPlanesFor]] — the sizing the d5 scaladoc
+    * promises but d5 deliberately pins (fixed nPlanes keeps its
+    * hash-defined output stable round-over-round while pair work grows
+    * ~n²/2^nPlanes: 36× at the r10 sf1 sweep). Here the benchmark
+    * exercises the actual contract: in-bucket pair work stays
+    * ~n·targetBucket/2 at any corpus size. Rows-only (hash-defined);
+    * `d5b` anchors the identical pipeline under the oracle at nPlanes=0
+    * ≡ exhaustive. The count() sizing pass is one cheap scan — the same
+    * bounded-driver-state class as Lloyd centroids. */
+  private val qEmbDedupScaled = Q("d5c_embedding_neardups_scaled",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val nPlanes = Similarity.nPlanesFor(emb.count())
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.25, nPlanes = nPlanes, nTables = 3)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+        .orderBy("id1", "id2")
+    },
+    None)
+
   /** SemDeDup-style semantic dedup, the cluster-then-prune curation step:
     * cells from the deterministic IVF Lloyd trainer, within-cell pairs
     * only, keep-min-id prune at the cosine threshold. Rows-only (cell
@@ -2116,6 +2137,39 @@ object SparkEntry {
             ORDER BY md5(o_orderkey::VARCHAR || ':42'), o_orderkey) AS rn
         FROM orders) t
       WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey"""))
+
+  /** HGT-style budget sample: one hop from a 50-customer frontier into
+    * two node types (their orders, their nations), collapsed to unique
+    * nodes, ≤10 kept per TYPE by the namespaced md5 coin — restated as
+    * the same row_number-over-md5 (the w10 device, node-deduped). */
+  private val qBudgetSample = Q("w12_budget_sample",
+    (s, d) => {
+      val f = t(s, d, "customer")
+        .filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ordCand = t(s, d, "orders")
+        .join(f.select(col("c_custkey").as("o_custkey")), "o_custkey")
+        .select(lit("orders").as("node_type"),
+          col("o_orderkey").cast("string").as("node_key"))
+      val natCand = f.select(lit("nation").as("node_type"),
+        col("c_nationkey").cast("string").as("node_key"))
+      Sampling.budgetSample(ordCand.unionAll(natCand),
+          "node_type", "node_key", budget = 10)
+        .orderBy("node_type", "node_key")
+    },
+    Some("""WITH f AS (SELECT c_custkey, c_nationkey FROM customer
+          WHERE c_custkey <= 50),
+        cand AS (
+          SELECT 'orders' AS node_type, o_orderkey::VARCHAR AS node_key
+          FROM orders JOIN f ON o_custkey = c_custkey
+          UNION ALL
+          SELECT 'nation', c_nationkey::VARCHAR FROM f),
+        u AS (SELECT DISTINCT node_type, node_key FROM cand),
+        r AS (SELECT node_type, node_key,
+          row_number() OVER (PARTITION BY node_type
+            ORDER BY md5(node_key || ':hgt:42'), node_key) AS rn FROM u)
+        SELECT node_type, node_key FROM r WHERE rn <= 10
+        ORDER BY node_type, node_key"""))
 
   /** Zipf-law fit over the corpus vocabulary (top-100 terms): slope and
     * intercept of the ln-freq vs ln-rank least-squares line. */
@@ -4183,7 +4237,7 @@ object SparkEntry {
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qMinhashAnchor,
     qSimhash, qSimhash128, qMinhashPortable, qSimhashPortable, qSimhashPortablePairs,
-    qEmbDedup, qEmbDedupAnchor, qSemDedup, qSemDedupAnchor,
+    qEmbDedup, qEmbDedupAnchor, qEmbDedupScaled, qSemDedup, qSemDedupAnchor,
     qBruteTopK, qLshTopK, qLshAnchor, qIvfTopK, qRangeSearch,
     qTextQuality, qLangId, qFingerprint,
     qMedia, qDecode, qImageDecode, qHourly, qRunningTotals, qSessions,
@@ -4199,7 +4253,7 @@ object SparkEntry {
     qScale, qObserved, qFuzzy, qStreaks, qBars, qTokEncode, qPsi, qWau, qHashedScore,
     qInt8TopK, qClustCoeff, qTargetEnc, qBoilerplate, qGroupedMode,
     qQuarantine, qSessionWindow, qMoments, qPseudonymize, qKCore,
-    qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qZipf,
+    qEwma, qKAnonymity, qOrcRoundTrip, qLDiversity, qGroupSample, qBudgetSample, qZipf,
     qLabelProp, qBpeTrain, qBpeSegment, qBpeTrainAnchor, qBpeSegmentAnchor,
     qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,

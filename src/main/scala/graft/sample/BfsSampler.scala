@@ -229,6 +229,33 @@ object Sampling {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** HGT-style per-node-TYPE budget sampling — the other half of the
+    * reference's loader pair (blueprint_mlflow.py:119-133 drives training
+    * through `HGTLoader`, whose `num_samples` is a budget of nodes per
+    * node TYPE per hop; W5's [[topKPerGroup]]-based neighbor cap covers
+    * the `NeighborLoader` per-edge fan-out). Input: one row per typed
+    * expansion candidate `(typeCol, keyCol)` — the union of a frontier's
+    * typed reachable sets, duplicates allowed (several frontier edges
+    * reaching the same node). The HGT distinction from a per-edge cap:
+    * candidates are collapsed to unique NODES first, so the budget counts
+    * nodes, and a node's selection odds don't scale with its in-edge
+    * count. Then at most `budget` nodes per type survive, ranked by the
+    * md5 coin of the node key in its own `:hgt:` seed namespace (the
+    * upsample `:up:` device — independent of any other sampler's draw on
+    * the same key). Pure function of (key, seed): stable across runs,
+    * partitionings and engines; one distinct + one WindowGroupLimit-
+    * planned top-budget per type, SQL-restatable as row_number over the
+    * same md5 order. */
+  def budgetSample(candidates: DataFrame, typeCol: String, keyCol: String,
+      budget: Int, seed: String = "42"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val uniq = candidates.select(col(typeCol), col(keyCol)).distinct()
+    val coin = md5(concat(col(keyCol).cast("string"), lit(":hgt:" + seed)))
+    val w = Window.partitionBy(col(typeCol)).orderBy(coin, col(keyCol))
+    uniq.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= budget).drop("__rn")
+  }
+
   /** Deterministic fractional up-sampling — the "epochs per source" knob
     * of a pretraining data mix ([[temperatureMix]] can only DOWN-sample;
     * rebalancing a rare-but-valuable source means repeating it): each row

@@ -42,17 +42,46 @@ class EntrySmokeSpec extends SparkSpec {
     // codec is now the real javax.imageio path, pinned by a closed-form
     // PNG oracle; w6_random_split left in round 10: the registered split
     // is the md5-coin portable variant, oracle-checked per row)
-    assert(rowsOnly == Set("d2_minhash_neardups",
-      "d4_simhash_neardups", "d4b_simhash128_neardups", "d5_embedding_neardups",
-      "sim2_lsh_topk", "t4_text_embed_stub",
-      "pr1_pagerank", "sim6_mmr_topk",
-      "sem1_semantic_dedup", // cell assignment is centroid-defined; sem1b anchors
-      // the nCells=1 degenerate under the oracle, DedupSpec pins cell semantics
-      "kc1_kcore", // iterate-to-fixpoint peel: no SQL restatement
-      // BPE's merge-round loop (argmax + fold per round) has no SQL
-      // restatement; the classic-corpus closed form is pinned in ChunkerSpec
-      "bpe1_bpe_merges", "bpe2_bpe_segment"))
+    assert(rowsOnly == anchorOf.keySet,
+      "every rows-only query must be declared here WITH its anchor twin — " +
+        s"undeclared: ${(rowsOnly -- anchorOf.keySet).toSeq.sorted}, " +
+        s"stale: ${(anchorOf.keySet -- rowsOnly).toSeq.sorted}")
     // and no oracle exists without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  /** The closed rows-only list, each entry carrying its oracle-anchored
+    * twin — the query that pins the same pipeline under the DuckDB gate
+    * at a degenerate/portable parameter setting. Growth gate (round-10
+    * verdict task #8): a NEW rows-only query cannot land without an
+    * anchor; the test below fails the build if the named anchor is not
+    * itself oracle-checked.
+    * (mm2_decode_batched left this list in round 9: the default decode
+    * codec is now the real javax.imageio path, pinned by a closed-form
+    * PNG oracle; w6_random_split left in round 10: the registered split
+    * is the md5-coin portable variant, oracle-checked per row.) */
+  private val anchorOf: Map[String, String] = Map(
+    "d2_minhash_neardups" -> "d2c_minhash_portable", // full pipeline incl. banding
+    "d4_simhash_neardups" -> "d4c_simhash_portable",
+    "d4b_simhash128_neardups" -> "d4d_simhash_portable_pairs",
+    "d5_embedding_neardups" -> "d5b_embedding_exact_anchor",
+    "d5c_embedding_neardups_scaled" -> "d5b_embedding_exact_anchor", // nPlanesFor sizing
+    "sim2_lsh_topk" -> "sim2b_lsh_exact_anchor",
+    "sim6_mmr_topk" -> "sim6b_mmr_exact_anchor",
+    "t4_text_embed_stub" -> "t4b_text_embed_table",
+    "pr1_pagerank" -> "pr1b_pagerank_anchor",
+    "kc1_kcore" -> "kc1b_kcore_anchor", // iterate-to-fixpoint peel: no SQL
+    "sem1_semantic_dedup" -> "sem1b_semantic_dedup_anchor", // nCells=1 ≡ global
+    // BPE's merge-round loop (argmax + fold per round) has no SQL
+    // restatement; the classic-corpus closed form is pinned in ChunkerSpec
+    "bpe1_bpe_merges" -> "bpe1b_bpe_first_merge",
+    "bpe2_bpe_segment" -> "bpe2b_bpe_apply_fixed")
+
+  test("every rows-only query's anchor twin is itself oracle-checked") {
+    val unanchored = anchorOf.collect {
+      case (q, a) if !SparkEntry.oracleSql.contains(a) => s"$q -> $a"
+    }
+    assert(unanchored.isEmpty,
+      s"anchor twins missing from the oracle registry: $unanchored")
   }
 }

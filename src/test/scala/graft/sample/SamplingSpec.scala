@@ -258,6 +258,37 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("budgetSample: budget counts NODES per type, stable under repartitioning") {
+    import spark.implicits._
+    // node 'n1' of type A appears via 5 edges; the budget must treat it
+    // as ONE candidate (the HGT distinction from a per-edge cap)
+    val dup = (1 to 5).map(_ => ("A", "n1")) ++
+      (2 to 40).map(i => ("A", s"n$i")) ++
+      (1 to 4).map(i => ("B", s"m$i"))
+    val cands = dup.toDF("node_type", "node_key")
+    val out = Sampling.budgetSample(cands, "node_type", "node_key", budget = 10)
+    val sizes = out.groupBy("node_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("A" -> 10L, "B" -> 4L), s"got $sizes") // B kept whole
+    assert(out.count() == out.distinct().count(), "unique nodes only")
+    // pure function of (key, seed): repartitioning changes nothing
+    val again = Sampling.budgetSample(cands.repartition(13),
+      "node_type", "node_key", budget = 10)
+    assert(again.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      out.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq)
+    // n1's 5 duplicate edges give it no selection advantage: its odds are
+    // one md5 draw like everyone else's — assert it is NOT always present
+    // across seeds (it would be under edge-weighted sampling, 5/44 rows)
+    val picksN1 = (1 to 8).count { s =>
+      Sampling.budgetSample(cands, "node_type", "node_key", budget = 10,
+        seed = s"s$s").filter($"node_key" === "n1").count() == 1L
+    }
+    assert(picksN1 < 8, "n1 must not be privileged by its edge multiplicity")
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSample(cands, "node_type", "node_key", budget = 0)
+    }
+  }
+
   test("temperatureMix rejects data-cardinality source keys with a clear error") {
     import spark.implicits._
     // mixing on a per-row key would collect data-sized counts to the

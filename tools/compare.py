@@ -15,6 +15,13 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+# Rows-only queries whose EMPTY output is CORRECT at tiny scale factors —
+# the bare emptiness heuristic below cannot tell correct-empty from
+# broken-empty, so these are declared. kc1's k=70 core provably peels to
+# nothing at sf0.001 (verified by an independent Python re-peel, round 9);
+# the kc1b literal-graph anchor pins the operator SF-independently.
+EXPECTED_EMPTY_OK = {"kc1_kcore"}
 results = {}
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
@@ -26,7 +33,12 @@ for name in sorted(os.listdir(out_dir)):
         results[name] = f"ENGINE-READ-FAIL: {e}"
         continue
     if name not in oracle:
-        results[name] = f"rows-only: {len(mine)} rows" + (" EMPTY!" if len(mine) == 0 else "")
+        if len(mine) == 0:
+            suffix = (" (expected-empty at tiny SF; anchored)"
+                      if name in EXPECTED_EMPTY_OK else " EMPTY!")
+        else:
+            suffix = ""
+        results[name] = f"rows-only: {len(mine)} rows{suffix}"
         continue
     try:
         ref = con.execute(oracle[name]).fetchdf()

@@ -2562,6 +2562,51 @@ object SparkEntry {
       LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON o.o_orderkey = m.l_orderkey
       ORDER BY o_orderkey"""))
 
+  /** Depth-2 propositionalization (the reference's FastProp runs over
+    * the BFS data model to max_depth, getml_xgboost.py:420): featurize
+    * lineitem→orders first, then feed the ENRICHED orders table to the
+    * customer hop — aggregate-of-aggregate features (total/mean lineitem
+    * count per customer, max per-order quantity sum). Two aggregate
+    * passes total. Float parity: counts and quantity sums are exact
+    * integers in double; the only cent-valued battery column
+    * (o_totalprice) appears as a SUM, rounded 4dp (a7 boundary rule);
+    * li mean = exact-int/int. */
+  private val qPropositionalizeDeep = Q("fp2_propositionalize_deep",
+    (s, d) => {
+      import graft.features.Propositionalize
+      val ordersFeat = Propositionalize.features(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        t(s, d, "lineitem"),
+        ForeignKeyDef(Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+        numericCols = Seq("l_quantity"), prefix = "li")
+      Propositionalize.features(
+          t(s, d, "customer").select("c_custkey"), ordersFeat,
+          ForeignKeyDef(Seq("o_custkey"), "customer", Seq("c_custkey")),
+          numericCols = Seq("li_n", "li_l_quantity_sum", "o_totalprice"),
+          prefix = "ord")
+        .select(col("c_custkey"), col("ord_n"),
+          col("ord_li_n_sum").cast("double").as("li_total"),
+          round(col("ord_li_n_mean"), 4).as("li_mean"),
+          col("ord_li_l_quantity_sum_max").as("qsum_max"),
+          round(col("ord_o_totalprice_sum"), 4).as("price_sum"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH li AS (SELECT l_orderkey, count(*) AS li_n,
+          sum(l_quantity) AS li_qsum FROM lineitem GROUP BY 1),
+        o AS (SELECT o_custkey, o_totalprice,
+          coalesce(li_n, 0) AS li_n, li_qsum
+          FROM orders LEFT JOIN li ON o_orderkey = l_orderkey),
+        agg AS (SELECT o_custkey, count(*) AS ord_n,
+          sum(li_n)::DOUBLE AS li_total,
+          round(avg(li_n), 4) AS li_mean,
+          max(li_qsum) AS qsum_max,
+          round(sum(o_totalprice), 4) AS price_sum
+          FROM o GROUP BY 1)
+      SELECT c_custkey, coalesce(ord_n, 0)::BIGINT AS ord_n, li_total,
+        li_mean, qsum_max, price_sum
+      FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+      ORDER BY c_custkey"""))
+
   /** Per-language min-max scaling of document length — group-relative
     * normalization; bit-identical division from identical min/max. */
   private val qGroupScaling = Q("sc2_grouped_scaling",
@@ -4257,7 +4302,8 @@ object SparkEntry {
     qLabelProp, qBpeTrain, qBpeSegment, qBpeTrainAnchor, qBpeSegmentAnchor,
     qGapFill, qUnpivot, qKFold,
     qSentences, qMadOutliers, qCmsCounts, qUpsample, qSnapshotDiff,
-    qRankFeatures, qGroupScaling, qPropositionalize, qFkAudit, qSourceOverlap, qSentenceDedup,
+    qRankFeatures, qGroupScaling, qPropositionalize, qPropositionalizeDeep,
+    qFkAudit, qSourceOverlap, qSentenceDedup,
     qContainment, qRepeatedSpans, qTopRepeatedSpans, qBalancedShards,
     qAhashNearDups, qRemoveSpans, qWavDecode, qImageDupClusters,
     qJsonlRoundTrip, qJdbcRoundTrip, qCsvRoundTrip)

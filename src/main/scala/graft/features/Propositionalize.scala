@@ -27,6 +27,15 @@ import graft.schema.{CategoricalColumnDef, ForeignKeyDef, NumericColumnDef, Sche
   * parent and contribute nothing (the P8 edge-skip semantics). Childless
   * parents keep a 0 count and NULL stats — "no children" stays
   * distinguishable from "children summing to zero".
+  *
+  * Multi-hop FK paths (the reference runs FastProp over the
+  * BFS-discovered data model to `max_depth`, getml_xgboost.py:420): this
+  * operator COMPOSES — featurize the innermost table first, then pass
+  * the enriched middle table as the next hop's child, and the hop-2
+  * battery synthesizes aggregate-of-aggregate features ("mean over
+  * orders of the per-order lineitem quantity sum"). Each hop is one more
+  * aggregate pass; the registered `fp2_propositionalize_deep` is the
+  * worked customer ← orders ← lineitem example.
   */
 object Propositionalize {
 

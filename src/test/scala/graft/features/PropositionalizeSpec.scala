@@ -79,6 +79,32 @@ class PropositionalizeSpec extends SparkSpec {
     }
   }
 
+  test("two-hop composition synthesizes aggregate-of-aggregate features") {
+    // grandparent 1 has two children; child 10 has 3 grandchildren, child
+    // 11 has 1 — "mean over children of the grandchild count" must be 2.0
+    val gp = Seq(1L, 2L).toDF("gid")
+    val mid = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("mid", "gfk")
+    val leaf = Seq((10L, 1.0), (10L, 2.0), (10L, 4.0), (11L, 8.0))
+      .toDF("mfk", "v")
+    val midFeat = Propositionalize.features(mid, leaf,
+      ForeignKeyDef(Seq("mfk"), "mid", Seq("mid")),
+      numericCols = Seq("v"), prefix = "lf")
+    val out = Propositionalize.features(gp, midFeat,
+        ForeignKeyDef(Seq("gfk"), "gp", Seq("gid")),
+        numericCols = Seq("lf_n", "lf_v_sum"), prefix = "m")
+      .orderBy("gid").collect()
+    val r1 = out(0)
+    assert(r1.getLong(r1.fieldIndex("m_n")) == 2L)
+    assert(r1.getDouble(r1.fieldIndex("m_lf_n_mean")) == 2.0)   // (3+1)/2
+    assert(r1.getDouble(r1.fieldIndex("m_lf_n_sum")) == 4.0)    // grandchild total
+    assert(r1.getDouble(r1.fieldIndex("m_lf_v_sum_max")) == 8.0) // max per-child sum
+    // grandparent 2's child 12 is leafless: its lf_n=0 flows into hop 2
+    val r2 = out(1)
+    assert(r2.getLong(r2.fieldIndex("m_n")) == 1L)
+    assert(r2.getDouble(r2.fieldIndex("m_lf_n_sum")) == 0.0)
+    assert(r2.isNullAt(r2.fieldIndex("m_lf_v_sum_max")))
+  }
+
   test("featuresFor picks columns from the semantic schema, not physical types") {
     // `code` is physically numeric but semantically categorical; `uid` is
     // omit — only `v` gets the numeric battery, only `code` gets a mode

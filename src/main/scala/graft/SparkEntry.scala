@@ -1125,6 +1125,173 @@ object SparkEntry {
     },
     Some(fitGnnOracle(steps = 2, lr = 0.05)))
 
+  /** bp7's oracle: the HETERO layer unrolled — per step TWO message CTEs
+    * (one per edge type: lineitem→orders forward, orders→customer
+    * REVERSE), each scatter-summed and LEFT-joined onto the parents, the
+    * readout over the cross-type SUM, one readout-gradient aggregate, and
+    * one join-back aggregate PER TYPE (the per-type adjoint). Naming:
+    * a1/a2/c1 = type-0 (lineitem) message params, d1/c2 = type-1
+    * (customer-via-reverse-edge) params, v/vb = the shared readout. */
+  private def fitHeteroGnnOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""h1$k AS (SELECT k, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c1))) AS h FROM ch1, w${k - 1} w),
+      h2$k AS (SELECT k, z1,
+          1/(1+exp(-((z1*w.d1) + w.c2))) AS h FROM ch2, w${k - 1} w),
+      ag$k AS (SELECT p.k, p.y,
+          coalesce(s1.a, 0.0) AS a1s, coalesce(s2.a, 0.0) AS a2s
+        FROM par p
+        LEFT JOIN (SELECT k, sum(h) AS a FROM h1$k GROUP BY 1) s1 ON p.k = s1.k
+        LEFT JOIN (SELECT k, sum(h) AS a FROM h2$k GROUP BY 1) s2 ON p.k = s2.k),
+      d$k AS (SELECT a.k, a.y,  a.a1s, a.a2s,
+          1/(1+exp(-(((a1s + a2s)*w.v) + w.vb))) - y AS dm FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*(a1s + a2s)) AS gv, sum(dm) AS gb FROM d$k),
+      bk1$k AS (SELECT
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x1) AS ga1,
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x2) AS ga2,
+          sum(d.dm * w.v * (h.h*(1-h.h))) AS gc1
+        FROM h1$k h JOIN d$k d ON h.k = d.k, w${k - 1} w),
+      bk2$k AS (SELECT
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.z1) AS gd1,
+          sum(d.dm * w.v * (h.h*(1-h.h))) AS gc2
+        FROM h2$k h JOIN d$k d ON h.k = d.k, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b1.ga1/n.n) AS a1, w.a2 - $lr*(b1.ga2/n.n) AS a2,
+          w.c1 - $lr*(b1.gc1/n.n) AS c1,
+          w.d1 - $lr*(b2.gd1/n.n) AS d1, w.c2 - $lr*(b2.gc2/n.n) AS c2,
+          w.v - $lr*(g.gv/n.n) AS v, w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk1$k b1, bk2$k b2, n)"""
+    }.mkString(",\n      ")
+    s"""WITH ch1 AS (SELECT l_orderkey AS k, l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2 FROM lineitem),
+      ch2 AS (SELECT o_orderkey AS k, c_acctbal::DOUBLE / 10000.0 AS z1
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      par AS (SELECT o_orderkey AS k,
+        CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c1,
+        0.1 AS d1, 0.0 AS c2, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c1, 6) AS bias_msg_li, round(d1, 6) AS w_acctbal,
+        round(c2, 6) AS bias_msg_cust, round(v, 6) AS w_readout,
+        round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** §2.9 + verdict-11 task #2: JOINT multi-edge-type GNN training — two
+    * edge groups (the lineitem→orders FK and the orders→customer REVERSE
+    * edge, J5) each with its own message layer, aggregates SUMMED into one
+    * shared readout (the reference's HeteroConv semantics,
+    * nn/models/hetero_gnn.py:25-36), 2 backprop steps. */
+  private val qFitHeteroGnn = Q("bp7_fit_hetero_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+      val custRev = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          array(col("c_acctbal").cast("double") / 10000.0).as("feat"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitHeteroGnnGD(
+        Seq(Blueprint.EdgeGroup(li, Seq("l_orderkey"), "feat", dim = 2),
+          Blueprint.EdgeGroup(custRev, Seq("o_orderkey"), "feat", dim = 1)),
+        ord, Seq("o_orderkey"), "y", hidden = 1, steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0)(0), p.w1(0)(1)(0), p.b1(0)(0),
+          p.w1(1)(0)(0), p.b1(1)(0), p.w2(0), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e", "__f", "__g")
+        .select(round(col("__a"), 6).as("w_quantity"),
+          round(col("__b"), 6).as("w_linenumber"),
+          round(col("__c"), 6).as("bias_msg_li"),
+          round(col("__d"), 6).as("w_acctbal"),
+          round(col("__e"), 6).as("bias_msg_cust"),
+          round(col("__f"), 6).as("w_readout"),
+          round(col("__g"), 6).as("bias_out"))
+    },
+    Some(fitHeteroGnnOracle(steps = 2, lr = 0.05)))
+
+  /** bp8's oracle: the ATTENTION layer unrolled — per step a message CTE
+    * (h and the trainable score e = x·u), the stable per-parent softmax in
+    * two window CTEs (subtract the group max, normalize by the group
+    * exp-sum — A9's device), the α-weighted scatter-sum, the residual,
+    * the readout-gradient aggregate, and ONE join-back aggregate whose
+    * sums carry the softmax Jacobian as the per-edge scalar
+    * dm·α·(h·v − a·v): u's gradient needs nothing beyond the same
+    * join-back. Naming: a1/a2/c = message params, u1/u2 = attention
+    * scorer, v/vb = readout. */
+  private def fitAttnGnnOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""h$k AS (SELECT k, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c))) AS h,
+          x1*w.u1 + x2*w.u2 AS e FROM ch, w${k - 1} w),
+      ex$k AS (SELECT k, x1, x2, h,
+          exp(e - max(e) OVER (PARTITION BY k)) AS st FROM h$k),
+      al$k AS (SELECT k, x1, x2, h,
+          st / sum(st) OVER (PARTITION BY k) AS al FROM ex$k),
+      ag$k AS (SELECT p.k, p.y, coalesce(s.a, 0.0) AS a0
+        FROM par p LEFT JOIN
+          (SELECT k, sum(al*h) AS a FROM al$k GROUP BY 1) s ON p.k = s.k),
+      d$k AS (SELECT a.k, a.y, a.a0,
+          1/(1+exp(-((a0*w.v) + w.vb))) - y AS dm FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*a0) AS gv, sum(dm) AS gb FROM d$k),
+      bk$k AS (SELECT
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h)) * a.x1) AS ga1,
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h)) * a.x2) AS ga2,
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h))) AS gc,
+          sum(d.dm * a.al * (a.h*w.v - d.a0*w.v) * a.x1) AS gu1,
+          sum(d.dm * a.al * (a.h*w.v - d.a0*w.v) * a.x2) AS gu2
+        FROM al$k a JOIN d$k d ON a.k = d.k, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b.ga1/n.n) AS a1, w.a2 - $lr*(b.ga2/n.n) AS a2,
+          w.c - $lr*(b.gc/n.n) AS c,
+          w.u1 - $lr*(b.gu1/n.n) AS u1, w.u2 - $lr*(b.gu2/n.n) AS u2,
+          w.v - $lr*(g.gv/n.n) AS v, w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk$k b, n)"""
+    }.mkString(",\n      ")
+    s"""WITH ch AS (SELECT l_orderkey AS k, l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2 FROM lineitem),
+      par AS (SELECT o_orderkey AS k,
+        CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c,
+        0.05 AS u1, 0.1 AS u2, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c, 6) AS bias_msg, round(u1, 6) AS u_quantity,
+        round(u2, 6) AS u_linenumber, round(v, 6) AS w_readout,
+        round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** §2.9 + verdict-11 task #3: backprop THROUGH the A9 softmax attention
+    * aggregation (the reference trains AttentionAggregation,
+    * nn/aggr/attention.py:10-41) — trainable score e = x·u, per-parent
+    * softmax weights, α-weighted scatter-sum, 2 backprop steps; the
+    * attention gradient rides the same join-back as the scatter-sum
+    * adjoint. */
+  private val qFitAttnGnn = Q("bp8_fit_attn_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitAttnGnnGD(li, Seq("l_orderkey"), "feat",
+        ord, Seq("o_orderkey"), "y", dim = 2, hidden = 1, steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0), p.w1(1)(0), p.b1(0), p.u(0), p.u(1), p.w2(0), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e", "__f", "__g")
+        .select(round(col("__a"), 6).as("w_quantity"),
+          round(col("__b"), 6).as("w_linenumber"),
+          round(col("__c"), 6).as("bias_msg"),
+          round(col("__d"), 6).as("u_quantity"),
+          round(col("__e"), 6).as("u_linenumber"),
+          round(col("__f"), 6).as("w_readout"),
+          round(col("__g"), 6).as("bias_out"))
+    },
+    Some(fitAttnGnnOracle(steps = 2, lr = 0.05)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private val qEmbedStub = Q("t4_text_embed_stub",
@@ -2167,7 +2334,8 @@ object SparkEntry {
         u AS (SELECT DISTINCT node_type, node_key FROM cand),
         r AS (SELECT node_type, node_key,
           row_number() OVER (PARTITION BY node_type
-            ORDER BY md5(node_key || ':hgt:42'), node_key) AS rn FROM u)
+            ORDER BY md5(node_type || ':' || node_key || ':hgt:42'),
+            node_key) AS rn FROM u)
         SELECT node_type, node_key FROM r WHERE rn <= 10
         ORDER BY node_type, node_key"""))
 
@@ -4278,7 +4446,7 @@ object SparkEntry {
     qFactorize, qEncode, qTopK, qSplit,
     qUnionDistinct,
     qNormalizers, qDateFns, qMultiLabel, qTableConvert, qSoftmax, qMetrics,
-    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qFitGnn, qEmbedStub, qEmbedTable, qDuration,
+    qLegacyDates, qBlueprint, qFitDecoder, qFitClassifier, qFitGd, qFitMlp, qFitGnn, qFitHeteroGnn, qFitAttnGnn, qEmbedStub, qEmbedTable, qDuration,
     qBfs, qBfsTarget,
     qExactDedup, qNgramJaccard, qDupClusters, qMinhash, qMinhashAnchor,
     qSimhash, qSimhash128, qMinhashPortable, qSimhashPortable, qSimhashPortablePairs,

@@ -277,6 +277,24 @@ object Multimodal {
         require(data.length >= 2 && data.length % 2 == 0,
           s"media_id=$id: PCM payload must be a non-empty whole number of" +
             s" 16-bit samples, got ${data.length} bytes")
+        // ... and a whole number of FRAMES matching the header: for
+        // multi-channel PCM a payload ending mid-frame (e.g. 2 of 4
+        // stereo-frame bytes) is sample-aligned yet still truncated.
+        // AudioInputStream floors each read to whole frames, so the
+        // mid-frame tail of a truncated file is silently DISCARDED
+        // before it reaches `data` — the observable symptom is fewer
+        // bytes than the header's declared frame count, checked here.
+        val frameSize = fmt.getFrameSize // 2 * channels for 16-bit PCM
+        require(frameSize <= 0 || data.length % frameSize == 0,
+          s"media_id=$id: PCM payload must be a whole number of frames, " +
+            s"got ${data.length} bytes with frame size $frameSize " +
+            s"(${fmt.getChannels} channels)")
+        val declared = ais.getFrameLength
+        require(declared < 0 || frameSize <= 0 ||
+            data.length.toLong == declared * frameSize,
+          s"media_id=$id: truncated PCM payload — header declares " +
+            s"$declared frames (${declared * frameSize} bytes) but only " +
+            s"${data.length} bytes are readable")
         val big = fmt.isBigEndian
         var (sum, sumAbs) = (0L, 0L)
         var (mn, mx) = (Int.MaxValue, Int.MinValue)

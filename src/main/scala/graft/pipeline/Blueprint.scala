@@ -438,6 +438,346 @@ object Blueprint {
       .collect()(0).getDouble(0)
   }
 
+  /** One typed EDGE GROUP of a hetero GNN layer: one row per FK edge
+    * (fk columns + an array feature column of width `dim`). The reference
+    * keys one conv per edge type and lets `HeteroConv` SUM the per-type
+    * aggregates into each destination (nn/models/hetero_gnn.py:25-36);
+    * a reverse edge (J5) is just another group whose children frame is
+    * the parent→source join. */
+  final case class EdgeGroup(children: DataFrame, fkCols: Seq[String],
+      featCol: String, dim: Int)
+
+  /** Parameters of the hetero layer: per-group message weights
+    * (`w1(t)`, `b1(t)`) feeding ONE shared readout (`w2`, `b2`). */
+  final case class HeteroGnnParams(w1: Seq[Array[Array[Double]]],
+      b1: Seq[Array[Double]], w2: Array[Double], b2: Double)
+
+  /** Joint training across SEVERAL edge types — the reference's hetero
+    * conv semantics (nn/models/hetero_gnn.py:25-36: one SAGEConv per edge
+    * type, per-destination aggregates summed across types; trained
+    * end-to-end with the decoder, main.py:307-323). [[fitGnnGD]] trains
+    * through ONE FK's scatter-sum; here each group `t` owns a message
+    * layer `h^t_j = σ(x·w1(t)(·)(j) + b1(t)(j))`, a parent's hidden state
+    * is the CROSS-TYPE sum `a_j = Σ_t Σ_{children_t} h^t_j`, and one
+    * shared readout `p = σ(a·w2 + b2)` scores the parent label.
+    *
+    * Because the types enter `a_j` additively, the adjoint decomposes
+    * per type: `∂L/∂h^t(child) = ∂L/∂a(its parent)` independently of
+    * which type carried the message, so the backward pass is
+    * [[fitGnnGD]]'s join-back applied once per group, and the shared
+    * readout's gradient reduces over the SUMMED aggregate. Cost per GD
+    * step: one scatter-sum shuffle per group (all landing on the parent
+    * key, so AQE coalesces them into the same exchange footprint), one
+    * scalar aggregate over parents, one join-back + scalar aggregate per
+    * group. Parameters re-enter each step as literals — no executor
+    * state, 1000-executor-safe; the per-step parent checkpoint releases
+    * as soon as the step's gradients are collected.
+    *
+    * Op order pinned exactly as [[fitGnnGD]] per group for the SQL
+    * restatement; drift is summation-order and exp ulps. */
+  def fitHeteroGnnGD(groups: Seq[EdgeGroup], parents: DataFrame,
+      keyCols: Seq[String], yCol: String, hidden: Int, steps: Int,
+      lr: Double, init: HeteroGnnParams = null): HeteroGnnParams = {
+    require(groups.nonEmpty, "need at least one edge group")
+    require(hidden >= 1, "need at least one hidden unit")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    groups.foreach { g =>
+      require(g.dim >= 1 && g.fkCols.nonEmpty && g.fkCols.length == keyCols.length,
+        s"bad edge group: dim=${g.dim}, fkCols=${g.fkCols} vs keyCols=$keyCols")
+    }
+    val p0 = if (init != null) init else HeteroGnnParams(
+      groups.map(g => Array.tabulate(g.dim, hidden)(
+        (i, j) => 0.1 * (i + 1) * (if (j % 2 == 0) 1 else -1))),
+      groups.map(_ => Array.fill(hidden)(0.0)),
+      Array.tabulate(hidden)(j => 0.1 * (j + 1)),
+      0.0)
+    require(p0.w1.length == groups.length && p0.b1.length == groups.length &&
+      p0.w2.length == hidden &&
+      p0.w1.zip(groups).forall { case (w, g) =>
+        w.length == g.dim && w.forall(_.length == hidden) } &&
+      p0.b1.forall(_.length == hidden), "init shape mismatch")
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val w1 = p0.w1.map(_.map(_.clone()).toArray)
+    val b1 = p0.b1.map(_.clone())
+    val w2 = p0.w2.clone(); var b2 = p0.b2
+    val nG = groups.length
+    def xOf(g: EdgeGroup)(i: Int) = element_at(col(g.featCol), i + 1).cast("double")
+    def hOf(t: Int): Seq[Column] = {
+      val g = groups(t); val x = xOf(g) _
+      (0 until hidden).map { j =>
+        sig((0 until g.dim).map(i => x(i) * lit(w1(t)(i)(j))).reduce(_ + _) +
+          lit(b1(t)(j)))
+      }
+    }
+    (1 to steps).foreach { _ =>
+      // forward: one scatter-sum per group, parents left-join ALL groups
+      // (childless-in-a-type parents aggregate zero for that type)
+      val dst0 = groups.zipWithIndex.foldLeft(
+          parents.select(keyCols.map(col) :+ y.as("__y"): _*)) {
+        case (acc, (g, t)) =>
+          val h = hOf(t)
+          val aggd = g.children.groupBy(g.fkCols.map(col): _*)
+            .agg((0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")).head,
+              (0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")).tail: _*)
+          val renamed = g.fkCols.zip(keyCols).foldLeft(aggd) {
+            case (df, (c, k)) => df.withColumnRenamed(c, k)
+          }
+          acc.join(renamed, keyCols, "left")
+      }
+      val dst = dst0.select(keyCols.map(col) ++ Seq(col("__y")) ++
+          (for { t <- 0 until nG; j <- 0 until hidden }
+            yield coalesce(col(s"__a${t}_$j"), lit(0.0)).as(s"__a${t}_$j")): _*)
+        .localCheckpoint(true)
+      val aTot = (j: Int) =>
+        (0 until nG).map(t => col(s"__a${t}_$j")).reduce(_ + _)
+      val m = (0 until hidden).map(j => aTot(j) * lit(w2(j))).reduce(_ + _) + lit(b2)
+      val dm = sig(m) - col("__y")
+      // shared-readout gradients over the cross-type SUMS
+      val dstSums = (0 until hidden).map(j => sum(dm * aTot(j)).as(s"gv_$j")) ++
+        Seq(sum(dm).as("gb"), count(lit(1)).cast("double").as("n"))
+      val dRow = dst.agg(dstSums.head, dstSums.tail: _*).collect()(0)
+      def gd(name: String) = dRow.getDouble(dRow.fieldIndex(name))
+      val n = gd("n")
+      require(n > 0, "cannot fit on an empty parents frame")
+      // per-group adjoint: the scatter-sum join-back of fitGnnGD, once
+      // per edge type (∂L/∂h^t is dm regardless of the carrying type)
+      val grads = groups.zipWithIndex.map { case (g, t) =>
+        val dmPerDst = keyCols.zip(g.fkCols).foldLeft(
+            dst.select(keyCols.map(col) :+ dm.as("__dm"): _*)) {
+          case (df, (k, c)) => df.withColumnRenamed(k, c)
+        }
+        val back = g.children.join(dmPerDst, g.fkCols)
+        val h = hOf(t); val x = xOf(g) _
+        val backSums =
+          (for { i <- 0 until g.dim; j <- 0 until hidden }
+            yield sum(col("__dm") * lit(w2(j)) * (h(j) * (lit(1.0) - h(j))) * x(i))
+              .as(s"gw_${i}_$j")) ++
+          (0 until hidden).map(j =>
+            sum(col("__dm") * lit(w2(j)) * (h(j) * (lit(1.0) - h(j)))).as(s"gc_$j"))
+        back.agg(backSums.head, backSums.tail: _*).collect()(0)
+      }
+      groups.zipWithIndex.foreach { case (g, t) =>
+        val bRow = grads(t)
+        def gb(name: String) =
+          if (bRow.isNullAt(bRow.fieldIndex(name))) 0.0
+          else bRow.getDouble(bRow.fieldIndex(name))
+        for (i <- 0 until g.dim; j <- 0 until hidden)
+          w1(t)(i)(j) = w1(t)(i)(j) - lr * (gb(s"gw_${i}_$j") / n)
+        for (j <- 0 until hidden)
+          b1(t)(j) = b1(t)(j) - lr * (gb(s"gc_$j") / n)
+      }
+      for (j <- 0 until hidden) w2(j) = w2(j) - lr * (gd(s"gv_$j") / n)
+      b2 = b2 - lr * (gd("gb") / n)
+      graft.util.Checkpoints.release(dst)
+    }
+    HeteroGnnParams(w1.toSeq, b1.toSeq, w2, b2)
+  }
+
+  /** Mean logistic loss of [[fitHeteroGnnGD]]'s network — one scatter-sum
+    * per group + one aggregate; the finite-difference anchor proving the
+    * gradient flows through EVERY group's aggregation and the shared
+    * readout. */
+  def heteroGnnLogLoss(groups: Seq[EdgeGroup], parents: DataFrame,
+      keyCols: Seq[String], yCol: String, p: HeteroGnnParams): Double = {
+    val hidden = p.w2.length
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val joined = groups.zipWithIndex.foldLeft(
+        parents.select(keyCols.map(col) :+ y.as("__y"): _*)) {
+      case (acc, (g, t)) =>
+        val x = (i: Int) => element_at(col(g.featCol), i + 1).cast("double")
+        val h = (0 until hidden).map { j =>
+          sig((0 until g.dim).map(i => x(i) * lit(p.w1(t)(i)(j))).reduce(_ + _) +
+            lit(p.b1(t)(j)))
+        }
+        val aggd = g.children.groupBy(g.fkCols.map(col): _*)
+          .agg((0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")).head,
+            (0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")).tail: _*)
+        val renamed = g.fkCols.zip(keyCols).foldLeft(aggd) {
+          case (df, (c, k)) => df.withColumnRenamed(c, k)
+        }
+        acc.join(renamed, keyCols, "left")
+    }
+    val m = (0 until hidden).map { j =>
+      (0 until groups.length)
+        .map(t => coalesce(col(s"__a${t}_$j"), lit(0.0))).reduce(_ + _) * lit(p.w2(j))
+    }.reduce(_ + _) + lit(p.b2)
+    val pr = sig(m)
+    joined
+      .agg(avg(-(col("__y") * log(pr) + (lit(1.0) - col("__y")) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
+  }
+
+  /** Parameters of the attention GNN layer: message weights `w1`/`b1`,
+    * attention scorer `u` (no score bias — softmax is shift-invariant,
+    * so a bias there has exactly zero gradient), shared readout
+    * `w2`/`b2`. */
+  final case class AttnGnnParams(w1: Array[Array[Double]], b1: Array[Double],
+      u: Array[Double], w2: Array[Double], b2: Double)
+
+  /** Backprop THROUGH the softmax attention aggregation — the last
+    * forward-only trainable shape in the engine. The reference trains
+    * `AttentionAggregation` (nn/aggr/attention.py:10-41: softmax(q·k/√d)
+    * then a weighted reduce) end-to-end; here the attention score is the
+    * trainable linear form `e_c = x_c·u`, the weights are the per-parent
+    * softmax `α_c = softmax(e)` (A9's numerically-stable two-window
+    * device, [[VectorAgg.softmaxAggregate]]), messages are
+    * `h_cj = σ(x_c·w1(·)(j) + b1(j))`, a parent aggregates
+    * `a_j = Σ_c α_c·h_cj`, and the readout `p = σ(a·w2 + b2)` scores the
+    * parent label (mean logistic loss; childless parents aggregate zero).
+    *
+    * The softmax Jacobian collapses to a per-edge scalar: with
+    * `m_c = Σ_j w2_j·h_cj` (the edge's readout-projected message) and
+    * `s = Σ_j w2_j·a_j` (its parent's aggregate projection),
+    * `∂L/∂e_c = dm·α_c·(m_c − s)` — so the attention gradient needs only
+    * the SAME join-back as the scatter-sum adjoint, carrying two extra
+    * scalars, and all parameter gradients reduce as flat edge sums. The
+    * message-weight path holds α fixed per edge (`∂L/∂h_cj = dm·w2_j·α_c`)
+    * because e does not read h. Cost per GD step: one windowed-softmax
+    * pass + scatter-sum (both on the parent key — one exchange + sort),
+    * one scalar aggregate over parents, one join-back + scalar aggregate
+    * over edges. The edge frame with α is checkpointed (both passes read
+    * it) and released with the parent frame once gradients are
+    * collected. */
+  def fitAttnGnnGD(children: DataFrame, fkCols: Seq[String], featCol: String,
+      parents: DataFrame, keyCols: Seq[String], yCol: String,
+      dim: Int, hidden: Int, steps: Int, lr: Double,
+      init: AttnGnnParams = null): AttnGnnParams = {
+    require(dim >= 1 && hidden >= 1, "need at least one feature and hidden unit")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    require(fkCols.nonEmpty && fkCols.length == keyCols.length,
+      s"FK arity mismatch: $fkCols vs $keyCols")
+    val p0 = if (init != null) init else AttnGnnParams(
+      Array.tabulate(dim, hidden)((i, j) => 0.1 * (i + 1) * (if (j % 2 == 0) 1 else -1)),
+      Array.fill(hidden)(0.0),
+      Array.tabulate(dim)(i => 0.05 * (i + 1)),
+      Array.tabulate(hidden)(j => 0.1 * (j + 1)),
+      0.0)
+    require(p0.w1.length == dim && p0.w1.forall(_.length == hidden) &&
+      p0.b1.length == hidden && p0.u.length == dim && p0.w2.length == hidden,
+      "init shape mismatch")
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val w1 = p0.w1.map(_.clone()); val b1 = p0.b1.clone()
+    val u = p0.u.clone(); val w2 = p0.w2.clone(); var b2 = p0.b2
+    import org.apache.spark.sql.expressions.Window
+    (1 to steps).foreach { _ =>
+      val h = (0 until hidden).map { j =>
+        sig((0 until dim).map(i => x(i) * lit(w1(i)(j))).reduce(_ + _) + lit(b1(j)))
+      }
+      val e = (0 until dim).map(i => x(i) * lit(u(i))).reduce(_ + _)
+      // per-parent softmax: A9's stable two-window form (one exchange)
+      val w = Window.partitionBy(fkCols.map(col): _*)
+      val stable = exp(e - max(e).over(w))
+      val alpha = stable / sum(stable).over(w)
+      val ed = children.select(
+          fkCols.map(col) ++
+          (0 until dim).map(i => x(i).as(s"__x$i")) ++
+          (0 until hidden).map(j => h(j).as(s"__h$j")) ++
+          Seq(alpha.as("__al")): _*)
+        .localCheckpoint(true)
+      // forward: α-weighted scatter-sum; childless parents aggregate zero
+      val aggd = ed.groupBy(fkCols.map(col): _*)
+        .agg((0 until hidden).map(j =>
+            sum(col("__al") * col(s"__h$j")).as(s"__a$j")).head,
+          (0 until hidden).map(j =>
+            sum(col("__al") * col(s"__h$j")).as(s"__a$j")).tail: _*)
+      val renamed = fkCols.zip(keyCols).foldLeft(aggd) {
+        case (df, (c, k)) => df.withColumnRenamed(c, k)
+      }
+      val dst = parents
+        .select(keyCols.map(col) :+ y.as("__y"): _*)
+        .join(renamed, keyCols, "left")
+        .select(keyCols.map(col) ++ Seq(col("__y")) ++
+          (0 until hidden).map(j => coalesce(col(s"__a$j"), lit(0.0)).as(s"__a$j")): _*)
+        .localCheckpoint(true)
+      val m = (0 until hidden).map(j => col(s"__a$j") * lit(w2(j))).reduce(_ + _) + lit(b2)
+      val dm = sig(m) - col("__y")
+      val sProj = (0 until hidden).map(j => col(s"__a$j") * lit(w2(j))).reduce(_ + _)
+      // readout gradients: one scalar aggregate over parents
+      val dstSums = (0 until hidden).map(j => sum(dm * col(s"__a$j")).as(s"gv_$j")) ++
+        Seq(sum(dm).as("gb"), count(lit(1)).cast("double").as("n"))
+      val dRow = dst.agg(dstSums.head, dstSums.tail: _*).collect()(0)
+      def gd(name: String) = dRow.getDouble(dRow.fieldIndex(name))
+      val n = gd("n")
+      require(n > 0, "cannot fit on an empty parents frame")
+      // adjoint: join each parent's (dm, s) back onto its edge rows
+      val dmPerDst = keyCols.zip(fkCols).foldLeft(
+          dst.select(keyCols.map(col) ++ Seq(dm.as("__dm"), sProj.as("__s")): _*)) {
+        case (df, (k, c)) => df.withColumnRenamed(k, c)
+      }
+      val back = ed.join(dmPerDst, fkCols)
+      val hB = (j: Int) => col(s"__h$j")
+      val xB = (i: Int) => col(s"__x$i")
+      val mProj = (0 until hidden).map(j => hB(j) * lit(w2(j))).reduce(_ + _)
+      val backSums =
+        (for { i <- 0 until dim; j <- 0 until hidden }
+          yield sum(col("__dm") * lit(w2(j)) * col("__al") *
+              (hB(j) * (lit(1.0) - hB(j))) * xB(i)).as(s"gw_${i}_$j")) ++
+        (0 until hidden).map(j =>
+          sum(col("__dm") * lit(w2(j)) * col("__al") *
+            (hB(j) * (lit(1.0) - hB(j)))).as(s"gc_$j")) ++
+        (0 until dim).map(i =>
+          sum(col("__dm") * col("__al") * (mProj - col("__s")) * xB(i)).as(s"gu_$i"))
+      val bRow = back.agg(backSums.head, backSums.tail: _*).collect()(0)
+      def gb(name: String) =
+        if (bRow.isNullAt(bRow.fieldIndex(name))) 0.0
+        else bRow.getDouble(bRow.fieldIndex(name))
+      for (i <- 0 until dim; j <- 0 until hidden)
+        w1(i)(j) = w1(i)(j) - lr * (gb(s"gw_${i}_$j") / n)
+      for (j <- 0 until hidden) {
+        b1(j) = b1(j) - lr * (gb(s"gc_$j") / n)
+        w2(j) = w2(j) - lr * (gd(s"gv_$j") / n)
+      }
+      for (i <- 0 until dim) u(i) = u(i) - lr * (gb(s"gu_$i") / n)
+      b2 = b2 - lr * (gd("gb") / n)
+      graft.util.Checkpoints.release(dst)
+      graft.util.Checkpoints.release(ed)
+    }
+    AttnGnnParams(w1, b1, u, w2, b2)
+  }
+
+  /** Mean logistic loss of [[fitAttnGnnGD]]'s network — one windowed
+    * softmax + scatter-sum + one aggregate; the finite-difference anchor
+    * proving the gradient flows through the attention WEIGHTS (u) as
+    * well as the message and readout layers. */
+  def attnGnnLogLoss(children: DataFrame, fkCols: Seq[String], featCol: String,
+      parents: DataFrame, keyCols: Seq[String], yCol: String,
+      p: AttnGnnParams): Double = {
+    val dim = p.w1.length; val hidden = p.b1.length
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val h = (0 until hidden).map { j =>
+      sig((0 until dim).map(i => x(i) * lit(p.w1(i)(j))).reduce(_ + _) + lit(p.b1(j)))
+    }
+    val e = (0 until dim).map(i => x(i) * lit(p.u(i))).reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(fkCols.map(col): _*)
+    val stable = exp(e - max(e).over(w))
+    val alpha = stable / sum(stable).over(w)
+    val ed = children.select(fkCols.map(col) ++
+      (0 until hidden).map(j => (alpha * h(j)).as(s"__wh$j")): _*)
+    val aggd = ed.groupBy(fkCols.map(col): _*)
+      .agg((0 until hidden).map(j => sum(col(s"__wh$j")).as(s"__a$j")).head,
+        (0 until hidden).map(j => sum(col(s"__wh$j")).as(s"__a$j")).tail: _*)
+    val renamed = fkCols.zip(keyCols).foldLeft(aggd) {
+      case (df, (c, k)) => df.withColumnRenamed(c, k)
+    }
+    val m = (0 until hidden)
+      .map(j => coalesce(col(s"__a$j"), lit(0.0)) * lit(p.w2(j))).reduce(_ + _) +
+      lit(p.b2)
+    val pr = sig(m)
+    parents.select(keyCols.map(col) :+ y.as("__y"): _*)
+      .join(renamed, keyCols, "left")
+      .agg(avg(-(col("__y") * log(pr) + (lit(1.0) - col("__y")) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
+  }
+
   /** Mean logistic loss of [[fitMlpGD]]'s network — one aggregation pass;
     * the training-progress metric and the finite-difference anchor for
     * gradient correctness in specs. */

@@ -240,9 +240,12 @@ object Sampling {
     * candidates are collapsed to unique NODES first, so the budget counts
     * nodes, and a node's selection odds don't scale with its in-edge
     * count. Then at most `budget` nodes per type survive, ranked by the
-    * md5 coin of the node key in its own `:hgt:` seed namespace (the
+    * md5 coin of (type, key) in its own `:hgt:` seed namespace (the
     * upsample `:up:` device — independent of any other sampler's draw on
-    * the same key). Pure function of (key, seed): stable across runs,
+    * the same key; hashing the TYPE in keeps two node types that share a
+    * key string on independent draws, so a shared key is not favored in
+    * both types together). Pure function of (type, key, seed): stable
+    * across runs,
     * partitionings and engines; one distinct + one WindowGroupLimit-
     * planned top-budget per type, SQL-restatable as row_number over the
     * same md5 order. */
@@ -250,7 +253,8 @@ object Sampling {
       budget: Int, seed: String = "42"): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val uniq = candidates.select(col(typeCol), col(keyCol)).distinct()
-    val coin = md5(concat(col(keyCol).cast("string"), lit(":hgt:" + seed)))
+    val coin = md5(concat(col(typeCol).cast("string"), lit(":"),
+      col(keyCol).cast("string"), lit(":hgt:" + seed)))
     val w = Window.partitionBy(col(typeCol)).orderBy(coin, col(keyCol))
     uniq.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= budget).drop("__rn")

@@ -28,25 +28,42 @@ object Checkpoints {
   /** Unpersisting a locally-checkpointed RDD logs a WARN ("lineage has
     * been truncated and cannot be recomputed") — here that is the whole
     * POINT (the contract above releases only unreachable frames), and a
-    * 186-query sweep would emit hundreds of them. Drop that logger to
-    * ERROR once; the logger name is the concrete RDD class. */
-  private lazy val quietUnpersistWarning: Unit =
+    * 186-query sweep would emit hundreds of them. Suppression is SCOPED:
+    * the logger (named for the concrete RDD class) is dropped to ERROR
+    * only around the unpersist call and restored after, so legitimate
+    * truncated-lineage warnings from unrelated unpersists elsewhere
+    * (Bench's between-query sweep, ShufProbe) still surface. */
+  private def quietly[A](body: => A): A = {
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prev =
+      try Option(org.apache.logging.log4j.LogManager.getLogger(name).getLevel)
+      catch { case _: Throwable => None }
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+      name, org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
+    try body
+    finally prev.foreach { lvl =>
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(name, lvl)
+      catch { case _: Throwable => () }
+    }
+  }
 
-  /** Unpersist the storage blocks behind every `LogicalRDD` leaf in
-    * `df`'s analyzed plan (a checkpointed DataFrame IS one such leaf).
+  /** Unpersist the storage blocks behind `df`, which MUST be a bare
+    * checkpoint frame — its analyzed plan a single `LogicalRDD` leaf,
+    * exactly what `localCheckpoint()` returns. Anything else (a
+    * projection/join DERIVED from a checkpoint) throws: unpersisting the
+    * leaves under a derived frame would release blocks the caller still
+    * owns, and a truncated-lineage checkpoint cannot be recomputed, so
+    * that misuse must fail fast rather than corrupt caller state.
     * Non-blocking: the block-manager removal proceeds asynchronously, but
     * the RDD leaves the persistent-RDD registry immediately, so storage
     * accounting (and [[org.apache.spark.SparkContext#getPersistentRDDs]])
     * reflects the release at once. */
-  def release(df: DataFrame): Unit = {
-    quietUnpersistWarning
-    df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => quietly(lr.rdd.unpersist(blocking = false))
+    case other => throw new IllegalArgumentException(
+      "Checkpoints.release expects a bare checkpoint frame (a single " +
+        s"LogicalRDD leaf); got ${other.nodeName} — releasing a derived " +
+        "frame would unpersist blocks the caller still owns")
   }
 }

@@ -114,6 +114,24 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(n <= 1, s"LabelProp left $n persisted frames (want ≤1: the final labels)")
   }
 
+  test("Checkpoints.release refuses derived frames and restores the logger") {
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val before = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
+    val ck = (1L to 4L).toDF("id").localCheckpoint(true)
+    // a frame DERIVED from a checkpoint must be rejected: releasing its
+    // leaves would unpersist blocks the caller still owns, and truncated
+    // lineage makes that unrecoverable
+    val e = intercept[IllegalArgumentException] {
+      graft.util.Checkpoints.release(ck.filter($"id" > 1L))
+    }
+    assert(e.getMessage.contains("bare checkpoint frame"))
+    assert(ck.count() == 4) // the refusal left the caller's blocks intact
+    graft.util.Checkpoints.release(ck) // the bare leaf itself releases fine
+    // the WARN suppression is scoped: the process-wide level is restored
+    val after = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
+    assert(after == before, s"logger level leaked: $before -> $after")
+  }
+
   test("trainBpe releases every working frame (driver-side result)") {
     val n = newlyPersisted {
       val merges = graft.text.Chunker.trainBpe(docs, "text", nMerges = 4)

@@ -77,6 +77,23 @@ class EntrySmokeSpec extends SparkSpec {
     "bpe1_bpe_merges" -> "bpe1b_bpe_first_merge",
     "bpe2_bpe_segment" -> "bpe2b_bpe_apply_fixed")
 
+  test("PLANS.lock covers exactly the registered queries (fast, Spark-free)") {
+    // The full fingerprint comparison lives in PlanQualitySpec and needs
+    // Spark plans; this set-difference check fails in seconds with the
+    // same message when a query is registered without regenerating the
+    // lock (round-11 gate break: fp2 landed lock-less in the snapshot
+    // commit and was only caught minutes into PlanQualitySpec).
+    val lockFile = new java.io.File("PLANS.lock")
+    assert(lockFile.exists(), "PLANS.lock missing — run graft.tools.PlanLock")
+    val locked = scala.io.Source.fromFile(lockFile).getLines()
+      .filter(_.contains(":")).map(_.takeWhile(_ != ':').trim).toSet
+    val registered = SparkEntry.queries.keySet
+    assert(registered -- locked == Set.empty[String],
+      s"new queries not in lock (run graft.tools.PlanLock and review): ${(registered -- locked).toSeq.sorted}")
+    assert(locked -- registered == Set.empty[String],
+      s"stale lock entries for unregistered queries: ${(locked -- registered).toSeq.sorted}")
+  }
+
   test("every rows-only query's anchor twin is itself oracle-checked") {
     val unanchored = anchorOf.collect {
       case (q, a) if !SparkEntry.oracleSql.contains(a) => s"$q -> $a"

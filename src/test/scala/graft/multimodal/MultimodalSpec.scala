@@ -179,6 +179,27 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(ze.getMessage.contains("media_id=9") ||
       Option(ze.getCause).exists(_.getMessage.contains("media_id=9")))
+    // a truncated STEREO file — 2 bytes chopped off a 2-frame payload.
+    // AudioInputStream floors reads to whole frames, so the torn tail is
+    // silently discarded and only 1 of the header's 2 declared frames is
+    // readable; the declared-vs-read frame check must fail loudly
+    val tornStereo = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val pcm = Array[Byte](1, 0, 2, 0, 3, 0, 4, 0) // 2 whole stereo frames
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 2L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray.dropRight(2)
+    }
+    val torn = Multimodal.asMedia(Seq((10L, tornStereo)).toDF("id", "w"),
+      "id", "w", "audio/wav")
+    val te = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavStats(torn).collect()
+    }
+    val teMsg = te.getMessage + Option(te.getCause).map(_.getMessage).getOrElse("")
+    assert(teMsg.contains("media_id=10") && teMsg.contains("truncated"))
   }
 
   test("frameOffsets samples every N ms over the recorded duration") {

@@ -272,6 +272,121 @@ class BlueprintSpec extends SparkSpec {
       "fitGnnGD must release every per-step checkpoint")
   }
 
+  test("fitHeteroGnnGD: joint training across edge types — gradients of BOTH types match finite differences") {
+    // forward type: lineitem-like children (several per parent);
+    // reverse type (J5): exactly one "child" per parent with 1-dim feature
+    val liChildren = Seq(
+      (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (1L, Array(2.0, 1.0)),
+      (2L, Array(1.0, 1.0)),
+      (3L, Array(0.5, 2.0)), (3L, Array(1.5, 0.5)),
+      (99L, Array(9.0, 9.0)) // dangling: reaches nobody
+    ).toDF("fk", "feat")
+    val revChildren = Seq(
+      (1L, Array(0.7)), (2L, Array(-0.3)), (3L, Array(1.2))
+      // parent 4 is childless in BOTH types
+    ).toDF("fk", "feat")
+    val parents = Seq((1L, 1.0), (2L, 0.0), (3L, 1.0), (4L, 0.0))
+      .toDF("pid", "y")
+    val groups = Seq(
+      Blueprint.EdgeGroup(liChildren, Seq("fk"), "feat", dim = 2),
+      Blueprint.EdgeGroup(revChildren, Seq("fk"), "feat", dim = 1))
+    val init = Blueprint.HeteroGnnParams(
+      Seq(Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(Array(0.2, 0.3))),
+      Seq(Array(0.05, -0.05), Array(0.0, 0.1)),
+      Array(0.25, -0.35), 0.1)
+    def deepCopy(p: Blueprint.HeteroGnnParams) = Blueprint.HeteroGnnParams(
+      p.w1.map(_.map(_.clone())), p.b1.map(_.clone()), p.w2.clone(), p.b2)
+    val lr = 1e-3
+    val stepped = Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+      hidden = 2, steps = 1, lr = lr, init = deepCopy(init))
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.HeteroGnnParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.heteroGnnLogLoss(groups, parents, Seq("pid"), "y", p)
+    }
+    // a message weight of EACH type — both adjoint join-backs must be live
+    val gradT0 = (init.w1(0)(0)(0) - stepped.w1(0)(0)(0)) / lr
+    val fdT0 = (lossWith(_.w1(0)(0)(0) += eps) - lossWith(_.w1(0)(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradT0 - fdT0) < 1e-4, s"type-0 w1 grad $gradT0 vs fd $fdT0")
+    val gradT1 = (init.w1(1)(0)(1) - stepped.w1(1)(0)(1)) / lr
+    val fdT1 = (lossWith(_.w1(1)(0)(1) += eps) - lossWith(_.w1(1)(0)(1) -= eps)) / (2 * eps)
+    assert(math.abs(gradT1 - fdT1) < 1e-4, s"type-1 w1 grad $gradT1 vs fd $fdT1")
+    val gradB11 = (init.b1(1)(0) - stepped.b1(1)(0)) / lr
+    val fdB11 = (lossWith(_.b1(1)(0) += eps) - lossWith(_.b1(1)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradB11 - fdB11) < 1e-4, s"type-1 b1 grad $gradB11 vs fd $fdB11")
+    // the SHARED readout sees the cross-type sum
+    val gradV0 = (init.w2(0) - stepped.w2(0)) / lr
+    val fdV0 = (lossWith(_.w2(0) += eps) - lossWith(_.w2(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradV0 - fdV0) < 1e-4, s"w2 grad $gradV0 vs fd $fdV0")
+    // training lowers the loss end to end
+    val trained = Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+      hidden = 2, steps = 60, lr = 0.5, init = deepCopy(init))
+    assert(Blueprint.heteroGnnLogLoss(groups, parents, Seq("pid"), "y", trained) <
+      Blueprint.heteroGnnLogLoss(groups, parents, Seq("pid"), "y", init))
+    // per-step checkpoints released
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+      hidden = 2, steps = 2, lr = 0.1, init = deepCopy(init))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "fitHeteroGnnGD must release every per-step checkpoint")
+  }
+
+  test("fitAttnGnnGD: gradient flows THROUGH the attention weights; loss falls") {
+    val children = Seq(
+      (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (1L, Array(2.0, 1.0)),
+      (2L, Array(1.0, 1.0)),
+      (3L, Array(0.5, 2.0)), (3L, Array(1.5, 0.5)),
+      (99L, Array(9.0, 9.0))
+    ).toDF("fk", "feat")
+    val parents = Seq((1L, 1.0), (2L, 0.0), (3L, 1.0), (4L, 0.0))
+      .toDF("pid", "y")
+    val init = Blueprint.AttnGnnParams(
+      Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(0.05, -0.05),
+      Array(0.15, -0.25), Array(0.25, -0.35), 0.1)
+    def deepCopy(p: Blueprint.AttnGnnParams) = Blueprint.AttnGnnParams(
+      p.w1.map(_.clone()), p.b1.clone(), p.u.clone(), p.w2.clone(), p.b2)
+    val lr = 1e-3
+    val stepped = Blueprint.fitAttnGnnGD(children, Seq("fk"), "feat",
+      parents, Seq("pid"), "y", dim = 2, hidden = 2, steps = 1, lr = lr,
+      init = deepCopy(init))
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.AttnGnnParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.attnGnnLogLoss(children, Seq("fk"), "feat", parents, Seq("pid"), "y", p)
+    }
+    // the ATTENTION weights: the softmax-Jacobian path dm·α·(m−s)·x
+    val gradU0 = (init.u(0) - stepped.u(0)) / lr
+    val fdU0 = (lossWith(_.u(0) += eps) - lossWith(_.u(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradU0 - fdU0) < 1e-4, s"u0 grad $gradU0 vs fd $fdU0")
+    val gradU1 = (init.u(1) - stepped.u(1)) / lr
+    val fdU1 = (lossWith(_.u(1) += eps) - lossWith(_.u(1) -= eps)) / (2 * eps)
+    assert(math.abs(gradU1 - fdU1) < 1e-4, s"u1 grad $gradU1 vs fd $fdU1")
+    // the attention gradient is NOT trivially zero on this data
+    assert(math.abs(fdU0) > 1e-6 || math.abs(fdU1) > 1e-6,
+      "fixture must exercise the attention path")
+    // message weights still correct with α in the chain
+    val gradW00 = (init.w1(0)(0) - stepped.w1(0)(0)) / lr
+    val fdW00 = (lossWith(_.w1(0)(0) += eps) - lossWith(_.w1(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradW00 - fdW00) < 1e-4, s"w1 grad $gradW00 vs fd $fdW00")
+    val gradV1 = (init.w2(1) - stepped.w2(1)) / lr
+    val fdV1 = (lossWith(_.w2(1) += eps) - lossWith(_.w2(1) -= eps)) / (2 * eps)
+    assert(math.abs(gradV1 - fdV1) < 1e-4, s"w2 grad $gradV1 vs fd $fdV1")
+    // training lowers the loss end to end
+    val trained = Blueprint.fitAttnGnnGD(children, Seq("fk"), "feat",
+      parents, Seq("pid"), "y", dim = 2, hidden = 2, steps = 60, lr = 0.5,
+      init = deepCopy(init))
+    assert(Blueprint.attnGnnLogLoss(children, Seq("fk"), "feat",
+        parents, Seq("pid"), "y", trained) <
+      Blueprint.attnGnnLogLoss(children, Seq("fk"), "feat",
+        parents, Seq("pid"), "y", init))
+    // per-step checkpoints (edge frame AND parent frame) released
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Blueprint.fitAttnGnnGD(children, Seq("fk"), "feat", parents, Seq("pid"), "y",
+      dim = 2, hidden = 2, steps = 2, lr = 0.1, init = deepCopy(init))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "fitAttnGnnGD must release every per-step checkpoint")
+  }
+
   test("metrics: accuracy and regression suite") {
     val df = Seq((1, 1, 2.0, 2.5), (0, 1, 4.0, 3.5), (1, 1, 6.0, 6.0))
       .toDF("pred", "y", "yhat", "ytrue")

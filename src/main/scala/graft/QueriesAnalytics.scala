@@ -1,0 +1,1215 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.VectorAgg
+import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles}
+import graft.functions.ZOrder
+import graft.catalog.{ConstraintRegistry, ParquetCatalog}
+import graft.convert.{CategoricalCodes, Converters, TableConverter}
+import graft.dedup.Dedup
+import graft.features.Features
+import graft.functions.Normalizers
+import graft.graph.RelGraph
+import graft.joins.TemporalJoins
+import graft.multimodal.Multimodal
+import graft.sample.{BfsSampler, Sampling}
+import graft.schema._
+import graft.similarity.{Ivf, Quantize, Similarity}
+import graft.streaming.EventStream
+import graft.text.TextAnalysis
+
+
+/** Registry domain: behavioral analytics, data layout, sampling, contamination. See [[SparkEntry]] for the contract. */
+private[graft] object QueriesAnalytics {
+  import QBase._
+
+  // Behavioral analytics / data layout / sampling / contamination (round 6)
+  // ====================================================================
+
+  /** Ordered signup→click→purchase funnel over the first day: one fold
+    * per user, no stage-count joins (the SQL restatement IS the n-join
+    * form — the engine's one-shuffle fold must agree with it exactly).
+    * The day slice keeps stage counts strictly decaying, so the
+    * strict-order semantics are actually discriminated, not saturated. */
+  private[graft] val qFunnel = Q("fn1_funnel",
+    (s, d) => Behavior.funnel(
+        events(s, d).filter(col("ts") < lit("2024-01-02").cast("timestamp")),
+        "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+      .orderBy("stage"),
+    Some("""WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02'),
+      s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        WHERE event_type='signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+        JOIN s1 USING (user_id)
+        WHERE e.event_type='click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+        JOIN s2 USING (user_id)
+        WHERE e.event_type='purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT 0 AS stage, 'signup' AS name, (SELECT count(*) FROM s1) AS users
+      UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s3)
+      ORDER BY stage"""))
+
+  /** Cohort retention: first-event-date cohorts × whole-week offsets,
+    * distinct active users per cell. */
+  private[graft] val qCohort = Q("coh1_cohort_retention",
+    (s, d) => Behavior.cohortRetention(events(s, d), "user_id", "ts")
+      .orderBy("cohort_day", "week_offset"),
+    Some("""WITH f AS (SELECT user_id, min(ts::DATE) AS cohort_day
+        FROM events GROUP BY 1)
+      SELECT f.cohort_day::VARCHAR AS cohort_day,
+        (date_diff('day', f.cohort_day, e.ts::DATE) // 7)::INT AS week_offset,
+        count(DISTINCT e.user_id) AS users
+      FROM events e JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** SCD2 dimension history from the purchase change log: per-user value
+    * tier versioned with half-open validity intervals; consecutive
+    * same-tier purchases collapse into one version. */
+  private[graft] val qScd2 = Q("scd1_scd2_history",
+    (s, d) => Features.scd2(
+        events(s, d).filter(col("event_type") === "purchase")
+          .withColumn("tier", floor(col("value") / 25)),
+        "user_id", "ts", "tier", "event_id")
+      .orderBy("user_id", "valid_from_us"),
+    Some("""WITH p AS (SELECT user_id, ts, event_id,
+          floor(value / 25)::BIGINT AS tier
+        FROM events WHERE event_type='purchase'),
+      w AS (SELECT *, lag(tier) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM p),
+      c AS (SELECT user_id, ts, event_id, tier FROM w
+        WHERE prev IS DISTINCT FROM tier),
+      v AS (SELECT user_id, tier, epoch_us(ts) AS valid_from_us,
+          epoch_us(lead(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+        FROM c)
+      SELECT user_id, tier, valid_from_us, valid_to_us,
+        valid_to_us IS NULL AS is_current
+      FROM v ORDER BY user_id, valid_from_us"""))
+
+  /** Key-skew diagnosis on the orders→customer FK: the profile a pipeline
+    * reads before choosing salting / AQE settings. */
+  private[graft] val qKeyProfile = Q("sk2_key_profile",
+    (s, d) => graft.agg.Skew.keyProfile(t(s, d, "orders"), "o_custkey"),
+    Some("""WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+      t AS (SELECT sum(c)::BIGINT AS n, count(*) AS n_keys,
+        max(c) AS max_key_rows, stddev_samp(c) AS sd, avg(c) AS mean FROM c)
+      SELECT t.n AS n_rows, t.n_keys, t.max_key_rows,
+        round(t.max_key_rows / t.n::DOUBLE, 6) AS max_share,
+        round(t.sd / t.mean, 4) AS count_cv,
+        round(-sum((c.c / t.n::DOUBLE) * ln(c.c / t.n::DOUBLE)), 4) AS entropy_nats
+      FROM c CROSS JOIN t
+      GROUP BY t.n, t.n_keys, t.max_key_rows, t.sd, t.mean"""))
+
+  /** Engine-portable stratified downsample (md5 coin): rebalance the
+    * corpus by language — keep 25% of en, 50% of de, all the rest. */
+  private[graft] val qStratified = Q("w9_stratified_sample",
+    (s, d) => Sampling.stratifiedSamplePortable(t(s, d, "documents"),
+        "lang", "doc_id", Map("en" -> 0.25, "de" -> 0.5))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE substr(md5(doc_id::VARCHAR || ':42'), 1, 4) <
+        CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000' ELSE 'g' END
+      ORDER BY doc_id"""))
+
+  /** Benchmark-contamination scan: share of each document's 3-gram
+    * shingles found in a (hash-sampled) benchmark set — the
+    * decontamination gate of a training-data pipeline. The sampled docs
+    * themselves score 1.0 by construction. */
+  private[graft] val qContamination = Q("cont1_contamination",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contamination(docs,
+          Sampling.hashSample(docs, "doc_id", "20"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      ds AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      bs AS (SELECT DISTINCT sh FROM (SELECT unnest(toks) AS sh FROM s
+        WHERE substr(md5(doc_id::VARCHAR),1,2) < '20')),
+      pd AS (SELECT d.doc_id, count(*) AS n_shingles,
+          sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+        FROM ds d LEFT JOIN bs b ON d.sh = b.sh GROUP BY 1)
+      SELECT doc.doc_id, pd.n_shingles, pd.n_hit,
+        round(pd.n_hit / pd.n_shingles::DOUBLE, 4) AS contaminated_frac
+      FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
+      ORDER BY doc.doc_id"""))
+
+  /** Z-order (Morton) clustering key over (o_custkey, o_orderkey): 64
+    * interleave-prefix buckets, each covering a compact rectangle of key
+    * space — the min/max spans per bucket are exactly the file statistics
+    * data skipping would prune on. Native codegen expression on the Spark
+    * side; generated bit-arithmetic restatement on the oracle side. */
+  private[graft] def zorderSql(aExpr: String, bExpr: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($aExpr) >> $i) & 1) * ${1L << (2 * i)}",
+      s"((($bExpr) >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString("(", " + ", ")")
+
+  private[graft] val qZOrder = Q("zo1_zorder_stats",
+    (s, d) => t(s, d, "orders")
+      .groupBy(shiftright(ZOrder.z(col("o_custkey"), col("o_orderkey"), 10), 14)
+        .as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+        min(col("o_orderkey")).as("min_ok"), max(col("o_orderkey")).as("max_ok"))
+      .orderBy("zbucket"),
+    Some(s"""SELECT ${zorderSql("o_custkey & 1023", "o_orderkey & 1023", 10)} >> 14
+        AS zbucket,
+        count(*) AS n, min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+        min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Triangle count of the co-purchase graph (parts sharing an order):
+    * degree-oriented wedge enumeration on the Spark side — bounded m^1.5
+    * wedges at any skew — against the naive 3-way self-join restatement
+    * (same count by definition, affordable at oracle SF). */
+  private[graft] val qTriangles = Q("tc1_triangle_count",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.Triangles.count(e, "u", "v")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      SELECT count(*) AS triangles FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"""))
+
+  /** Latest-wins MERGE: a 10% update batch (status 'U') plus a 4% batch of
+    * brand-new keys (status 'N') upserted into orders — one tagged union +
+    * one per-key window against the FULL-JOIN/coalesce restatement. */
+  private[graft] val qUpsert = Q("up1_merge_upsert",
+    (s, d) => {
+      val cur = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val changed = Sampling.hashSample(cur, "o_orderkey", "10")
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+      // fresh keys are negated, not offset: an offset collides with real
+      // orderkeys once SF grows past the offset/6M mark, a negative key never
+      val fresh = Sampling.hashSample(cur, "o_orderkey", "04")
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          lit("N").as("o_orderstatus"))
+      graft.sources.Merge.upsert(cur, changed.unionAll(fresh), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH u AS (SELECT o_orderkey, 'U' AS o_orderstatus FROM orders
+        WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '10'
+        UNION ALL
+        SELECT -o_orderkey, 'N' FROM orders
+        WHERE substr(md5(o_orderkey::VARCHAR),1,2) < '04')
+      SELECT coalesce(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+        coalesce(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus
+      FROM orders o FULL JOIN u ON o.o_orderkey = u.o_orderkey
+      ORDER BY o_orderkey"""))
+
+  /** Declarative data-quality gate: six expectations over orders — five
+    * compiled into ONE conditional-aggregate scan, plus one anti-join
+    * referential check (the parent deliberately filtered so violations are
+    * non-zero and the count is actually discriminated). */
+  private[graft] val qDataQuality = Q("dq1_expectations",
+    (s, d) => {
+      import graft.analyze.DataQuality._
+      run(t(s, d, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 1000, 300000),
+        InSet("o_orderstatus", Seq("O", "F")),
+        Matches("o_orderpriority", "^[1-3]-"),
+        RefIntegrity("o_custkey",
+          t(s, d, "customer").filter(col("c_custkey") < 1000), "c_custkey")))
+        .orderBy("expectation")
+    },
+    Some("""WITH a AS (SELECT
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_nn,
+        (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS v_uq,
+        sum(CASE WHEN o_totalprice IS NOT NULL
+          AND (o_totalprice < 1000 OR o_totalprice > 300000)
+          THEN 1 ELSE 0 END)::BIGINT AS v_rg,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END)::BIGINT AS v_st,
+        sum(CASE WHEN o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+          THEN 1 ELSE 0 END)::BIGINT AS v_re
+        FROM orders),
+      r AS (SELECT count(*)::BIGINT AS v_fk FROM orders o
+        LEFT JOIN (SELECT c_custkey FROM customer WHERE c_custkey < 1000) c
+        ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+      SELECT expectation, violations FROM (
+        SELECT 'not_null(o_custkey)' AS expectation, v_nn AS violations FROM a
+        UNION ALL SELECT 'unique(o_orderkey)', v_uq FROM a
+        UNION ALL SELECT 'in_range(o_totalprice,1000.0,300000.0)', v_rg FROM a
+        UNION ALL SELECT 'in_set(o_orderstatus)', v_st FROM a
+        UNION ALL SELECT 'matches(o_orderpriority)', v_re FROM a
+        UNION ALL SELECT 'ref_integrity(o_custkey)', v_fk FROM r)
+      ORDER BY expectation"""))
+
+  /** Pairwise Pearson correlations over lineitem numerics — one aggregate
+    * pass computes every pair, exploded to long form. */
+  private[graft] val qCorrelation = Q("a17_correlation",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val a = li.agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c1"),
+        corr(col("l_quantity"), col("l_discount")).as("c2"),
+        corr(col("l_extendedprice"), col("l_discount")).as("c3"))
+      a.select(explode(array(
+          struct(lit("l_quantity").as("x"), lit("l_extendedprice").as("y"),
+            round(col("c1"), 4).as("corr")),
+          struct(lit("l_quantity").as("x"), lit("l_discount").as("y"),
+            round(col("c2"), 4).as("corr")),
+          struct(lit("l_extendedprice").as("x"), lit("l_discount").as("y"),
+            round(col("c3"), 4).as("corr")))).as("r"))
+        .select(col("r.x").as("x"), col("r.y").as("y"), col("r.corr").as("corr"))
+        .orderBy("x", "y")
+    },
+    Some("""WITH a AS (SELECT
+        corr(l_quantity, l_extendedprice) AS c1,
+        corr(l_quantity, l_discount) AS c2,
+        corr(l_extendedprice, l_discount) AS c3 FROM lineitem)
+      SELECT x, y, corr FROM (
+        SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, round(c1,4) AS corr FROM a
+        UNION ALL SELECT 'l_quantity', 'l_discount', round(c2,4) FROM a
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c3,4) FROM a)
+      ORDER BY x, y"""))
+
+  /** Equal-frequency quartiles of l_extendedprice: percentile boundaries
+    * (4-decimal-rounded, the cross-engine-stable compare) bucket the scan;
+    * per-bin count/lo/hi. The feature-binning step of a training
+    * pipeline. */
+  private[graft] val qEqualFreqBins = Q("qd1_equal_freq_bins",
+    (s, d) => Quantiles.equalFrequencyBins(t(s, d, "lineitem"),
+        "l_extendedprice", k = 4)
+      .orderBy("bin"),
+    Some("""WITH b AS (SELECT quantile_cont(l_extendedprice,
+          [0.25,0.5,0.75]::DOUBLE[]) AS q
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      SELECT (1 + len(list_filter(b.q, x -> l.l_extendedprice > round(x,4))))::INT
+          AS bin,
+        count(*) AS n, round(min(l_extendedprice),2) AS lo,
+        round(max(l_extendedprice),2) AS hi
+      FROM lineitem l CROSS JOIN b
+      WHERE l.l_extendedprice IS NOT NULL
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Corpus-level heavy hitters: top-10 tokens with deterministic count-
+    * then-term tiebreak — stopword discovery / vocabulary pruning. Partial
+    * (map-side) aggregation does the heavy lifting; only (term, n) pairs
+    * shuffle. */
+  private[graft] val qHeavyHitters = Q("freq1_heavy_hitters",
+    (s, d) => t(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(10),
+    Some("""WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents WHERE text IS NOT NULL)
+      SELECT term, count(*) AS n FROM tok
+      GROUP BY 1 ORDER BY n DESC, term LIMIT 10"""))
+
+  /** Per-language document-length quantiles: grouped exact percentiles in
+    * long form — the stratified distribution profile. */
+  private[graft] val qGroupedQuantiles = Q("a18_grouped_quantiles",
+    (s, d) => Quantiles.groupedExact(t(s, d, "documents"), "lang", "n_chars",
+        Seq(0.25, 0.5, 0.75))
+      .orderBy("lang", "p"),
+    Some("""SELECT lang, p, q FROM (
+        SELECT lang, 0.25::DOUBLE AS p, round(quantile_cont(n_chars, 0.25), 4) AS q
+        FROM documents GROUP BY lang
+        UNION ALL SELECT lang, 0.5::DOUBLE, round(quantile_cont(n_chars, 0.5), 4)
+        FROM documents GROUP BY lang
+        UNION ALL SELECT lang, 0.75::DOUBLE, round(quantile_cont(n_chars, 0.75), 4)
+        FROM documents GROUP BY lang)
+      ORDER BY lang, p"""))
+
+  /** MMR-diversified ANN: widened brute-force shortlist re-ranked for
+    * diversity (λ = 0.7). Greedy selection is sequential per query —
+    * rows-only (SimilaritySpec pins the greedy reference); the shortlist
+    * itself is the oracle-checked sim1 pipeline. */
+  private[graft] val qMmr = Q("sim6_mmr_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val shortlist = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb, "vec_id", "embedding", k = 15, roundDigits = 6)
+      Similarity.mmrRerank(shortlist, emb, "vec_id", "embedding",
+          m = 5, lambda = 0.7)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Degenerate-parameter MMR anchor: λ = 1 zeroes the diversity term, so
+    * by mmrRerank's own contract the greedy selection reduces to plain
+    * relevance order with the (cos desc, id) tiebreak — i.e. the top-m of
+    * the brute-force shortlist, restated in SQL as a rank cut. `sim6`
+    * stays the rows-only diversity exercise at λ = 0.7. */
+  private[graft] val qMmrAnchor = Q("sim6b_mmr_exact_anchor",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val shortlist = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb, "vec_id", "embedding", k = 15, roundDigits = 6)
+      Similarity.mmrRerank(shortlist, emb, "vec_id", "embedding",
+          m = 5, lambda = 1.0)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+      SELECT query_id, neighbor_id, cos, rn AS rank FROM ranked
+      WHERE rn <= 5 ORDER BY query_id, rank"""))
+
+  /** Sliding-window token chunking (window 32, stride 24): the
+    * context-length-bounded training-sample cutter. Pure per-row explode —
+    * zero shuffles; the DuckDB restatement is generate_series over the
+    * same start arithmetic. */
+  private[graft] val qChunks = Q("chunk1_sliding_windows",
+    (s, d) => graft.text.Chunker.slidingChunks(t(s, d, "documents"),
+        "doc_id", "text", window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      st AS (SELECT doc_id, ts,
+          unnest(generate_series(1, greatest(1, len(ts) - 8), 24)) AS s
+        FROM tok)
+      SELECT doc_id, ((s - 1) // 24 + 1)::BIGINT AS chunk_id,
+        len(ts[s : s + 31])::BIGINT AS n_tokens,
+        array_to_string(ts[s : s + 31], ' ') AS chunk
+      FROM st ORDER BY doc_id, chunk_id"""))
+
+  /** Whole-word blocklist redaction over documents: scrub + per-doc hit
+    * count in one scan (content filtering for pretraining corpora). */
+  private[graft] val qRedact = Q("red1_blocklist_redact",
+    (s, d) => graft.text.Chunker.redactBlocklist(t(s, d, "documents"),
+        "doc_id", "text", Seq("hash", "join", "scan"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        len(regexp_extract_all(text, '(?i)\b(hash|join|scan)\b'))::BIGINT AS n_redacted,
+        regexp_replace(text, '(?i)\b(hash|join|scan)\b', '[REDACTED]', 'g') AS redacted
+      FROM documents ORDER BY doc_id"""))
+
+  /** Corpus-trained bigram-LM surprisal (add-1 smoothing) — the
+    * perplexity-style quality score; the model is plain aggregation, so
+    * the whole learned pipeline restates as SQL. */
+  private[graft] val qSurprisal = Q("lm1_bigram_surprisal",
+    (s, d) => graft.text.LangModel.bigramSurprisal(t(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+          AND len(string_split(lower(trim(text)), ' ')) >= 2),
+      bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM (SELECT doc_id, ts,
+            unnest(generate_series(1, len(ts) - 1)) AS i FROM tok)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      v AS (SELECT count(DISTINCT t) AS v
+        FROM (SELECT unnest(ts) AS t FROM tok)),
+      sc AS (SELECT bg.doc_id, -ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) AS s
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        round(avg(s), 4) AS surprisal
+      FROM sc GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Character-distribution entropy per document — the gibberish/
+    * boilerplate band filter; only integer counts feed the logs. */
+  private[graft] val qCharEntropy = Q("t8_char_entropy",
+    (s, d) => graft.text.TextAnalysis.charEntropy(t(s, d, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c
+        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0)),
+      cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2)
+      SELECT doc_id, sum(n)::BIGINT AS n_chars_seen,
+        count(*)::BIGINT AS n_distinct_chars,
+        round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
+      FROM cnt GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Greedy sequence packing: docs laid end-to-end per language, each
+    * assigned to the fixed-capacity training sequence where it starts
+    * (concat-and-chunk packing; one prefix-sum window per bucket). */
+  private[graft] val qPack = Q("pack1_sequence_packing",
+    (s, d) => graft.text.Chunker.packGreedy(t(s, d, "documents"),
+        "doc_id", "text", 64, "lang")
+      .orderBy("lang", "doc_id"),
+    Some("""WITH tok AS (SELECT lang, doc_id,
+        len(string_split(lower(trim(text)), ' ')) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      c AS (SELECT lang, doc_id, n_tokens,
+        (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS st
+        FROM tok)
+      SELECT lang, doc_id, n_tokens::BIGINT AS n_tokens,
+        (st // 64)::BIGINT AS seq_id, (st % 64)::BIGINT AS seq_offset
+      FROM c ORDER BY lang, doc_id"""))
+
+  /** Deterministic balanced sharding: docs dealt round-robin over the
+    * (token count desc, id) rank; the per-shard summary is the balance
+    * proof (doc counts ±1, token mass within a few %). */
+  private[graft] val qBalancedShards = Q("shard1_balanced_shards",
+    (s, d) => graft.text.Chunker.balancedShards(t(s, d, "documents"),
+        "doc_id", "text", nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+      .orderBy("shard"),
+    Some("""WITH c AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split(trim(text), ' ')) END::INT AS n_tokens
+        FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+          row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk FROM c)
+      SELECT ((rk - 1) % 8)::INT AS shard, count(*)::BIGINT AS n_docs,
+        sum(n_tokens)::BIGINT AS total_tokens, min(n_tokens)::INT AS min_tokens,
+        max(n_tokens)::INT AS max_tokens
+      FROM r GROUP BY 1 ORDER BY 1"""))
+
+  /** Length-bucketed batching: similar-length docs batched together,
+    * per-batch padding-waste report (the padded-inference economics). */
+  private[graft] val qLenBatches = Q("lb1_length_batches",
+    (s, d) => graft.text.Chunker.lengthBatches(t(s, d, "documents"),
+        "doc_id", "text", 8, 16)
+      .orderBy("len_bucket", "batch_id"),
+    Some("""WITH tok AS (SELECT doc_id,
+        len(string_split(lower(trim(text)), ' ')) AS n
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      b AS (SELECT doc_id, n, ((n + 15) // 16 * 16)::BIGINT AS len_bucket FROM tok),
+      r AS (SELECT *, row_number() OVER
+          (PARTITION BY len_bucket ORDER BY doc_id) AS rn FROM b),
+      g AS (SELECT len_bucket, ((rn - 1) // 8)::BIGINT AS batch_id,
+          count(*)::BIGINT AS n_docs, max(n)::BIGINT AS max_tokens,
+          sum(n)::BIGINT AS sum_tokens
+        FROM r GROUP BY 1, 2)
+      SELECT len_bucket, batch_id, n_docs, max_tokens, sum_tokens,
+        round(1.0 - sum_tokens / (n_docs * max_tokens)::DOUBLE, 4) AS waste_frac
+      FROM g ORDER BY len_bucket, batch_id"""))
+
+  /** Temperature-flattened (α=0.5) multi-source mixing at half the corpus
+    * budget: rare sources upweighted, dominant ones down; integer-sqrt
+    * weights keep the keep-fractions engine-exact (see
+    * `Sampling.temperatureMix`), the per-row coin is the portable md5
+    * device, so the whole learned sampling plan restates as SQL. */
+  private[graft] val qTempMix = Q("mix1_temperature_mix",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = Sampling.temperatureMix(docs, "source", "doc_id", 0.5)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      s AS (SELECT sum(floor(sqrt(n))::BIGINT)::BIGINT AS s,
+          sum(n)::BIGINT AS tot FROM n),
+      f AS (SELECT n.source, n.n,
+          least(1.0::DOUBLE, (round(0.5 * s.tot)::BIGINT * floor(sqrt(n.n))::BIGINT)::DOUBLE
+            / (s.s * n.n)::DOUBLE) AS f
+        FROM n CROSS JOIN s),
+      th AS (SELECT source, n, CASE WHEN f >= 1.0 THEN 'g'
+          ELSE printf('%04x', least(65535, round(f * 65536)::BIGINT)) END AS th
+        FROM f),
+      kept AS (SELECT d.source, count(*)::BIGINT AS k
+        FROM documents d JOIN th ON d.source = th.source
+        WHERE substr(md5(d.doc_id::VARCHAR || ':42'), 1, 4) < th.th
+        GROUP BY 1)
+      SELECT th.source, th.n::BIGINT AS n_docs,
+        coalesce(kept.k, 0)::BIGINT AS n_kept
+      FROM th LEFT JOIN kept ON th.source = kept.source
+      ORDER BY th.source"""))
+
+  /** PII scrub over documents with synthetic contact strings woven in
+    * fixture-side (the corpus itself is PII-free): emails, IPv4s and
+    * phone numbers counted and redacted in one scan; both engines compose
+    * the identical input, so the scrubbed text is hash-compared. */
+  private[graft] val qPii = Q("pii1_pii_scan",
+    (s, d) => {
+      val composed = t(s, d, "documents").select(col("doc_id"), concat_ws(" ",
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("from 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+            lit(".25"))),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      ).as("text"))
+      TextAnalysis.piiScan(composed, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""WITH composed AS (SELECT doc_id, concat_ws(' ', text,
+        CASE WHEN doc_id % 3 = 0
+          THEN concat('contact user', doc_id::VARCHAR, '@example.com') END,
+        CASE WHEN doc_id % 5 = 0
+          THEN concat('from 10.0.', (doc_id % 200)::VARCHAR, '.25') END,
+        CASE WHEN doc_id % 7 = 0
+          THEN concat('call +1-555-', lpad((doc_id % 10000)::VARCHAR, 4, '0')) END
+        ) AS text FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(text,
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+        len(regexp_extract_all(text,
+          '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(?:-[0-9]{4})?'))::BIGINT AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+          '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(?:-[0-9]{4})?', '[PHONE]', 'g')
+          AS redacted
+      FROM composed ORDER BY doc_id"""))
+
+  /** Winsorized price summary: clamp to the rounded [p05, p95] band, count
+    * the clamped tails, and report the winsorized mean through exact
+    * 1e-4-unit integer sums (summation-order-proof on both engines). */
+  private[graft] val qWinsorize = Q("wz1_winsorize",
+    (s, d) => {
+      val w = Quantiles.winsorize(t(s, d, "lineitem"), "l_extendedprice",
+        0.05, 0.95)
+      w.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo_bound"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("l_extendedprice") > col("hi_bound"), 1L)
+          .otherwise(0L)).as("n_high"),
+        min(col("lo_bound")).as("lo_bound"),
+        min(col("hi_bound")).as("hi_bound"),
+        round(sum(round(col("l_extendedprice_w") * 10000, 0))
+          / (lit(10000.0) * count(lit(1))), 4).as("mean_w"))
+    },
+    Some("""WITH b AS (SELECT
+        round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        round(quantile_cont(l_extendedprice, 0.95), 4) AS hi FROM lineitem)
+      SELECT count(*)::BIGINT AS n,
+        sum(CASE WHEN l_extendedprice < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+        sum(CASE WHEN l_extendedprice > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_high,
+        b.lo AS lo_bound, b.hi AS hi_bound,
+        round(sum(round(least(greatest(l_extendedprice, b.lo), b.hi) * 10000))
+          / (10000.0 * count(*)), 4) AS mean_w
+      FROM lineitem CROSS JOIN b GROUP BY b.lo, b.hi"""))
+
+  /** Bloom-prefiltered incremental dedup: same inputs and oracle as `d7` —
+    * the output must be bit-identical to the plain anti-join (no false
+    * negatives), while only maybe-dup rows pay the join shuffle. */
+  private[graft] val qBloomDedup = Q("d9_bloom_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val history = Sampling.hashSample(docs, "doc_id", "40")
+        .select(fp.as("fp")).distinct()
+      Dedup.incrementalDedupBloom(docs.withColumn("fp", fp), history, "fp")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH hist AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+        FROM documents WHERE substr(md5(doc_id::VARCHAR),1,2) < '40')
+      SELECT d.doc_id FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM hist
+        WHERE hist.fp = md5(lower(trim(d.text))))
+      ORDER BY doc_id"""))
+
+  /** Symmetric int8 embedding quantization with per-vector scale and
+    * reconstruction-error report — every code and error hash-compared.
+    * Codes are integer-valued by construction, so the registered query
+    * projects the array to a comma-joined string of integers (the driver
+    * gate sorts rows by all columns and cannot hash raw array cells — the
+    * t4b scalar-projection device). */
+  private[graft] val qInt8 = Q("eq1_int8_quantize",
+    (s, d) => Quantize.int8(t(s, d, "embeddings"), "vec_id", "embedding")
+      .withColumn("codes",
+        concat_ws(",", transform(col("codes"), x => x.cast("long"))))
+      .orderBy("vec_id"),
+    Some("""WITH q AS (SELECT vec_id,
+        list_transform(embedding, x -> x::DOUBLE) AS v,
+        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS s
+        FROM embeddings)
+      SELECT vec_id, len(v)::BIGINT AS n_dims, round(s, 6) AS scale,
+        CASE WHEN s = 0 THEN array_to_string(list_transform(v, x -> 0), ',')
+          ELSE array_to_string(list_transform(v,
+            x -> round(x / s)::BIGINT), ',') END AS codes,
+        CASE WHEN s = 0 THEN 0.0
+          ELSE round(list_max(list_transform(v,
+            x -> abs(round(x / s) * s - x))), 6) + 0.0 END AS max_abs_err
+      FROM q ORDER BY vec_id"""))
+
+  /** Three-mode feature scaling over l_quantity: min-max, z-score from
+    * exact integer-moment sums, robust from rounded median/MAD — every
+    * scaled row hash-compared. */
+  private[graft] val qScale = Q("sc1_feature_scaling",
+    (s, d) => Features.scaleFeatures(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""WITH s AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+        sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS s2,
+        count(l_quantity)::DOUBLE AS n FROM lineitem),
+      b AS (SELECT round(quantile_cont(l_quantity, 0.5), 4) AS med FROM lineitem),
+      m AS (SELECT round(quantile_cont(abs(l_quantity - b.med), 0.5), 4) AS mad
+        FROM lineitem CROSS JOIN b)
+      SELECT l_orderkey, l_linenumber, l_quantity,
+        round((l_quantity - s.mn) / (s.mx - s.mn), 4) AS l_quantity_minmax,
+        round((l_quantity - s.s1/s.n)
+          / sqrt((s.s2 - s.s1*s.s1/s.n) / (s.n - 1)), 4) AS l_quantity_zscore,
+        round((l_quantity - b.med) / m.mad, 4) AS l_quantity_robust
+      FROM lineitem CROSS JOIN s CROSS JOIN b CROSS JOIN m
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** One-pass observed QA metrics: the expectations ride on an existing
+    * count action via Dataset.observe — no second scan; the report is the
+    * collected metric map. */
+  private[graft] val qObserved = Q("dq2_observed_metrics",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val checks = Seq[graft.analyze.DataQuality.Check](
+        graft.analyze.DataQuality.NotNull("text"),
+        graft.analyze.DataQuality.InRange("n_chars", 0, 300),
+        graft.analyze.DataQuality.InSet("lang", Seq("en", "de")),
+        graft.analyze.DataQuality.Matches("source", "^src1[0-9]$"))
+      val (inst, obs) = graft.analyze.DataQuality.observed(docs, checks)
+      val nRows = inst.count() // the action the metrics ride on
+      val m = obs.get
+      import s.implicits._
+      checks.map(c => (c.name, m(c.name).asInstanceOf[Long]))
+        .toDF("expectation", "violations")
+        .withColumn("rows_scanned", lit(nRows))
+        .orderBy("expectation")
+    },
+    Some("""WITH m AS (SELECT count(*)::BIGINT AS n,
+        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+        sum(CASE WHEN n_chars IS NOT NULL
+          AND (n_chars < 0 OR n_chars > 300) THEN 1 ELSE 0 END)::BIGINT AS v1,
+        sum(CASE WHEN lang IS NOT NULL
+          AND lang NOT IN ('en','de') THEN 1 ELSE 0 END)::BIGINT AS v2,
+        sum(CASE WHEN source IS NOT NULL AND NOT regexp_matches(source,
+          '^src1[0-9]$') THEN 1 ELSE 0 END)::BIGINT AS v3
+        FROM documents)
+      SELECT * FROM (
+        SELECT 'not_null(text)' AS expectation, v0 AS violations,
+          n AS rows_scanned FROM m
+        UNION ALL SELECT 'in_range(n_chars,0.0,300.0)', v1, n FROM m
+        UNION ALL SELECT 'in_set(lang)', v2, n FROM m
+        UNION ALL SELECT 'matches(source)', v3, n FROM m)
+      ORDER BY expectation"""))
+
+  /** Fuzzy entity matching: supplier names within edit distance 1 —
+    * FastSS deletion-neighborhood blocking + thresholded-levenshtein
+    * verify. (Round 10 switched from length banding: supplier names are
+    * constant-width, so the length histogram is ONE band and in-band
+    * pairs grew quadratically — 17× at the sf1 sweep. FastSS candidates
+    * track the true near-pair count; output is bit-identical, oracle
+    * unchanged.) */
+  private[graft] val qFuzzy = Q("fz1_fuzzy_match",
+    (s, d) => {
+      val sup = t(s, d, "supplier")
+      graft.joins.FuzzyJoin.editDistanceJoinFastSS(sup, "s_suppkey", sup,
+          "s_suppkey", "s_name", 1)
+        .filter(col("id1") < col("id2"))
+        .orderBy("id1", "id2")
+    },
+    Some("""SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        levenshtein(a.s_name, b.s_name)::INTEGER AS dist
+      FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      WHERE levenshtein(a.s_name, b.s_name) <= 1
+      ORDER BY id1, id2"""))
+
+  /** Consecutive-day activity streaks per user (gaps-and-islands via the
+    * rownumber-difference device; one window + one aggregate). */
+  private[graft] val qStreaks = Q("bs1_activity_streaks",
+    (s, d) => graft.analyze.Behavior.streaks(events(s, d), "user_id", "ts")
+      .orderBy("user_id", "streak_start"),
+    Some("""WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      r AS (SELECT user_id, day,
+          row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM days)
+      SELECT user_id, min(day)::VARCHAR AS streak_start,
+        max(day)::VARCHAR AS streak_end, count(*)::BIGINT AS streak_days
+      FROM r GROUP BY user_id, day - rn::INTEGER ORDER BY user_id, streak_start"""))
+
+  /** Hourly OHLC bars per user over the event stream — open/close picked
+    * by lexicographic struct min/max (one aggregate, no window sort).
+    * Oracle windows order by epoch_us(ts): the engine's timestamps are
+    * microsecond-floored from the ns parquet values, so the tie-break
+    * must compare at the same precision. */
+  private[graft] val qBars = Q("bar1_hourly_bars",
+    (s, d) => graft.analyze.Behavior.ohlcBars(events(s, d), "user_id", "ts",
+        "event_id", "value")
+      .orderBy("user_id", "bar_start"),
+    Some("""WITH e AS (SELECT user_id,
+        epoch(date_trunc('hour', ts))::BIGINT AS bar_start,
+        epoch_us(ts) AS tus, event_id, value FROM events),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id, bar_start
+            ORDER BY tus, event_id) AS ra,
+          row_number() OVER (PARTITION BY user_id, bar_start
+            ORDER BY tus DESC, event_id DESC) AS rd
+        FROM e)
+      SELECT user_id, bar_start,
+        round(min(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        round(max(value), 4) AS high, round(min(value), 4) AS low,
+        round(min(CASE WHEN rd = 1 THEN value END), 4) AS close,
+        count(*)::BIGINT AS n_events
+      FROM r GROUP BY 1, 2 ORDER BY user_id, bar_start"""))
+
+  /** Tokenizer encode: corpus-derived top-50 vocab (frequency-ranked,
+    * token tiebreak — the freq1 ranking), documents mapped to token-id
+    * sequences with OOV → −1; every id sequence hash-compared as a
+    * comma-joined string (the driver gate cannot hash raw array cells —
+    * the t4b scalar-projection device). */
+  private[graft] val qTokEncode = Q("tok1_encode_tokens",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = graft.text.Chunker.topKVocab(docs, "text", 50)
+      graft.text.Chunker.encodeTokens(docs, "doc_id", "text", vocab,
+          "token", "tid")
+        .withColumn("token_ids", concat_ws(",", col("token_ids")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      tokc AS (SELECT unnest(ts) AS tk FROM t),
+      vocab AS (SELECT tk, tid FROM (
+        SELECT tk, (row_number() OVER (ORDER BY count(*) DESC, tk) - 1)::INTEGER AS tid
+        FROM tokc GROUP BY tk) WHERE tid < 50),
+      pos AS (SELECT doc_id, ts[i] AS tk, i
+        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM t)),
+      enc AS (SELECT p.doc_id, p.i, coalesce(v.tid, -1)::INTEGER AS tid
+        FROM pos p LEFT JOIN vocab v ON p.tk = v.tk)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        string_agg(tid, ',' ORDER BY i) AS token_ids
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** BPE merge-rule training on the corpus word-frequency table: the
+    * merge table is deterministic (integer pair counts, total tiebreak)
+    * but the iterate-and-fold loop has no SQL restatement — rows-only,
+    * with the classic-corpus closed form pinned in ChunkerSpec. */
+  private[graft] val qBpeTrain = Q("bpe1_bpe_merges",
+    (s, d) => {
+      val merges = graft.text.Chunker.trainBpe(t(s, d, "documents"), "text",
+        nMerges = 10)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "left", "right", "weight")
+        .orderBy("rank")
+    },
+    None)
+
+  /** BPE apply at corpus scale: segment every document with the learned
+    * rules (vocab-sized fold, corpus-sized join-back); subwords projected
+    * to a joined string for the gate. */
+  private[graft] val qBpeSegment = Q("bpe2_bpe_segment",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.text.Chunker.trainBpe(docs, "text", nMerges = 10)
+      graft.text.Chunker.applyBpe(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
+          concat_ws(" ", col("subwords")).as("subwords"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Degenerate-parameter BPE TRAINING anchor: at nMerges=1 the learner is
+    * exactly one weighted adjacent-pair count + one (count desc, pair asc)
+    * argmax — no iteration, so the whole round restates in SQL. Pins the
+    * pair-count definition (char symbols + endword mark, word-frequency
+    * weighting) and the tiebreak that makes training deterministic; the
+    * 10-merge `bpe1` stays the iterative scale exercise. */
+  private[graft] val qBpeTrainAnchor = Q("bpe1b_bpe_first_merge",
+    (s, d) => {
+      val merges = graft.text.Chunker.trainBpe(t(s, d, "documents"), "text",
+        nMerges = 1)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "left", "right", "weight")
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      wc AS (SELECT w, count(*) AS n FROM w WHERE length(w) > 0 GROUP BY w),
+      idx AS (SELECT w, n, unnest(range(1, length(w)+1)) AS i FROM wc),
+      p AS (SELECT substr(w, i::INTEGER, 1) AS a,
+          CASE WHEN i = length(w) THEN '</w>' ELSE substr(w, (i+1)::INTEGER, 1) END AS b, n
+        FROM idx)
+      SELECT 1 AS rank, a AS "left", b AS "right", sum(n)::BIGINT AS weight
+      FROM p GROUP BY a, b ORDER BY weight DESC, a, b LIMIT 1"""))
+
+  /** Fixed-rule BPE APPLY anchor: segment the corpus with a LITERAL 3-rule
+    * merge table (the corpus's true first three merges, learned once and
+    * pinned) so the apply-time fold has a closed form the oracle restates —
+    * each merge over space-joined symbols is one boundary-anchored
+    * string replace, applied in rule order; `mergePair`'s left-to-right
+    * non-overlapping greed is exactly replace()'s scan (DedupSpec-style
+    * cross-check in ChunkerSpec). Pins the fold + join-back + in-order
+    * reassembly that `bpe2` exercises with learned rules. */
+  private[graft] val qBpeSegmentAnchor = Q("bpe2b_bpe_apply_fixed",
+    (s, d) => graft.text.Chunker.applyBpe(t(s, d, "documents"), "doc_id", "text",
+        Seq(("e", "r", 4568L), ("e", "</w>", 4473L), ("n", "</w>", 2834L)))
+      .select(col("doc_id"), size(col("subwords")).cast("bigint").as("n_subwords"),
+        concat_ws(" ", col("subwords")).as("subwords"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      seg AS (SELECT doc_id, flatten(list_transform(ws, w ->
+          string_split(trim(
+            replace(replace(replace(
+              ' ' || array_to_string(list_transform(range(1, length(w)+1),
+                       i -> substr(w, i::INTEGER, 1)), ' ') || ' </w> ',
+              ' e r ', ' er '),
+              ' e </w> ', ' e</w> '),
+              ' n </w> ', ' n</w> ')
+          ), ' '))) AS subs FROM t)
+      SELECT doc_id, len(subs)::BIGINT AS n_subwords,
+        array_to_string(subs, ' ') AS subwords
+      FROM seg ORDER BY doc_id"""))
+
+  /** qc1's pinned "trained model": 64 small integer weights (quantized
+    * logit points per hash bucket). Declared before [[qHashedScore]] —
+    * object vals initialize in declaration order. */
+  private[graft] val Qc1Weights: Seq[Int] = Seq(
+    0, -3, 1, 5, -5, -4, 3, -4, 0, 4, -5, 3, -2, -5, -4, 1,
+    1, -4, -2, -4, 3, 1, -5, 4, -4, -2, 5, 5, 4, -5, 4, 4,
+    1, -5, -2, -5, 3, -3, -1, 1, -3, 3, -4, 4, -1, 3, 5, -3,
+    -4, 4, 4, 5, -2, 0, -4, 3, -4, 4, -5, 4, -2, 2, 5, 3)
+
+  /** fastText-style hashed linear quality filter, oracle-checked end to
+    * end: the 64 integer weights are a pinned literal (stand-in for a
+    * trained model's quantized weights), the md5 bucket hash is portable,
+    * and integer scores make the sum order-independent — DuckDB recomputes
+    * every bucket and score exactly. */
+  private[graft] val qHashedScore = Q("qc1_hashed_linear_score",
+    (s, d) => TextAnalysis.hashedLinearScore(t(s, d, "documents"), "doc_id", "text",
+        Qc1Weights.map(_.toLong))
+      .orderBy("doc_id"),
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      b AS (SELECT doc_id,
+          (list_sum(list_transform(range(1, 8), j ->
+            ((strpos('0123456789abcdef', substr(md5(tok), j::INTEGER, 1)) - 1)::BIGINT
+              << ((4 * (7 - j))::INTEGER)))) % 64)::INTEGER AS bucket
+        FROM toks),
+      s AS (SELECT doc_id, sum(list_extract(${Qc1Weights.mkString("[", ", ", "]")}, bucket + 1))::BIGINT AS score,
+          count(*)::BIGINT AS n_tokens
+        FROM b GROUP BY doc_id)
+      SELECT doc_id, score, n_tokens, (score >= 0) AS keep FROM s ORDER BY doc_id"""))
+
+  /** PSI drift between all lineitems (reference) and the discounted
+    * subpopulation (current) over price deciles — every bin term a ratio
+    * of exact integer counts. */
+  private[graft] val qPsi = Q("dr1_psi_drift", { (s, d) =>
+      val li = t(s, d, "lineitem")
+      Quantiles.psiDrift(li, li.filter(col("l_discount") > 0.05),
+          "l_extendedprice", 10)
+        .orderBy("bin")
+    }, {
+      val qs = (1 until 10)
+        .map(p => s"round(quantile_cont(l_extendedprice, 0.$p), 4)")
+        .mkString("[", ", ", "]")
+      Some(s"""WITH q AS (SELECT $qs AS bs FROM lineitem),
+        rc AS (SELECT len(list_filter(q.bs, x -> l.l_extendedprice > x)) + 1 AS bin,
+            count(*) AS n_ref FROM lineitem l CROSS JOIN q GROUP BY 1),
+        cc AS (SELECT len(list_filter(q.bs, x -> l.l_extendedprice > x)) + 1 AS bin,
+            count(*) AS n_cur FROM lineitem l CROSS JOIN q
+          WHERE l.l_discount > 0.05 GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(1, 10)) AS bin),
+        j AS (SELECT sp.bin, coalesce(rc.n_ref, 0) AS n_ref,
+            coalesce(cc.n_cur, 0) AS n_cur
+          FROM sp LEFT JOIN rc ON sp.bin = rc.bin LEFT JOIN cc ON sp.bin = cc.bin),
+        t AS (SELECT sum(n_ref + 1)::BIGINT AS tr, sum(n_cur + 1)::BIGINT AS tc FROM j)
+        SELECT j.bin::INTEGER AS bin, j.n_ref::BIGINT AS n_ref,
+          j.n_cur::BIGINT AS n_cur,
+          round((((j.n_ref + 1) / t.tr::DOUBLE) - ((j.n_cur + 1) / t.tc::DOUBLE))
+            * ln(((j.n_ref + 1) / t.tr::DOUBLE) / ((j.n_cur + 1) / t.tc::DOUBLE)), 6)
+            AS psi_term
+        FROM j CROSS JOIN t ORDER BY bin""")
+    })
+
+  /** Rolling 7-day active users over the event stream (explode-to-window
+    * instead of a per-day self-join). */
+  private[graft] val qWau = Q("wau1_rolling_actives",
+    (s, d) => graft.analyze.Behavior.rollingActives(events(s, d), "user_id", "ts")
+      .orderBy("report_day"),
+    Some("""WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+      x AS (SELECT d.user_id, d.day + t.i::INTEGER AS rd
+        FROM days d, range(0, 7) t(i))
+      SELECT rd::VARCHAR AS report_day,
+        count(DISTINCT user_id)::BIGINT AS active_users
+      FROM x, b WHERE rd >= b.lo AND rd <= b.hi
+      GROUP BY rd ORDER BY report_day"""))
+
+  /** Int8-quantized ANN anchored exact: with the shortlist covering the
+    * whole corpus the code-space scan degrades to brute force and the
+    * exact re-rank makes the output identical to `sim1`'s contract —
+    * the quantization path's correctness gate (recall at bounded
+    * shortlists is QuantizeSpec's job). */
+  private[graft] val qInt8TopK = Q("sim7_int8_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Quantize.int8TopK(emb.filter(col("vec_id") < 5), emb, "vec_id",
+          "embedding", k = 3, shortlist = 1 << 20, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+      SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 3
+      ORDER BY query_id, neighbor_id"""))
+
+  /** Global clustering coefficient of the part co-purchase graph —
+    * 3·triangles/wedges from the tc1 edge list plus one degree pass. */
+  private[graft] val qClustCoeff = Q("tc2_clustering_coeff",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.Triangles.globalClusteringCoefficient(e, "u", "v")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      t AS (SELECT count(*)::BIGINT AS triangles FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      d AS (SELECT x, count(*) AS d FROM
+        (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      w AS (SELECT (sum(d * (d - 1)) / 2)::BIGINT AS wedges FROM d)
+      SELECT t.triangles, w.wedges,
+        round(3.0 * t.triangles / w.wedges, 6) AS global_coeff
+      FROM t CROSS JOIN w"""))
+
+  /** Smoothed target encoding of return flag against quantity (m=10) —
+    * the encoder table itself, every sum an exact integer. */
+  private[graft] val qTargetEnc = Q("fe2_target_encoding",
+    (s, d) => Features.targetEncode(t(s, d, "lineitem"), "l_returnflag",
+        "l_quantity", m = 10.0)
+      .orderBy("category"),
+    Some("""WITH t AS (SELECT sum(l_quantity) AS s, count(l_quantity) AS n
+        FROM lineitem),
+      g AS (SELECT l_returnflag AS category, sum(l_quantity) AS sy,
+          count(l_quantity) AS n FROM lineitem GROUP BY 1)
+      SELECT g.category, g.n::BIGINT AS n,
+        round((g.sy + 10.0 * (t.s / t.n)) / (g.n + 10.0), 6) AS encoded
+      FROM g CROSS JOIN t ORDER BY g.category"""))
+
+  /** Intra-corpus boilerplate fraction per document (3-gram shingles
+    * shared with at least one other doc). */
+  private[graft] val qBoilerplate = Q("t9_boilerplate",
+    (s, d) => TextAnalysis.boilerplate(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      ds AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      f AS (SELECT sh, count(*) AS df FROM ds GROUP BY 1),
+      pd AS (SELECT d.doc_id, count(*) AS n_shingles,
+          sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        FROM ds d JOIN f ON d.sh = f.sh GROUP BY 1)
+      SELECT doc.doc_id, pd.n_shingles, pd.n_shared,
+        round(pd.n_shared / pd.n_shingles::DOUBLE, 4) AS boilerplate_frac
+      FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
+      ORDER BY doc.doc_id"""))
+
+  /** Grouped mode (non-NULL, ties to smallest value): quantity mode per
+    * return flag — the grouped form of the a11 imputation statistic. */
+  private[graft] val qGroupedMode = Q("a19_grouped_mode",
+    (s, d) => graft.analyze.Olap.modePerGroup(t(s, d, "lineitem"),
+        "l_returnflag", "l_quantity")
+      .orderBy("l_returnflag"),
+    Some("""WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY n DESC, l_quantity) AS rn FROM c)
+      SELECT l_returnflag, l_quantity AS mode, n::BIGINT AS n
+      FROM r WHERE rn = 1 ORDER BY l_returnflag"""))
+
+  /** Row-level quarantine: orders violating any row-local expectation,
+    * annotated with the name-sorted reason list — every routed row and
+    * its evidence hash-compared. */
+  private[graft] val qQuarantine = Q("dq3_quarantine_rows",
+    (s, d) => {
+      import graft.analyze.DataQuality._
+      val (_, bad) = quarantine(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority")),
+        Seq(InRange("o_totalprice", 1000, 300000),
+          InSet("o_orderstatus", Seq("O", "F")),
+          Matches("o_orderpriority", "^[1-3]-")))
+      bad.orderBy("o_orderkey")
+    },
+    Some("""WITH f AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
+        o_orderpriority,
+        concat_ws(';',
+          CASE WHEN o_totalprice IS NOT NULL
+            AND (o_totalprice < 1000 OR o_totalprice > 300000)
+            THEN 'in_range(o_totalprice,1000.0,300000.0)' END,
+          CASE WHEN o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O','F') THEN 'in_set(o_orderstatus)' END,
+          CASE WHEN o_orderpriority IS NOT NULL
+            AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+            THEN 'matches(o_orderpriority)' END) AS violated
+        FROM orders)
+      SELECT * FROM f WHERE violated <> '' ORDER BY o_orderkey"""))
+
+  /** Gap sessions through Spark's native session_window (the declarative
+    * twin of st3's stateful sessionize); epoch-µs bounds so the half-open
+    * merge semantics compare exactly against the SQL islands form. */
+  private[graft] val qSessionWindow = Q("st5_session_window",
+    (s, d) => EventStream.sessionWindows(events(s, d), "user_id", "ts",
+        "10 minutes")
+      .orderBy("user_id", "session_start_us"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      l AS (SELECT user_id, t,
+          lag(t) OVER (PARTITION BY user_id ORDER BY t) AS p FROM e),
+      m AS (SELECT user_id, t, CASE WHEN p IS NULL
+          OR t - p > 600000000 THEN 1 ELSE 0 END AS brk FROM l),
+      g AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id
+          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m)
+      SELECT user_id, min(t) AS session_start_us,
+        max(t) + 600000000 AS session_end_us, count(*)::BIGINT AS n_events
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us"""))
+
+  /** Higher-moment profile of quantity: skewness/kurtosis from exact
+    * integer power sums (builtin skewness/kurtosis are merge-order-
+    * dependent — deliberately avoided). */
+  private[graft] val qMoments = Q("a20_moments",
+    (s, d) => graft.analyze.Moments.profile(t(s, d, "lineitem"), "l_quantity"),
+    Some("""WITH s AS (SELECT count(l_quantity)::DOUBLE AS n,
+        sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS s2,
+        sum(l_quantity*l_quantity*l_quantity) AS s3,
+        sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4 FROM lineitem),
+      m AS (SELECT n, s1/n AS m1, s2/n - (s1/n)*(s1/n) AS mp2,
+        s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS mp3,
+        s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+          - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS mp4 FROM s)
+      SELECT n::BIGINT AS n, round(m1, 6) AS mean, round(mp2, 6) AS var_pop,
+        round(mp3 / pow(mp2, 1.5), 6) AS skewness,
+        round(mp4 / (mp2*mp2) - 3, 6) AS kurtosis_excess FROM m"""))
+
+  /** Referentially-consistent pseudonymization: customer keys and the
+    * orders FK hash identically, so the join still works across the
+    * de-identified tables — per-pseudonym order counts hash-compared. */
+  private[graft] val qPseudonymize = Q("ps1_pseudonymize",
+    (s, d) => {
+      val cust = TextAnalysis.pseudonymize(
+        t(s, d, "customer").select(col("c_custkey")), Seq("c_custkey"), "42")
+      val ords = TextAnalysis.pseudonymize(
+        t(s, d, "orders").select(col("o_custkey")), Seq("o_custkey"), "42")
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left")
+        .groupBy(col("c_custkey").as("pseudonym"))
+        .agg(count(col("o_custkey")).as("n_orders"))
+        .orderBy("pseudonym")
+    },
+    Some("""WITH c AS (SELECT sha256('42:' || c_custkey::VARCHAR) AS pseudonym,
+        c_custkey FROM customer),
+      o AS (SELECT sha256('42:' || o_custkey::VARCHAR) AS p2 FROM orders)
+      SELECT c.pseudonym, count(o.p2)::BIGINT AS n_orders
+      FROM c LEFT JOIN o ON c.pseudonym = o.p2
+      GROUP BY 1 ORDER BY pseudonym"""))
+
+  /** k-core of the part co-purchase graph — iterative peel to the unique
+    * fixpoint (rows-only: no SQL restatement exists for an
+    * iterate-to-fixpoint; determinism is pinned by KCoreSpec instead).
+    * k=70 sits just below this uniform graph's sharp degeneracy
+    * transition at sf0.01 (degrees 42-206, median 115; k=70 peels 29
+    * vertices, k=90 cascades to empty) so the query exercises a real
+    * multi-round peel. */
+  private[graft] val qKCore = Q("kc1_kcore",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.KCore.vertices(e, "u", "v", k = 70)
+        .orderBy("id")
+    },
+    None)
+
+  // ====================================================================
+
+  private[graft] val all: Seq[Q] = Seq(
+    qFunnel,
+    qCohort,
+    qScd2,
+    qKeyProfile,
+    qStratified,
+    qContamination,
+    qZOrder,
+    qTriangles,
+    qUpsert,
+    qDataQuality,
+    qCorrelation,
+    qEqualFreqBins,
+    qHeavyHitters,
+    qGroupedQuantiles,
+    qMmr,
+    qMmrAnchor,
+    qChunks,
+    qRedact,
+    qSurprisal,
+    qCharEntropy,
+    qPack,
+    qBalancedShards,
+    qLenBatches,
+    qTempMix,
+    qPii,
+    qWinsorize,
+    qBloomDedup,
+    qInt8,
+    qScale,
+    qObserved,
+    qFuzzy,
+    qStreaks,
+    qBars,
+    qTokEncode,
+    qBpeTrain,
+    qBpeSegment,
+    qBpeTrainAnchor,
+    qBpeSegmentAnchor,
+    qHashedScore,
+    qPsi,
+    qWau,
+    qInt8TopK,
+    qClustCoeff,
+    qTargetEnc,
+    qBoilerplate,
+    qGroupedMode,
+    qQuarantine,
+    qSessionWindow,
+    qMoments,
+    qPseudonymize,
+    qKCore)
+}

@@ -1,0 +1,434 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.VectorAgg
+import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles}
+import graft.functions.ZOrder
+import graft.catalog.{ConstraintRegistry, ParquetCatalog}
+import graft.convert.{CategoricalCodes, Converters, TableConverter}
+import graft.dedup.Dedup
+import graft.features.Features
+import graft.functions.Normalizers
+import graft.graph.RelGraph
+import graft.joins.TemporalJoins
+import graft.multimodal.Multimodal
+import graft.sample.{BfsSampler, Sampling}
+import graft.schema._
+import graft.similarity.{Ivf, Quantize, Similarity}
+import graft.streaming.EventStream
+import graft.text.TextAnalysis
+
+
+/** Registry domain: dedup + similarity search (training-data pipeline). See [[SparkEntry]] for the contract. */
+private[graft] object QueriesDedup {
+  import QBase._
+
+  // Dedup (training-data pipeline)
+  // ====================================================================
+
+  private[graft] val qExactDedup = Q("d1_exact_dedup_groups",
+    (s, d) => Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+      GROUP BY lower(trim(text)) ORDER BY keep_id"""))
+
+  /** Exact n-gram Jaccard with n=3: unigram jaccard is degenerate on a
+    * 31-word vocabulary (74% of ALL pairs exceed 0.5 — a quadratic OUTPUT),
+    * while shared 3-gram shingles only occur for genuinely duplicated text,
+    * so the inverted-index join stays selective at any scale. */
+  private[graft] val qNgramJaccard = Q("d3_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
+      inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id1, id2, round(inter::DOUBLE / (z1.sz + z2.sz - inter), 4) AS jaccard
+      FROM pairs JOIN sz z1 ON id1 = z1.doc_id JOIN sz z2 ON id2 = z2.doc_id
+      WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 0.5
+      ORDER BY id1, id2"""))
+
+  /** Near-dup clustering: the d3 pair set collapsed into connected
+    * components, every document mapped to its canonical (minimum-id)
+    * representative — iterative min-label propagation on the Spark side,
+    * a recursive transitive-closure CTE on the DuckDB side; identical pair
+    * input (d3's oracle already hash-matches) ⇒ identical clusters. */
+  /** Shared CTE chain deriving (doc_id, rep, n_chars) clusters from the d3
+    * pair pipeline — the d6 oracle selects it directly; d8 windows over it. */
+  private[graft] val dupClusterCte =
+    """t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
+      inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      jp AS (SELECT id1, id2 FROM cand
+        JOIN sz z1 ON id1 = z1.doc_id JOIN sz z2 ON id2 = z2.doc_id
+        WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 0.5),
+      e AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
+      reach AS (SELECT a, b FROM e
+        UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      rep AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a),
+      cl AS (SELECT d.doc_id, least(coalesce(mn, d.doc_id), d.doc_id) AS rep, d.n_chars
+        FROM documents d LEFT JOIN rep USING (doc_id))"""
+
+  private[graft] val qDupClusters = Q("d6_dup_clusters",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.dupClusters(docs, "doc_id", pairs).orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $dupClusterCte
+      SELECT doc_id, rep FROM cl ORDER BY doc_id"""))
+
+  /** Dedup-pipeline completion: which document SURVIVES each near-dup
+    * cluster — highest n_chars wins, ties to the lowest id (a quality
+    * policy, distinct from d6's structural min-id label). */
+  private[graft] val qCanonical = Q("d8_canonical_pick",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      Dedup.canonicalPick(Dedup.dupClusters(docs, "doc_id", pairs),
+          docs, "doc_id", "n_chars")
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $dupClusterCte,
+      rk AS (SELECT rep AS cluster_id, doc_id, n_chars,
+          row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, doc_id) AS rn,
+          count(*) OVER (PARTITION BY rep) AS n_members
+        FROM cl)
+      SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_quality, n_members
+      FROM rk WHERE rn = 1 ORDER BY cluster_id"""))
+
+  /** MinHash+LSH and SimHash pipelines are hash-function-defined — no SQL
+    * oracle can reproduce them; the driver applies the rows-only check and
+    * the ScalaTest specs assert recall/precision on planted duplicates. */
+  private[graft] val qMinhash = Q("d2_minhash_neardups",
+    (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2"),
+    None)
+
+  /** Degenerate-parameter MinHash anchor (the sim4/sim7 device applied to
+    * LSH banding): at threshold 1.0 a pair survives the verify only with
+    * IDENTICAL shingle sets, and identical sets yield identical minhash
+    * signatures, so EVERY band collides — candidate recall is exactly 1 by
+    * construction, no probabilistic argument needed. The full pipeline
+    * (shingle → signature → band → bucket-join → verify) therefore computes
+    * precisely the exact-Jaccard self-join at threshold 1.0, which the d3
+    * CTE restates in SQL. The big rows-only `d2` stays the scale exercise
+    * at the working threshold. */
+  private[graft] val qMinhashAnchor = Q("d2b_minhash_exact_anchor",
+    (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 1.0)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
+      inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id1, id2, round(inter::DOUBLE / (z1.sz + z2.sz - inter), 4) AS jaccard
+      FROM pairs JOIN sz z1 ON id1 = z1.doc_id JOIN sz z2 ON id2 = z2.doc_id
+      WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 1.0
+      ORDER BY id1, id2"""))
+
+  private[graft] val qSimhash = Q("d4_simhash_neardups",
+    (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        maxDistance = 10)
+      .orderBy("id1", "id2"),
+    None)
+
+  /** The 128-bit scale path at the same maxDistance: full-recall banding
+    * keeps chunks ≥ 11 bits (vs 5-6 for 64-bit at d=10), so the bucket
+    * join stays selective — the variant to reach for at large d. */
+  private[graft] val qSimhash128 = Q("d4b_simhash128_neardups",
+    (s, d) => Dedup.simhashNearDups128(t(s, d, "documents"), "doc_id", "text",
+        maxDistance = 10)
+      .orderBy("id1", "id2"),
+    None)
+
+  /** Portable-hash MinHash anchor at the WORKING threshold: the whole
+    * pipeline — shingle → k md5-minima signature → 2-row band keys →
+    * bucket self-join → exact-Jaccard verify — restated in SQL, because
+    * h_i(s) = substr(md5(i ':' s), 1, 16) is computable by any engine and
+    * fixed-width hex minima order identically as strings. Complements d2b:
+    * that anchor pins the pipeline at the degenerate threshold (recall 1
+    * by construction); this one checks the PROBABILISTIC banding itself —
+    * DuckDB independently computes which pairs collide in a band. */
+  private[graft] val qMinhashPortable = Q("d2c_minhash_portable",
+    (s, d) => Dedup.minhashNearDupsPortable(t(s, d, "documents"), "doc_id", "text",
+        k = 8, bands = 4, shingleN = 3, threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3
+          THEN [array_to_string(w, ' ')]
+          ELSE list_transform(range(1, len(w)-1),
+            i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks FROM t),
+      sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
+      inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      mh AS (SELECT doc_id, i, min(substr(md5(i::VARCHAR || ':' || sh), 1, 16)) AS mh
+        FROM inv CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
+      band AS (SELECT doc_id, (i // 2)::INTEGER AS b, string_agg(mh, '|' ORDER BY i) AS key
+        FROM mh GROUP BY doc_id, (i // 2)::INTEGER),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+        FROM band a JOIN band c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+      inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS inter
+        FROM inv x JOIN inv y ON x.sh = y.sh
+        JOIN cand ON cand.id1 = x.doc_id AND cand.id2 = y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT id1, id2, round(inter::DOUBLE / (z1.sz + z2.sz - inter), 4) AS jaccard
+      FROM inter JOIN sz z1 ON id1 = z1.doc_id JOIN sz z2 ON id2 = z2.doc_id
+      WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 0.5
+      ORDER BY id1, id2"""))
+
+  /** Portable SimHash signatures as 64-char bit strings: every vote —
+    * md5 hex digit decode, bit extract, majority, tie→0 — recomputed
+    * independently by the oracle. Pins the signature math that d4/d4b's
+    * hash-defined (xxhash64) variants can only spec-test. */
+  private[graft] val qSimhashPortable = Q("d4c_simhash_portable",
+    (s, d) => Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), lpad(bin(col("simhash")), 64, "0").as("sig64"))
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+      v AS (SELECT doc_id, b,
+          sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - b // 4, 1)) - 1)
+                >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, b)
+      SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS sig64
+      FROM v GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Pigeonhole-banding FULL-RECALL proof on real data: the engine's
+    * banded chunk join (5 chunks at d=4) vs the oracle's brute-force
+    * all-pairs Hamming join over the same portable signatures — equal
+    * output means the banding missed nothing, turning the pigeonhole
+    * recall argument into a checked fact. The oracle's O(n²) scan is the
+    * gate-SF restatement; the engine side stays the banded scale shape. */
+  private[graft] val qSimhashPortablePairs = Q("d4d_simhash_portable_pairs",
+    (s, d) => Dedup.simhashPortableNearDups(t(s, d, "documents"), "doc_id", "text",
+        maxDistance = 4)
+      .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
+      .orderBy("id1", "id2"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+      v AS (SELECT doc_id, b,
+          sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - b // 4, 1)) - 1)
+                >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN range(64) r(b) GROUP BY doc_id, b),
+      sig AS (SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS sig64
+        FROM v GROUP BY doc_id)
+      SELECT a.doc_id AS id1, c.doc_id AS id2,
+        (SELECT count(*) FROM range(64) r(p)
+          WHERE substr(a.sig64, (p+1)::INTEGER, 1) <> substr(c.sig64, (p+1)::INTEGER, 1))::BIGINT AS hamming
+      FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+      WHERE (SELECT count(*) FROM range(64) r(p)
+          WHERE substr(a.sig64, (p+1)::INTEGER, 1) <> substr(c.sig64, (p+1)::INTEGER, 1)) <= 4
+      ORDER BY id1, id2"""))
+
+  private[graft] val qEmbDedup = Q("d5_embedding_neardups",
+    // the synthetic embeddings are near-orthogonal random vectors (max
+    // pairwise cos ~0.51), so the "near-dup" bar is set low enough to
+    // exercise the bucket-join + verify path end-to-end; 3 OR-ed signature
+    // tables exercise the recall-amplified path (DedupSpec measures recall)
+    (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.25, nPlanes = 4, nTables = 3)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+      .orderBy("id1", "id2"),
+    None)
+
+  /** d5's contract-sized SCALE path: nPlanes derived from the corpus
+    * count via [[Similarity.nPlanesFor]] — the sizing the d5 scaladoc
+    * promises but d5 deliberately pins (fixed nPlanes keeps its
+    * hash-defined output stable round-over-round while pair work grows
+    * ~n²/2^nPlanes: 36× at the r10 sf1 sweep). Here the benchmark
+    * exercises the actual contract: in-bucket pair work stays
+    * ~n·targetBucket/2 at any corpus size. Rows-only (hash-defined);
+    * `d5b` anchors the identical pipeline under the oracle at nPlanes=0
+    * ≡ exhaustive. The count() sizing pass is one cheap scan — the same
+    * bounded-driver-state class as Lloyd centroids. */
+  private[graft] val qEmbDedupScaled = Q("d5c_embedding_neardups_scaled",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val nPlanes = Similarity.nPlanesFor(emb.count())
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.25, nPlanes = nPlanes, nTables = 3)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+        .orderBy("id1", "id2")
+    },
+    None)
+
+  /** SemDeDup-style semantic dedup, the cluster-then-prune curation step:
+    * cells from the deterministic IVF Lloyd trainer, within-cell pairs
+    * only, keep-min-id prune at the cosine threshold. Rows-only (cell
+    * assignment is centroid-defined — no SQL restatement); `sem1b` is the
+    * oracle anchor at nCells=1 and DedupSpec pins cells-vs-global
+    * semantics. */
+  private[graft] val qSemDedup = Q("sem1_semantic_dedup",
+    (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 8, threshold = 0.25, iters = 1)
+      .orderBy("vec_id"),
+    None)
+
+  /** Degenerate-parameter anchor for sem1 (the d2b/sim2b device): at
+    * nCells = 1 every vector shares the one cell, so the within-cell prune
+    * provably equals the global threshold prune — keep(i) ⟺ no j<i with
+    * cos ≥ τ, restated below via the d5b pair CTE. */
+  private[graft] val qSemDedupAnchor = Q("sem1b_semantic_dedup_anchor",
+    (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 1, threshold = 0.25, iters = 1)
+      .orderBy("vec_id"),
+    Some("""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      dropped AS (SELECT DISTINCT id2 FROM p WHERE cos >= 0.25)
+      SELECT e.vec_id, d.id2 IS NULL AS keep
+      FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id2
+      ORDER BY e.vec_id"""))
+
+  /** Degenerate-parameter embedding-LSH anchor (the d2b/sim2b device): at
+    * nPlanes = 0 the single signature table has one constant bucket, so the
+    * candidate set is provably ALL id1<id2 pairs and the pipeline computes
+    * exactly the exhaustive cosine threshold join the SQL below restates.
+    * `d5` stays the rows-only scale exercise (banded buckets, 3 OR-ed
+    * tables). */
+  private[graft] val qEmbDedupAnchor = Q("d5b_embedding_exact_anchor",
+    (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.25, nPlanes = 0, nTables = 1)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+      .orderBy("id1", "id2"),
+    Some("""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id1, id2, round(cos, 4) AS cos FROM p
+      WHERE cos >= 0.25 ORDER BY id1, id2"""))
+
+  // ====================================================================
+  // Similarity search
+  // ====================================================================
+
+  private[graft] val qBruteTopK = Q("sim1_bruteforce_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 3, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+      SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 3
+      ORDER BY query_id, neighbor_id"""))
+
+  /** Cosine range search: every neighbor above the similarity radius per
+    * query — threshold cut, no top-k window at all. */
+  private[graft] val qRangeSearch = Q("sim8_range_search",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.rangeSearch(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", minCos = 0.2, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id)
+      SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= 0.2
+      ORDER BY query_id, neighbor_id"""))
+
+  /** IVF with nProbe = nCells degenerates to exhaustive search, so the
+    * brute-force SQL oracle checks the whole quantize→probe→rank pipeline;
+    * nProbe < nCells is the production approximate path (spec-tested for
+    * cluster recall). */
+  private[graft] val qIvfTopK = Q("sim3_ivf_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+      Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, cents, nProbe = 8, roundDigits = 6)
+        .orderBy("query_id", "neighbor_id")
+    },
+    qBruteTopK.oracle)
+
+  private[graft] val qLshTopK = Q("sim2_lsh_topk",
+    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 3, nPlanes = 6, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id"),
+    None)
+
+  /** Degenerate-parameter LSH anchor (the d2b/sim4 device): nPlanes = 0
+    * yields the constant signature, so every vector lands in ONE bucket and
+    * the bucketed search degenerates to the exhaustive all-pairs top-k —
+    * recall 1 by construction, output ≡ brute-force cosine top-k, restated
+    * below in SQL. `sim2` stays the rows-only scale exercise at nPlanes=6. */
+  private[graft] val qLshAnchor = Q("sim2b_lsh_exact_anchor",
+    (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 3, nPlanes = 0, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id"),
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id,
+        list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+      ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos FROM ranked
+      WHERE rn <= 3 ORDER BY query_id, neighbor_id"""))
+
+  // ====================================================================
+
+  private[graft] val all: Seq[Q] = Seq(
+    qExactDedup,
+    qNgramJaccard,
+    qDupClusters,
+    qCanonical,
+    qMinhash,
+    qMinhashAnchor,
+    qSimhash,
+    qSimhash128,
+    qMinhashPortable,
+    qSimhashPortable,
+    qSimhashPortablePairs,
+    qEmbDedup,
+    qEmbDedupScaled,
+    qSemDedup,
+    qSemDedupAnchor,
+    qEmbDedupAnchor,
+    qBruteTopK,
+    qRangeSearch,
+    qIvfTopK,
+    qLshTopK,
+    qLshAnchor)
+}

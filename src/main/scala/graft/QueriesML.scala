@@ -1,0 +1,810 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.VectorAgg
+import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles}
+import graft.functions.ZOrder
+import graft.catalog.{ConstraintRegistry, ParquetCatalog}
+import graft.convert.{CategoricalCodes, Converters, TableConverter}
+import graft.dedup.Dedup
+import graft.features.Features
+import graft.functions.Normalizers
+import graft.graph.RelGraph
+import graft.joins.TemporalJoins
+import graft.multimodal.Multimodal
+import graft.sample.{BfsSampler, Sampling}
+import graft.schema._
+import graft.similarity.{Ivf, Quantize, Similarity}
+import graft.streaming.EventStream
+import graft.text.TextAnalysis
+
+
+/** Registry domain: window-like ops, set ops, scalar functions, blueprint/training queries, BFS sampling (SURVEY 2.5-2.7, 2.9, 3.3). See [[SparkEntry]] for the contract. */
+private[graft] object QueriesML {
+  import QBase._
+
+  // §2.5 window-like operators
+  // ====================================================================
+
+  private[graft] val qFactorize = Q("w3_factorize",
+    (s, d) => CategoricalCodes.dictionary(t(s, d, "orders"),
+        col("o_orderpriority"), Seq(col("o_orderkey")))
+      .orderBy("code"),
+    Some("""WITH f AS (SELECT o_orderpriority AS value, min(o_orderkey) AS fk
+        FROM orders GROUP BY o_orderpriority)
+      SELECT value, row_number() OVER (ORDER BY fk) - 1 AS code FROM f ORDER BY code"""))
+
+  private[graft] val qEncode = Q("f17_cat_encode",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val dict = CategoricalCodes.dictionary(o, col("o_orderpriority"), Seq(col("o_orderkey")))
+      CategoricalCodes.encode(o, "o_orderpriority", dict, "code")
+        .select(col("o_orderkey"), col("code")).orderBy("o_orderkey")
+    },
+    Some("""WITH f AS (SELECT o_orderpriority AS value, min(o_orderkey) AS fk
+        FROM orders GROUP BY o_orderpriority),
+      dict AS (SELECT value, row_number() OVER (ORDER BY fk) - 1 AS code FROM f)
+      SELECT o_orderkey, code FROM orders JOIN dict ON o_orderpriority = value
+      ORDER BY o_orderkey"""))
+
+  private[graft] val qTopK = Q("w5_topk_neighbors",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+          row_number() OVER (PARTITION BY l_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 3 ORDER BY l_orderkey, l_linenumber"""))
+
+  /** W6: train/validation split masks. The md5-coin portable variant is
+    * registered (a pure function of the key — engine-reproducible, so the
+    * full per-row mask is oracle-checked); the `rand(seed)` variant
+    * ([[graft.sample.Sampling.withSplitMasks]]) remains as the
+    * RNG-stream fast path, spec-pinned in SamplingSpec. hex4(0.2) =
+    * 0x3333 — the same quantization constant on both sides. */
+  private[graft] val qSplit = Q("w6_random_split",
+    (s, d) => Sampling.withSplitMasksPortable(
+        t(s, d, "customer").select(col("c_custkey")), "c_custkey", 0.2)
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+        substring(md5(c_custkey::VARCHAR || ':42'), 1, 4) < '3333' AS val_mask,
+        NOT (substring(md5(c_custkey::VARCHAR || ':42'), 1, 4) < '3333') AS train_mask
+      FROM customer ORDER BY c_custkey"""))
+
+  // ====================================================================
+  // §2.6 set operations
+  // ====================================================================
+
+  private[graft] val qUnionDistinct = Q("so1_union_distinct",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("x"))
+      .unionAll(t(s, d, "supplier").select(col("s_nationkey").as("x")))
+      .distinct().orderBy("x"),
+    Some("""SELECT DISTINCT x FROM (SELECT c_nationkey AS x FROM customer
+      UNION ALL SELECT s_nationkey AS x FROM supplier) ORDER BY x"""))
+
+  // ====================================================================
+  // §2.7 scalar functions
+  // ====================================================================
+
+  private[graft] val qNormalizers = Q("f4_normalizers",
+    (s, d) => t(s, d, "part").select(
+      col("p_partkey"),
+      Normalizers("ci")(col("p_name")).as("n_ci"),
+      Normalizers("rstrip")(col("p_name")).as("n_rstrip"),
+      Normalizers("strip")(col("p_name")).as("n_strip"),
+      Normalizers("unidecode")(col("p_name")).as("n_unidecode"),
+      Normalizers("unidecode_strip_ci")(col("p_name")).as("n_all"))
+      .orderBy("p_partkey"),
+    // test strings are ASCII: unidecode == identity on both sides
+    Some("""SELECT p_partkey, lower(p_name) AS n_ci, rtrim(p_name) AS n_rstrip,
+      trim(p_name) AS n_strip, p_name AS n_unidecode,
+      lower(trim(p_name)) AS n_all FROM part ORDER BY p_partkey"""))
+
+  private[graft] val qDateFns = Q("f8_f11_datetime",
+    (s, d) => {
+      val c = col("o_orderdate")
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(c).cast("bigint").as("y"),
+        dayofyear(c).cast("bigint").as("doy"),
+        (hour(c) * 3600L + minute(c) * 60L + second(c)).cast("bigint").as("ssm"),
+        unix_timestamp(c).cast("bigint").as("epoch_s"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, year(o_orderdate) AS y, dayofyear(o_orderdate) AS doy,
+      (3600*hour(o_orderdate) + 60*minute(o_orderdate)
+        + floor(second(o_orderdate)))::BIGINT AS ssm,
+      epoch(o_orderdate)::BIGINT AS epoch_s FROM orders ORDER BY o_orderkey"""))
+
+  /** F12: multi-label binarization in long form — (row, label) pairs; the
+    * wide 0/1 matrix is `pivot` on top of this (cardinality-bounded). */
+  private[graft] val qMultiLabel = Q("f12_multilabel_long",
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("tag"))
+      .distinct().orderBy("p_partkey", "tag"),
+    Some("""SELECT DISTINCT p_partkey, unnest(string_split(p_type, ' ')) AS tag
+      FROM part ORDER BY p_partkey, tag"""))
+
+  /** F15 + F9 via the TableConverter (no all-same pruning here so the
+    * column set is static for the oracle; pruning is spec-tested). */
+  private[graft] val qTableConvert = Q("f15_table_convert",
+    (s, d) => {
+      val ts = TableSchema(scala.collection.immutable.ListMap(
+        "o_orderkey" -> NumericColumnDef(key = true),
+        "o_totalprice" -> NumericColumnDef(),
+        "o_orderdate" -> DateTimeColumnDef()))
+      val (out, _) = new TableConverter(skipAllSame = false)
+        .convertTable(t(s, d, "orders"), ts)
+      out.select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"),
+        col("o_orderdate_year"), col("o_orderdate_dayofyear"),
+        col("o_orderdate_seconds_since_midnight"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey::DOUBLE AS o_orderkey,
+      round(coalesce(o_totalprice, 0.0),4) AS o_totalprice,
+      year(o_orderdate)::DOUBLE AS o_orderdate_year,
+      dayofyear(o_orderdate)::DOUBLE AS o_orderdate_dayofyear,
+      coalesce(3600*hour(o_orderdate) + 60*minute(o_orderdate)
+        + floor(second(o_orderdate)), 0.0)::DOUBLE AS o_orderdate_seconds_since_midnight
+      FROM orders ORDER BY o_orderkey"""))
+
+  private[graft] val qLegacyDates = Q("f16_legacy_date_segments",
+    (s, d) => {
+      val str = date_format(col("o_orderdate"), "yyyy-MM-dd")
+      val parts = Converters.LegacyDateConverter
+        .convert("o_orderdate", DateColumnDef(), str)
+      t(s, d, "orders").select(
+        col("o_orderkey") +: parts.map { case (sfx, e, _) => e.as(s"d$sfx") }: _*)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      year(o_orderdate)::DOUBLE AS d_year,
+      month(o_orderdate)::DOUBLE AS d_month,
+      dayofmonth(o_orderdate)::DOUBLE AS d_day,
+      ((o_orderdate::DATE - DATE '0001-01-01') + 1)::DOUBLE AS d_ordinal,
+      epoch(o_orderdate::DATE::TIMESTAMP)::DOUBLE AS d_timestamp
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Blueprint forward pass (§2.9): one mean-aggregation round over the
+    * lineitem→orders edge type with the default (self+msg)/2 combine, then
+    * a linear decode. Feature = order total and line quantity — the mean of
+    * integer-valued quantities is summation-order-exact, so the whole pass
+    * is SQL-restatable. */
+  private[graft] val qBlueprint = Q("bp1_blueprint_forward",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      import graft.graph.EdgeType
+      val ord = RelGraph.withRowId(t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_orderkey"))
+      val li = RelGraph.withRowId(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey", "l_linenumber"))
+      val edges = RelGraph.fkEdges(li, ord,
+        ForeignKeyDef(Seq("l_orderkey"), "orders", Seq("o_orderkey")))
+      val nodes = Map(
+        "orders" -> ord.select(col(RelGraph.RowId).as("id"),
+          array(col("o_totalprice")).as("feat")),
+        "lineitem" -> li.select(col(RelGraph.RowId).as("id"),
+          array(col("l_quantity")).as("feat")))
+      val out = Blueprint.forward(nodes,
+        Map(EdgeType("lineitem", "l_orderkey", "orders") -> edges),
+        Blueprint.Config(layers = 1, aggr = "mean"))
+      Blueprint.decodeLinear(out("orders"), Array(1.0), bias = 0.0)
+        .select(col("id"), round(col("score"), 4).as("score"))
+        .orderBy("id")
+    },
+    Some("""WITH ord AS (SELECT o_orderkey, o_totalprice,
+        row_number() OVER (ORDER BY o_orderkey)-1 AS id FROM orders),
+      msg AS (SELECT o_orderkey, avg(l_quantity) AS m FROM lineitem
+        JOIN ord ON l_orderkey = o_orderkey GROUP BY o_orderkey)
+      SELECT id, round(CASE WHEN m IS NULL THEN o_totalprice
+        ELSE (o_totalprice + m) / 2.0 END, 4) AS score
+      FROM ord LEFT JOIN msg USING (o_orderkey) ORDER BY id"""))
+
+  /** Closed-form ridge fit of the Blueprint linear decoder (the reference's
+    * train-a-readout capability, main.py:307-323) — normal equations as one
+    * distributed aggregation pass + a 3×3 driver solve; the oracle restates
+    * the same system via Cramer's rule over the same DuckDB-side sums.
+    *
+    * Oracle-parity design: features (quantity, linenumber) and the label
+    * floor(extendedprice) are all INTEGER-valued, so every normal-equation
+    * sum is an exact integer in double (< 2^53) regardless of partial-agg
+    * merge order — both engines solve from bit-identical inputs, and the
+    * two solve algorithms (partial-pivot Gaussian here, Cramer in SQL)
+    * agree to ~1e-13 relative, far inside 4-decimal rounding. floor(), not
+    * round(): Spark's round canonicalizes doubles through BigDecimal
+    * string form while DuckDB rounds the raw double — floor agrees on the
+    * raw double in both. */
+  private[graft] val qFitDecoder = Q("bp2_fit_decoder",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        floor(col("l_extendedprice")).as("y"))
+      val (w, b) = Blueprint.fitLinearDecoder(li, "feat", "y", dim = 2, lambda = 1.0)
+      import s.implicits._
+      Seq((w(0), w(1), b)).toDF("__w0", "__w1", "__b")
+        .select(round(col("__w0"), 4).as("w_quantity"),
+          round(col("__w1"), 4).as("w_linenumber"),
+          round(col("__b"), 4).as("bias"))
+    },
+    Some("""WITH s AS (SELECT
+        sum(l_quantity*l_quantity)::DOUBLE + 1.0 AS a,
+        sum(l_quantity*l_linenumber)::DOUBLE AS b,
+        sum(l_quantity)::DOUBLE AS c,
+        sum(l_linenumber*l_linenumber)::DOUBLE + 1.0 AS e,
+        sum(l_linenumber)::DOUBLE AS f,
+        count(*)::DOUBLE AS i,
+        sum(l_quantity*floor(l_extendedprice))::DOUBLE AS r1,
+        sum(l_linenumber*floor(l_extendedprice))::DOUBLE AS r2,
+        sum(floor(l_extendedprice))::DOUBLE AS r3
+      FROM lineitem),
+      m AS (SELECT a, b, c, b AS d, e, f, c AS g, f AS h, i, r1, r2, r3,
+        a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c) AS det FROM s)
+      SELECT
+        round((r1*(e*i - f*h) - b*(r2*i - f*r3) + c*(r2*h - e*r3)) / det, 4) AS w_quantity,
+        round((a*(r2*i - f*r3) - r1*(d*i - f*g) + c*(d*r3 - r2*g)) / det, 4) AS w_linenumber,
+        round((a*(e*r3 - r2*h) - b*(d*r3 - r2*g) + r1*(d*h - e*g)) / det, 4) AS bias
+      FROM m"""))
+
+  /** One-vs-rest ridge-classifier fit (bp2's multi-target form): all three
+    * l_returnflag classes share ONE X'X pass; the oracle repeats the
+    * Cramer's-rule solve per class over indicator-label sums (integers →
+    * exact in double, same parity argument as bp2). */
+  private[graft] def fitClassifierOracle: String = {
+    val classes = Seq("A", "N", "R")
+    val classSums = classes.map { k =>
+      s"""sum(CASE WHEN l_returnflag='$k' THEN l_quantity ELSE 0 END)::DOUBLE AS r1_$k,
+        sum(CASE WHEN l_returnflag='$k' THEN l_linenumber ELSE 0 END)::DOUBLE AS r2_$k,
+        sum(CASE WHEN l_returnflag='$k' THEN 1 ELSE 0 END)::DOUBLE AS r3_$k"""
+    }.mkString(",\n      ")
+    val blocks = classes.map { k =>
+      s"""SELECT '$k' AS class,
+        round((r1_$k*(e*i - f*h) - b*(r2_$k*i - f*r3_$k) + c*(r2_$k*h - e*r3_$k)) / det, 4) AS w_quantity,
+        round((a*(r2_$k*i - f*r3_$k) - r1_$k*(d*i - f*g) + c*(d*r3_$k - r2_$k*g)) / det, 4) AS w_linenumber,
+        round((a*(e*r3_$k - r2_$k*h) - b*(d*r3_$k - r2_$k*g) + r1_$k*(d*h - e*g)) / det, 4) AS bias
+        FROM m"""
+    }.mkString(" UNION ALL ")
+    s"""WITH s AS (SELECT
+        sum(l_quantity*l_quantity)::DOUBLE + 1.0 AS a,
+        sum(l_quantity*l_linenumber)::DOUBLE AS b,
+        sum(l_quantity)::DOUBLE AS c,
+        sum(l_linenumber*l_linenumber)::DOUBLE + 1.0 AS e,
+        sum(l_linenumber)::DOUBLE AS f,
+        count(*)::DOUBLE AS i,
+        $classSums
+      FROM lineitem),
+      m AS (SELECT *, b AS d, c AS g, f AS h,
+        a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c) AS det FROM s)
+      SELECT * FROM ($blocks) ORDER BY class"""
+  }
+
+  private[graft] val qFitClassifier = Q("bp3_fit_classifier",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        col("l_returnflag").as("y"))
+      val classes = Seq("A", "N", "R")
+      val fits = Blueprint.fitClassDecoders(li, "feat", "y", dim = 2, classes, lambda = 1.0)
+      import s.implicits._
+      classes.zip(fits).map { case (k, (w, b)) => (k, w(0), w(1), b) }
+        .toDF("class", "__w0", "__w1", "__b")
+        .select(col("class"), round(col("__w0"), 4).as("w_quantity"),
+          round(col("__w1"), 4).as("w_linenumber"), round(col("__b"), 4).as("bias"))
+        .orderBy("class")
+    },
+    Some(fitClassifierOracle))
+
+  /** bp4's oracle: the N-step GD recurrence unrolled into one CTE chain
+    * per step — gradient CTE (the same per-row sigmoid expression and sum
+    * order as [[graft.pipeline.Blueprint.fitLogisticGD]]'s agg pass) then
+    * weight-update CTE (op order pinned to `w − lr·(g/n)`). Generated by
+    * the same loop index so Spark and DuckDB run structurally identical
+    * arithmetic; cross-engine drift is summation-order + exp ulps, orders
+    * below the round-6 contract (bp2's Cramer-oracle device). */
+  private[graft] def fitGdOracle(steps: Int, lr: Double): String = {
+    val sig = (w: String) => s"1.0/(1.0+exp(-(x1*$w.w1 + x2*$w.w2 + $w.b)))"
+    val chain = (1 to steps).map { i =>
+      val p = sig("w")
+      s"""g$i AS (SELECT sum(($p - y)*x1) AS g1, sum(($p - y)*x2) AS g2,
+          sum($p - y) AS gb FROM d, w${i - 1} w),
+        w$i AS (SELECT w.w1 - $lr*(g.g1/n.n) AS w1, w.w2 - $lr*(g.g2/n.n) AS w2,
+          w.b - $lr*(g.gb/n.n) AS b FROM w${i - 1} w, g$i g, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT l_quantity::DOUBLE AS x1, l_linenumber::DOUBLE AS x2,
+        CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
+      $chain
+      SELECT round(w1, 6) AS w_quantity, round(w2, 6) AS w_linenumber,
+        round(b, 6) AS bias FROM w$steps"""
+  }
+
+  /** Gradient-trained logistic readout (the reference's train-loop stage):
+    * 3 full-batch GD steps, each ONE distributed agg pass. */
+  private[graft] val qFitGd = Q("bp4_fit_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val (w, b) = Blueprint.fitLogisticGD(li, "feat", "y", dim = 2,
+        steps = 3, lr = 0.01)
+      import s.implicits._
+      Seq((w(0), w(1), b)).toDF("__w0", "__w1", "__b")
+        .select(round(col("__w0"), 6).as("w_quantity"),
+          round(col("__w1"), 6).as("w_linenumber"),
+          round(col("__b"), 6).as("bias"))
+    },
+    Some(fitGdOracle(steps = 3, lr = 0.01)))
+
+  /** bp5's oracle: backprop through the one-hidden-layer network unrolled
+    * step by step — per step, a forward CTE (hidden activations), an
+    * output CTE (residual `dm`), a gradient CTE (the nine sums of
+    * [[graft.pipeline.Blueprint.fitMlpGD]]'s single agg pass, same product
+    * order), and an update CTE (`θ − lr·(g/n)`). Parameter naming:
+    * `wIJ` = w1(feature I)(hidden J), `cJ` = b1(J), `vJ` = w2(J),
+    * `vb` = b2. */
+  private[graft] def fitMlpOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""p$k AS (SELECT d.x1, d.x2, d.y, w.*,
+          1/(1+exp(-((x1*w.w00 + x2*w.w10) + w.c0))) AS h0,
+          1/(1+exp(-((x1*w.w01 + x2*w.w11) + w.c1))) AS h1
+        FROM d, w${k - 1} w),
+      q$k AS (SELECT *, 1/(1+exp(-((h0*v0 + h1*v1) + vb))) - y AS dm FROM p$k),
+      g$k AS (SELECT
+        sum(dm * v0 * (h0*(1-h0)) * x1) AS gw00,
+        sum(dm * v1 * (h1*(1-h1)) * x1) AS gw01,
+        sum(dm * v0 * (h0*(1-h0)) * x2) AS gw10,
+        sum(dm * v1 * (h1*(1-h1)) * x2) AS gw11,
+        sum(dm * v0 * (h0*(1-h0))) AS gc0,
+        sum(dm * v1 * (h1*(1-h1))) AS gc1,
+        sum(dm * h0) AS gv0, sum(dm * h1) AS gv1, sum(dm) AS gb FROM q$k),
+      w$k AS (SELECT
+        w.w00 - $lr*(g.gw00/n.n) AS w00, w.w01 - $lr*(g.gw01/n.n) AS w01,
+        w.w10 - $lr*(g.gw10/n.n) AS w10, w.w11 - $lr*(g.gw11/n.n) AS w11,
+        w.c0 - $lr*(g.gc0/n.n) AS c0, w.c1 - $lr*(g.gc1/n.n) AS c1,
+        w.v0 - $lr*(g.gv0/n.n) AS v0, w.v1 - $lr*(g.gv1/n.n) AS v1,
+        w.vb - $lr*(g.gb/n.n) AS vb FROM w${k - 1} w, g$k g, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT l_quantity::DOUBLE AS x1, l_linenumber::DOUBLE AS x2,
+        CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      w0 AS (SELECT 0.1 AS w00, -0.1 AS w01, 0.2 AS w10, -0.2 AS w11,
+        0.0 AS c0, 0.0 AS c1, 0.1 AS v0, 0.2 AS v1, 0.0 AS vb),
+      $chain
+      SELECT round(w00, 6) AS w00, round(w01, 6) AS w01,
+        round(w10, 6) AS w10, round(w11, 6) AS w11,
+        round(c0, 6) AS c0, round(c1, 6) AS c1,
+        round(v0, 6) AS v0, round(v1, 6) AS v1,
+        round(vb, 6) AS vb FROM w$steps"""
+  }
+
+  /** Gradient-trained HIDDEN layer: 2 backprop steps through a 2-unit
+    * sigmoid MLP, each step one distributed agg pass. */
+  private[graft] val qFitMlp = Q("bp5_fit_mlp_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitMlpGD(li, "feat", "y", dim = 2, hidden = 2,
+        steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0), p.w1(0)(1), p.w1(1)(0), p.w1(1)(1),
+          p.b1(0), p.b1(1), p.w2(0), p.w2(1), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e", "__f", "__g", "__h", "__i")
+        .select(round(col("__a"), 6).as("w00"), round(col("__b"), 6).as("w01"),
+          round(col("__c"), 6).as("w10"), round(col("__d"), 6).as("w11"),
+          round(col("__e"), 6).as("c0"), round(col("__f"), 6).as("c1"),
+          round(col("__g"), 6).as("v0"), round(col("__h"), 6).as("v1"),
+          round(col("__i"), 6).as("vb"))
+    },
+    Some(fitMlpOracle(steps = 2, lr = 0.05)))
+
+  /** bp6's oracle: the GNN layer unrolled step by step — per step a
+    * message CTE (per-child hidden activation from the previous step's
+    * weights), the SCATTER-SUM CTE (per-parent message sum, zero when
+    * childless), the residual CTE, the readout-gradient aggregate over
+    * parents, and the JOIN-BACK aggregate over child rows (the adjoint of
+    * the scatter-sum), then the update CTE. Parameter naming: a1/a2 =
+    * w1(feature)(0), c = b1(0), v = w2(0), vb = b2. */
+  private[graft] def fitGnnOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""h$k AS (SELECT l_orderkey, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c))) AS h FROM ch, w${k - 1} w),
+      ag$k AS (SELECT p.o_orderkey, p.y, coalesce(s.a, 0.0) AS a0
+        FROM par p LEFT JOIN
+          (SELECT l_orderkey, sum(h) AS a FROM h$k GROUP BY 1) s
+          ON p.o_orderkey = s.l_orderkey),
+      d$k AS (SELECT a.o_orderkey, a.y, a.a0,
+          1/(1+exp(-((a0*w.v) + w.vb))) - y AS dm FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*a0) AS gv, sum(dm) AS gb FROM d$k),
+      bk$k AS (SELECT
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x1) AS ga1,
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x2) AS ga2,
+          sum(d.dm * w.v * (h.h*(1-h.h))) AS gc
+        FROM h$k h JOIN d$k d ON h.l_orderkey = d.o_orderkey, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b.ga1/n.n) AS a1, w.a2 - $lr*(b.ga2/n.n) AS a2,
+          w.c - $lr*(b.gc/n.n) AS c, w.v - $lr*(g.gv/n.n) AS v,
+          w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk$k b, n)"""
+    }.mkString(",\n      ")
+    s"""WITH ch AS (SELECT l_orderkey, l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2 FROM lineitem),
+      par AS (SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c, 6) AS bias_msg, round(v, 6) AS w_readout,
+        round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** One trainable GNN layer: 2 backprop steps where the gradient flows
+    * THROUGH the A7 scatter-sum (per-child message layer upstream of the
+    * per-order aggregation), each step = one scatter-sum shuffle + two
+    * scalar aggregates. */
+  private[graft] val qFitGnn = Q("bp6_fit_gnn_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitGnnGD(li, Seq("l_orderkey"), "feat",
+        ord, Seq("o_orderkey"), "y", dim = 2, hidden = 1, steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0), p.w1(1)(0), p.b1(0), p.w2(0), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e")
+        .select(round(col("__a"), 6).as("w_quantity"),
+          round(col("__b"), 6).as("w_linenumber"),
+          round(col("__c"), 6).as("bias_msg"),
+          round(col("__d"), 6).as("w_readout"),
+          round(col("__e"), 6).as("bias_out"))
+    },
+    Some(fitGnnOracle(steps = 2, lr = 0.05)))
+
+  /** bp7's oracle: the HETERO layer unrolled — per step TWO message CTEs
+    * (one per edge type: lineitem→orders forward, orders→customer
+    * REVERSE), each scatter-summed and LEFT-joined onto the parents, the
+    * readout over the cross-type SUM, one readout-gradient aggregate, and
+    * one join-back aggregate PER TYPE (the per-type adjoint). Naming:
+    * a1/a2/c1 = type-0 (lineitem) message params, d1/c2 = type-1
+    * (customer-via-reverse-edge) params, v/vb = the shared readout. */
+  private[graft] def fitHeteroGnnOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""h1$k AS (SELECT k, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c1))) AS h FROM ch1, w${k - 1} w),
+      h2$k AS (SELECT k, z1,
+          1/(1+exp(-((z1*w.d1) + w.c2))) AS h FROM ch2, w${k - 1} w),
+      ag$k AS (SELECT p.k, p.y,
+          coalesce(s1.a, 0.0) AS a1s, coalesce(s2.a, 0.0) AS a2s
+        FROM par p
+        LEFT JOIN (SELECT k, sum(h) AS a FROM h1$k GROUP BY 1) s1 ON p.k = s1.k
+        LEFT JOIN (SELECT k, sum(h) AS a FROM h2$k GROUP BY 1) s2 ON p.k = s2.k),
+      d$k AS (SELECT a.k, a.y,  a.a1s, a.a2s,
+          1/(1+exp(-(((a1s + a2s)*w.v) + w.vb))) - y AS dm FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*(a1s + a2s)) AS gv, sum(dm) AS gb FROM d$k),
+      bk1$k AS (SELECT
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x1) AS ga1,
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x2) AS ga2,
+          sum(d.dm * w.v * (h.h*(1-h.h))) AS gc1
+        FROM h1$k h JOIN d$k d ON h.k = d.k, w${k - 1} w),
+      bk2$k AS (SELECT
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.z1) AS gd1,
+          sum(d.dm * w.v * (h.h*(1-h.h))) AS gc2
+        FROM h2$k h JOIN d$k d ON h.k = d.k, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b1.ga1/n.n) AS a1, w.a2 - $lr*(b1.ga2/n.n) AS a2,
+          w.c1 - $lr*(b1.gc1/n.n) AS c1,
+          w.d1 - $lr*(b2.gd1/n.n) AS d1, w.c2 - $lr*(b2.gc2/n.n) AS c2,
+          w.v - $lr*(g.gv/n.n) AS v, w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk1$k b1, bk2$k b2, n)"""
+    }.mkString(",\n      ")
+    s"""WITH ch1 AS (SELECT l_orderkey AS k, l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2 FROM lineitem),
+      ch2 AS (SELECT o_orderkey AS k, c_acctbal::DOUBLE / 10000.0 AS z1
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      par AS (SELECT o_orderkey AS k,
+        CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c1,
+        0.1 AS d1, 0.0 AS c2, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c1, 6) AS bias_msg_li, round(d1, 6) AS w_acctbal,
+        round(c2, 6) AS bias_msg_cust, round(v, 6) AS w_readout,
+        round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** §2.9 + verdict-11 task #2: JOINT multi-edge-type GNN training — two
+    * edge groups (the lineitem→orders FK and the orders→customer REVERSE
+    * edge, J5) each with its own message layer, aggregates SUMMED into one
+    * shared readout (the reference's HeteroConv semantics,
+    * nn/models/hetero_gnn.py:25-36), 2 backprop steps. */
+  private[graft] val qFitHeteroGnn = Q("bp7_fit_hetero_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+      val custRev = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          array(col("c_acctbal").cast("double") / 10000.0).as("feat"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitHeteroGnnGD(
+        Seq(Blueprint.EdgeGroup(li, Seq("l_orderkey"), "feat", dim = 2),
+          Blueprint.EdgeGroup(custRev, Seq("o_orderkey"), "feat", dim = 1)),
+        ord, Seq("o_orderkey"), "y", hidden = 1, steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0)(0), p.w1(0)(1)(0), p.b1(0)(0),
+          p.w1(1)(0)(0), p.b1(1)(0), p.w2(0), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e", "__f", "__g")
+        .select(round(col("__a"), 6).as("w_quantity"),
+          round(col("__b"), 6).as("w_linenumber"),
+          round(col("__c"), 6).as("bias_msg_li"),
+          round(col("__d"), 6).as("w_acctbal"),
+          round(col("__e"), 6).as("bias_msg_cust"),
+          round(col("__f"), 6).as("w_readout"),
+          round(col("__g"), 6).as("bias_out"))
+    },
+    Some(fitHeteroGnnOracle(steps = 2, lr = 0.05)))
+
+  /** bp8's oracle: the ATTENTION layer unrolled — per step a message CTE
+    * (h and the trainable score e = x·u), the stable per-parent softmax in
+    * two window CTEs (subtract the group max, normalize by the group
+    * exp-sum — A9's device), the α-weighted scatter-sum, the residual,
+    * the readout-gradient aggregate, and ONE join-back aggregate whose
+    * sums carry the softmax Jacobian as the per-edge scalar
+    * dm·α·(h·v − a·v): u's gradient needs nothing beyond the same
+    * join-back. Naming: a1/a2/c = message params, u1/u2 = attention
+    * scorer, v/vb = readout. */
+  private[graft] def fitAttnGnnOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""h$k AS (SELECT k, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c))) AS h,
+          x1*w.u1 + x2*w.u2 AS e FROM ch, w${k - 1} w),
+      ex$k AS (SELECT k, x1, x2, h,
+          exp(e - max(e) OVER (PARTITION BY k)) AS st FROM h$k),
+      al$k AS (SELECT k, x1, x2, h,
+          st / sum(st) OVER (PARTITION BY k) AS al FROM ex$k),
+      ag$k AS (SELECT p.k, p.y, coalesce(s.a, 0.0) AS a0
+        FROM par p LEFT JOIN
+          (SELECT k, sum(al*h) AS a FROM al$k GROUP BY 1) s ON p.k = s.k),
+      d$k AS (SELECT a.k, a.y, a.a0,
+          1/(1+exp(-((a0*w.v) + w.vb))) - y AS dm FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*a0) AS gv, sum(dm) AS gb FROM d$k),
+      bk$k AS (SELECT
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h)) * a.x1) AS ga1,
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h)) * a.x2) AS ga2,
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h))) AS gc,
+          sum(d.dm * a.al * (a.h*w.v - d.a0*w.v) * a.x1) AS gu1,
+          sum(d.dm * a.al * (a.h*w.v - d.a0*w.v) * a.x2) AS gu2
+        FROM al$k a JOIN d$k d ON a.k = d.k, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b.ga1/n.n) AS a1, w.a2 - $lr*(b.ga2/n.n) AS a2,
+          w.c - $lr*(b.gc/n.n) AS c,
+          w.u1 - $lr*(b.gu1/n.n) AS u1, w.u2 - $lr*(b.gu2/n.n) AS u2,
+          w.v - $lr*(g.gv/n.n) AS v, w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk$k b, n)"""
+    }.mkString(",\n      ")
+    s"""WITH ch AS (SELECT l_orderkey AS k, l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2 FROM lineitem),
+      par AS (SELECT o_orderkey AS k,
+        CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c,
+        0.05 AS u1, 0.1 AS u2, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c, 6) AS bias_msg, round(u1, 6) AS u_quantity,
+        round(u2, 6) AS u_linenumber, round(v, 6) AS w_readout,
+        round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** §2.9 + verdict-11 task #3: backprop THROUGH the A9 softmax attention
+    * aggregation (the reference trains AttentionAggregation,
+    * nn/aggr/attention.py:10-41) — trainable score e = x·u, per-parent
+    * softmax weights, α-weighted scatter-sum, 2 backprop steps; the
+    * attention gradient rides the same join-back as the scatter-sum
+    * adjoint. */
+  private[graft] val qFitAttnGnn = Q("bp8_fit_attn_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitAttnGnnGD(li, Seq("l_orderkey"), "feat",
+        ord, Seq("o_orderkey"), "y", dim = 2, hidden = 1, steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0), p.w1(1)(0), p.b1(0), p.u(0), p.u(1), p.w2(0), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e", "__f", "__g")
+        .select(round(col("__a"), 6).as("w_quantity"),
+          round(col("__b"), 6).as("w_linenumber"),
+          round(col("__c"), 6).as("bias_msg"),
+          round(col("__d"), 6).as("u_quantity"),
+          round(col("__e"), 6).as("u_linenumber"),
+          round(col("__f"), 6).as("w_readout"),
+          round(col("__g"), 6).as("bias_out"))
+    },
+    Some(fitAttnGnnOracle(steps = 2, lr = 0.05)))
+
+  /** F20: embedding stub is hash-defined — rows-only check; the combinator
+    * semantics are spec-tested. */
+  private[graft] val qEmbedStub = Q("t4_text_embed_stub",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        round(element_at(TextAnalysis.embedTextStub(col("text"), 8), 1), 6).as("e0"))
+      .orderBy("doc_id"),
+    None)
+
+  /** F20 (real path): table-driven embedding through [[TextAnalysis
+    * .embedWithTable]] — broadcast (token → vec) join + per-document mean.
+    * For oracle parity the embedding table is DERIVED from the corpus
+    * vocabulary with SQL-expressible integer-valued vectors
+    * (len(token), len(token)²), so the whole tokenize → lookup → average
+    * pipeline is restatable in DuckDB and the sums stay exact in double. */
+  private[graft] val qEmbedTable = Q("t4b_text_embed_table",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0).distinct()
+        .select(col("token"), array(length(col("token")).cast("double"),
+          (length(col("token")) * length(col("token"))).cast("double")).as("vec"))
+      TextAnalysis.embedWithTable(docs, "doc_id", "text", vocab, "token", "vec", dim = 2)
+        .select(col("doc_id"),
+          round(element_at(col("embedding"), 1), 4).as("e0"),
+          round(element_at(col("embedding"), 2), 4).as("e1"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        FROM documents),
+      t2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+      a AS (SELECT doc_id, round(avg(length(tok)), 4) AS e0,
+        round(avg(length(tok)*length(tok)), 4) AS e1 FROM t2 GROUP BY doc_id)
+      SELECT doc_id, coalesce(e0, 0.0) AS e0, coalesce(e1, 0.0) AS e1
+      FROM documents LEFT JOIN a USING (doc_id) ORDER BY doc_id"""))
+
+  /** F13 on a DERIVED interval (testdata has no interval column):
+    * timestamp subtraction yields a DayTimeIntervalType, converted to total
+    * nanoseconds by field extraction. Reported in seconds at 6 decimals:
+    * the true value has exactly micro precision, and both engines' double
+    * error (≤1e-7) is well inside the 5e-7 rounding boundary. */
+  private[graft] val qDuration = Q("f13_duration_nanos",
+    (s, d) => {
+      val interval = col("l_shipdate") - lit("1995-01-01 00:00:00").cast("timestamp")
+      val Seq((_, nanos, _)) = Converters.DurationConverter
+        .convert("dur", DurationColumnDef(), interval)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(nanos / 1e9, 6).as("dur_s"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      round((epoch(l_shipdate) - epoch(TIMESTAMP '1995-01-01')) * 1e9 / 1e9, 6) AS dur_s
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private[graft] val qSoftmax = Q("f21_softmax_argmax",
+    (s, d) => {
+      val e = col("embedding")
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        Similarity.argmaxArray(e).cast("bigint").as("argmax"),
+        round(element_at(Similarity.softmaxArray(e),
+          (Similarity.argmaxArray(e) + 1).cast("int")), 4).as("p_max"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id, (list_position(embedding, list_max(embedding)) - 1)::BIGINT AS argmax,
+      round(1.0 / list_aggregate(list_transform(embedding,
+        x -> exp(x::DOUBLE - list_max(embedding)::DOUBLE)), 'sum'), 4) AS p_max
+      FROM embeddings ORDER BY vec_id"""))
+
+  private[graft] val qMetrics = Q("f22_regression_metrics",
+    (s, d) => {
+      val p = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val y = col("l_extendedprice")
+      t(s, d, "lineitem").agg(
+        round(avg(abs(p - y)), 4).as("mae"),
+        round(avg(pow(p - y, 2)), 2).as("mse"),
+        round(sqrt(avg(pow(p - y, 2))) / avg(y), 6).as("nrmse"))
+    },
+    Some("""SELECT round(avg(abs(l_extendedprice*(1-l_discount) - l_extendedprice)),4) AS mae,
+      round(avg(pow(l_extendedprice*(1-l_discount) - l_extendedprice, 2)),2) AS mse,
+      round(sqrt(avg(pow(l_extendedprice*(1-l_discount) - l_extendedprice, 2)))
+        / avg(l_extendedprice), 6) AS nrmse FROM lineitem"""))
+
+  // ====================================================================
+  // BFS sampling (§2.3 J3 / §3.3)
+  // ====================================================================
+
+  private[graft] val qBfs = Q("j3_bfs_sample",
+    (s, d) => {
+      val cat = catalog(s, d)
+      val core = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      val schema = cat.constraintSchema()
+      val coreSchema = Schema(schema.tables.filter { case (k, _) => core.contains(k) })
+      new BfsSampler(coreSchema, core.map(n => n -> cat.table(n)).toMap, maxDepth = 3)
+        .sampleStats("orders", 7)
+    },
+    Some("""WITH seed AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 7),
+      cust AS (SELECT DISTINCT c.* FROM customer c WHERE c_custkey IN (SELECT o_custkey FROM seed)),
+      li AS (SELECT DISTINCT l.* FROM lineitem l WHERE l_orderkey IN (SELECT o_orderkey FROM seed)),
+      nat AS (SELECT DISTINCT n.* FROM nation n WHERE n_nationkey IN (SELECT c_nationkey FROM cust)),
+      ord_all AS (SELECT DISTINCT * FROM (SELECT * FROM seed UNION
+        SELECT o.* FROM orders o WHERE o_orderkey IN (SELECT l_orderkey FROM li))),
+      prt AS (SELECT DISTINCT p.* FROM part p WHERE p_partkey IN (SELECT l_partkey FROM li)),
+      sup AS (SELECT DISTINCT s.* FROM supplier s WHERE s_suppkey IN (SELECT l_suppkey FROM li))
+      SELECT * FROM (
+        SELECT 'customer' AS table_name, count(*) AS n FROM cust UNION ALL
+        SELECT 'lineitem', count(*) FROM li UNION ALL
+        SELECT 'nation', count(*) FROM nat UNION ALL
+        SELECT 'orders', count(*) FROM ord_all UNION ALL
+        SELECT 'part', count(*) FROM prt UNION ALL
+        SELECT 'supplier', count(*) FROM sup) ORDER BY table_name"""))
+
+  /** J3 + the virtual `_target_table` node and `_target_fk` edge the
+    * reference attaches to every sample (data/dataset.py:271,356-362):
+    * same BFS walk, plus one synthetic node row and one edge to the seed —
+    * both counts derived from the seed DataFrame (an empty seed reports 0,
+    * so the oracle is data-driven, not a constant). */
+  private[graft] val qBfsTarget = Q("j3b_bfs_virtual_target",
+    (s, d) => {
+      val cat = catalog(s, d)
+      val core = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      val schema = cat.constraintSchema()
+      val coreSchema = Schema(schema.tables.filter { case (k, _) => core.contains(k) })
+      new BfsSampler(coreSchema, core.map(n => n -> cat.table(n)).toMap, maxDepth = 3)
+        .sampleStatsWithVirtualTarget("orders", 7)
+        .orderBy("table_name")
+    },
+    qBfs.oracle.map(sql => sql.replace(
+      "ORDER BY table_name",
+      """UNION ALL SELECT '_target_table', count(*) FROM seed
+        UNION ALL SELECT '_target_table->_target_fk->orders', count(*) FROM seed
+        ORDER BY table_name""")))
+
+  // ====================================================================
+
+  private[graft] val all: Seq[Q] = Seq(
+    qFactorize,
+    qEncode,
+    qTopK,
+    qSplit,
+    qUnionDistinct,
+    qNormalizers,
+    qDateFns,
+    qMultiLabel,
+    qTableConvert,
+    qLegacyDates,
+    qBlueprint,
+    qFitDecoder,
+    qFitClassifier,
+    qFitGd,
+    qFitMlp,
+    qFitGnn,
+    qFitHeteroGnn,
+    qFitAttnGnn,
+    qEmbedStub,
+    qEmbedTable,
+    qDuration,
+    qSoftmax,
+    qMetrics,
+    qBfs,
+    qBfsTarget)
+}

@@ -64,17 +64,48 @@ object Propositionalize {
             min(x).as(s"${prefix}_${c}_min"), max(x).as(s"${prefix}_${c}_max"))
         }
     val battery = child.groupBy(keyCols: _*).agg(numAggs.head, numAggs.tail: _*)
-    // one grouped-mode pass per categorical: (key, value) counts, then the
-    // per-key top-1 by (count desc, value asc) — a total order, so the
-    // mode is deterministic under any partitioning
-    val withModes = catCols.foldLeft(battery) { (acc, c) =>
-      val counted = child.filter(col(c).isNotNull)
-        .groupBy(keyCols :+ col(c): _*).agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy(keyCols: _*).orderBy(col("__c").desc, col(c))
-      val mode = counted.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(keyCols :+ col(c).as(s"${prefix}_${c}_mode"): _*)
-      acc.join(mode, fk.columns, "left") // same keys: one shuffle partitioning
+    // categorical modes are BATCHED: melt the columns to (key, col, value)
+    // long form, then ONE grouped count + ONE per-(key, col) top-1 window
+    // + ONE pivot back — a wide categorical child table costs a constant
+    // number of shuffles, not one groupBy+window+join per column. Columns
+    // are melted per VALUE TYPE (the struct array must be uniform), which
+    // also preserves each column's native type and its native-order
+    // (count desc, value asc) tie-break — string-casting everything would
+    // reorder numeric ties ("10" < "2") and change the output type.
+    val typeGroups = catCols.groupBy(c => child.schema(c).dataType).values.toSeq
+      .sortBy(_.head) // deterministic pass order
+    val withModes = typeGroups.foldLeft(battery) { (acc, cols) =>
+      val modes =
+        if (cols.sizeIs == 1) {
+          // a lone column needs no melt: the direct grouped count + top-1
+          // window is one exchange cheaper than count+window+pivot
+          val c = cols.head
+          val counted = child.filter(col(c).isNotNull)
+            .groupBy(keyCols :+ col(c): _*).agg(count(lit(1)).as("__c"))
+          val w = Window.partitionBy(keyCols: _*).orderBy(col("__c").desc, col(c))
+          counted.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(keyCols :+ col(c).as(s"${prefix}_${c}_mode"): _*)
+        } else {
+          val melted = child.select(keyCols :+ explode(array(cols.map(c =>
+              struct(lit(c).as("__col"), col(c).as("__val"))): _*)).as("__cv"): _*)
+            .select(keyCols ++ Seq(col("__cv.__col").as("__col"),
+              col("__cv.__val").as("__val")): _*)
+            .filter(col("__val").isNotNull)
+          val counted = melted
+            .groupBy(keyCols ++ Seq(col("__col"), col("__val")): _*)
+            .agg(count(lit(1)).as("__c"))
+          val w = Window.partitionBy(keyCols :+ col("__col"): _*)
+            .orderBy(col("__c").desc, col("__val"))
+          val pivoted = counted.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .groupBy(keyCols: _*)
+            .pivot("__col", cols) // bounded: the caller's column list
+            .agg(first(col("__val")))
+          cols.foldLeft(pivoted)(
+            (df, c) => df.withColumnRenamed(c, s"${prefix}_${c}_mode"))
+        }
+      acc.join(modes, fk.columns, "left")
     }
     // rename child keys to the parent's and attach; childless parents
     // keep count 0 and NULL stats

@@ -136,12 +136,22 @@ object Ingest {
     * Remaining format limitation the caller owns: CSV cannot distinguish
     * NULL from the empty string (both serialize to an empty field and
     * read back NULL); the fidelity gate holds because the corpus has no
-    * empty texts. */
-  def viaCsv(df: DataFrame, outPath: String): DataFrame = {
+    * empty texts.
+    *
+    * Because `multiLine=true` makes each CSV file SINGLE-SPLIT on read
+    * (one task per file, however large), the write bounds file size via
+    * `maxRecordsPerFile` — a writer that would otherwise emit one huge
+    * file (a single-partition upstream, a coalesced frame) produces many
+    * bounded files whose re-read parallelizes file-per-task instead of
+    * serializing through one reader. */
+  def viaCsv(df: DataFrame, outPath: String,
+      maxRecordsPerFile: Long = 1000000L): DataFrame = {
     Sinks.requireNotSourcePath(df, outPath)
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
     df.write.mode("overwrite").option("header", "true")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .csv(outPath)
     df.sparkSession.read.schema(df.schema).option("header", "true")
       .option("multiLine", "true").csv(outPath)

@@ -6,8 +6,12 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // scale audits can shrink per-task aggregate hash maps by running
+    // MORE, smaller shuffle partitions than concurrent tasks (the kc1
+    // 30x execution-memory floor is partition-count-sensitive)
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

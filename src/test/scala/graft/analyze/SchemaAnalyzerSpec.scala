@@ -105,7 +105,7 @@ class SchemaAnalyzerSpec extends SparkSpec {
       case _: TimestampType | _: DateType => "datetime"
       case _ => "other"
     }
-    val fixture = graft.SparkEntry.physicalKinds
+    val fixture = graft.QueriesCore.physicalKinds
     assert(fixture.keySet == cat.listTables().toSet)
     for (t <- cat.listTables()) {
       val actual = cat.columns(t).fields.map(f => f.name -> kind(f.dataType)).toSeq

@@ -105,6 +105,48 @@ class PropositionalizeSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("m_lf_v_sum_max")))
   }
 
+  test("categorical modes are batched: 3 columns, one melt pass, exchange count flat") {
+    val parent = Seq(1L, 2L).toDF("pid")
+    val child = Seq(
+      (1L, "a", "x", "m"), (1L, "b", "x", "n"), (1L, "a", "y", "n"),
+      (2L, "c", "z", "m")
+    ).toDF("fk", "c1", "c2", "c3")
+    val fk = ForeignKeyDef(Seq("fk"), "parent", Seq("pid"))
+    val out = Propositionalize.features(parent, child, fk,
+        numericCols = Nil, catCols = Seq("c1", "c2", "c3"), prefix = "ch")
+      .orderBy("pid").collect()
+    val r1 = out(0)
+    assert(r1.getString(r1.fieldIndex("ch_c1_mode")) == "a") // 2 vs 1
+    assert(r1.getString(r1.fieldIndex("ch_c2_mode")) == "x")
+    assert(r1.getString(r1.fieldIndex("ch_c3_mode")) == "n")
+    val r2 = out(1)
+    assert(r2.getString(r2.fieldIndex("ch_c1_mode")) == "c")
+    // same-typed columns share ONE melt pass: the physical exchange count
+    // must not grow with the column count (the 100 TB wide-child case)
+    def exchanges(catCols: Seq[String]): Int =
+      Propositionalize.features(parent, child, fk, Nil, catCols, "ch")
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+    assert(exchanges(Seq("c1", "c2", "c3")) == exchanges(Seq("c1", "c2")),
+      "3 same-typed categorical columns must not add exchanges over 2 " +
+        "(one melt pass regardless of width; a lone column keeps the " +
+        "cheaper direct path)")
+  }
+
+  test("mixed-type categoricals keep native types and native tie-break order") {
+    val parent = Seq(1L).toDF("pid")
+    // numeric tie 2-vs-10 with equal counts: native order picks 2
+    // (a string-cast melt would pick "10" — "10" < "2" lexically)
+    val child = Seq((1L, "b", 10), (1L, "a", 2), (1L, "a", 10), (1L, "b", 2))
+      .toDF("fk", "s", "i")
+    val out = Propositionalize.features(parent, child,
+      ForeignKeyDef(Seq("fk"), "parent", Seq("pid")),
+      numericCols = Nil, catCols = Seq("s", "i"), prefix = "ch").collect()(0)
+    assert(out.getString(out.fieldIndex("ch_s_mode")) == "a")
+    assert(out.getInt(out.fieldIndex("ch_i_mode")) == 2)
+  }
+
   test("featuresFor picks columns from the semantic schema, not physical types") {
     // `code` is physically numeric but semantically categorical; `uid` is
     // omit — only `v` gets the numeric battery, only `code` gets a mode

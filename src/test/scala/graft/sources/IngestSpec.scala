@@ -115,4 +115,22 @@ class IngestSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       s"CSV round-trip mutated text:\n got=${got.toSeq}\nwant=${want.toSeq}")
   }
+
+  test("viaCsv bounds file size: a single-partition frame still emits many files") {
+    // multiLine=true makes each CSV file single-split on read, so an
+    // unbounded writer would serialize the whole re-read through one
+    // task; maxRecordsPerFile must split even a coalesced upstream
+    val dir = Files.createTempDirectory("graft_csv_bound").toString
+    val src = (1L to 1000L).map(i => (i, s"row $i")).toDF("id", "text")
+      .coalesce(1)
+    val back = Ingest.viaCsv(src, s"$dir/csv_bounded", maxRecordsPerFile = 100L)
+    assert(back.count() == 1000L)
+    val files = new java.io.File(s"$dir/csv_bounded").listFiles()
+      .filter(f => f.getName.endsWith(".csv"))
+    assert(files.length >= 10,
+      s"expected >=10 bounded files, got ${files.length}")
+    intercept[IllegalArgumentException] {
+      Ingest.viaCsv(src, s"$dir/csv_bad", maxRecordsPerFile = 0L)
+    }
+  }
 }

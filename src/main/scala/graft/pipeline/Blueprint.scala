@@ -473,11 +473,23 @@ object Blueprint {
     * state, 1000-executor-safe; the per-step parent checkpoint releases
     * as soon as the step's gradients are collected.
     *
+    * `aggr` selects the per-type reduce, mirroring the reference's
+    * AggrType knob (hetero_gnn.py:19, main.py:61 defaults to "sum"; the
+    * tune space adds "attn" = [[fitAttnGnnGD]]): "sum" or "mean". Mean's
+    * adjoint scales the join-back residual by 1/n_t(parent) — the
+    * per-(parent, type) child count already produced by the forward
+    * aggregate. ("min"/"max" route gradients to one extremal child and
+    * "cat" changes the readout arity — neither is trained by any
+    * reference experiment config; out of scope.)
+    *
     * Op order pinned exactly as [[fitGnnGD]] per group for the SQL
     * restatement; drift is summation-order and exp ulps. */
   def fitHeteroGnnGD(groups: Seq[EdgeGroup], parents: DataFrame,
       keyCols: Seq[String], yCol: String, hidden: Int, steps: Int,
-      lr: Double, init: HeteroGnnParams = null): HeteroGnnParams = {
+      lr: Double, init: HeteroGnnParams = null,
+      aggr: String = "sum"): HeteroGnnParams = {
+    require(aggr == "sum" || aggr == "mean",
+      s"aggr must be 'sum' or 'mean', got '$aggr'")
     require(groups.nonEmpty, "need at least one edge group")
     require(hidden >= 1, "need at least one hidden unit")
     require(steps >= 1, "need at least one step")
@@ -518,17 +530,24 @@ object Blueprint {
           parents.select(keyCols.map(col) :+ y.as("__y"): _*)) {
         case (acc, (g, t)) =>
           val h = hOf(t)
+          val sums = (0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")) :+
+            count(lit(1)).cast("double").as(s"__n$t")
           val aggd = g.children.groupBy(g.fkCols.map(col): _*)
-            .agg((0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")).head,
-              (0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")).tail: _*)
+            .agg(sums.head, sums.tail: _*)
           val renamed = g.fkCols.zip(keyCols).foldLeft(aggd) {
             case (df, (c, k)) => df.withColumnRenamed(c, k)
           }
           acc.join(renamed, keyCols, "left")
       }
+      // "mean" divides each type's sums by that type's child count (a
+      // childless-in-a-type parent still aggregates zero either way)
+      val aCol = (t: Int, j: Int) =>
+        if (aggr == "mean") coalesce(col(s"__a${t}_$j") / col(s"__n$t"), lit(0.0))
+        else coalesce(col(s"__a${t}_$j"), lit(0.0))
       val dst = dst0.select(keyCols.map(col) ++ Seq(col("__y")) ++
           (for { t <- 0 until nG; j <- 0 until hidden }
-            yield coalesce(col(s"__a${t}_$j"), lit(0.0)).as(s"__a${t}_$j")): _*)
+            yield aCol(t, j).as(s"__a${t}_$j")) ++
+          (0 until nG).map(t => coalesce(col(s"__n$t"), lit(0.0)).as(s"__n$t")): _*)
         .localCheckpoint(true)
       val aTot = (j: Int) =>
         (0 until nG).map(t => col(s"__a${t}_$j")).reduce(_ + _)
@@ -544,8 +563,15 @@ object Blueprint {
       // per-group adjoint: the scatter-sum join-back of fitGnnGD, once
       // per edge type (∂L/∂h^t is dm regardless of the carrying type)
       val grads = groups.zipWithIndex.map { case (g, t) =>
+        // mean's scatter adjoint: ∂a_tj/∂h(child) = 1/n_t(parent), so the
+        // joined-back residual is dm/n_t (sum: dm unscaled); n_t > 0 on
+        // every row that joins a child
+        val dmBack =
+          if (aggr == "mean")
+            when(col(s"__n$t") > 0, dm / col(s"__n$t")).otherwise(lit(0.0))
+          else dm
         val dmPerDst = keyCols.zip(g.fkCols).foldLeft(
-            dst.select(keyCols.map(col) :+ dm.as("__dm"): _*)) {
+            dst.select(keyCols.map(col) :+ dmBack.as("__dm"): _*)) {
           case (df, (k, c)) => df.withColumnRenamed(k, c)
         }
         val back = g.children.join(dmPerDst, g.fkCols)
@@ -580,10 +606,14 @@ object Blueprint {
     * gradient flows through EVERY group's aggregation and the shared
     * readout. */
   def heteroGnnLogLoss(groups: Seq[EdgeGroup], parents: DataFrame,
-      keyCols: Seq[String], yCol: String, p: HeteroGnnParams): Double = {
+      keyCols: Seq[String], yCol: String, p: HeteroGnnParams,
+      aggr: String = "sum"): Double = {
+    require(aggr == "sum" || aggr == "mean",
+      s"aggr must be 'sum' or 'mean', got '$aggr'")
     val hidden = p.w2.length
     val y = col(yCol).cast("double")
     def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val reduceH: Column => Column = if (aggr == "mean") avg else sum
     val joined = groups.zipWithIndex.foldLeft(
         parents.select(keyCols.map(col) :+ y.as("__y"): _*)) {
       case (acc, (g, t)) =>
@@ -593,8 +623,8 @@ object Blueprint {
             lit(p.b1(t)(j)))
         }
         val aggd = g.children.groupBy(g.fkCols.map(col): _*)
-          .agg((0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")).head,
-            (0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")).tail: _*)
+          .agg((0 until hidden).map(j => reduceH(h(j)).as(s"__a${t}_$j")).head,
+            (0 until hidden).map(j => reduceH(h(j)).as(s"__a${t}_$j")).tail: _*)
         val renamed = g.fkCols.zip(keyCols).foldLeft(aggd) {
           case (df, (c, k)) => df.withColumnRenamed(c, k)
         }

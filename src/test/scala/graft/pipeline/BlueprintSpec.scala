@@ -331,6 +331,50 @@ class BlueprintSpec extends SparkSpec {
       "fitHeteroGnnGD must release every per-step checkpoint")
   }
 
+  test("fitHeteroGnnGD aggr=mean: the 1/n adjoint matches finite differences") {
+    // unequal child counts (3 vs 1) make the mean scaling observable
+    val liChildren = Seq(
+      (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (1L, Array(2.0, 1.0)),
+      (2L, Array(1.0, 1.0)),
+      (3L, Array(0.5, 2.0)), (3L, Array(1.5, 0.5))
+    ).toDF("fk", "feat")
+    val revChildren = Seq((1L, Array(0.7)), (2L, Array(-0.3)), (3L, Array(1.2)))
+      .toDF("fk", "feat")
+    val parents = Seq((1L, 1.0), (2L, 0.0), (3L, 1.0), (4L, 0.0)).toDF("pid", "y")
+    val groups = Seq(
+      Blueprint.EdgeGroup(liChildren, Seq("fk"), "feat", dim = 2),
+      Blueprint.EdgeGroup(revChildren, Seq("fk"), "feat", dim = 1))
+    val init = Blueprint.HeteroGnnParams(
+      Seq(Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(Array(0.2, 0.3))),
+      Seq(Array(0.05, -0.05), Array(0.0, 0.1)),
+      Array(0.25, -0.35), 0.1)
+    def deepCopy(p: Blueprint.HeteroGnnParams) = Blueprint.HeteroGnnParams(
+      p.w1.map(_.map(_.clone())), p.b1.map(_.clone()), p.w2.clone(), p.b2)
+    val lr = 1e-3
+    val stepped = Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+      hidden = 2, steps = 1, lr = lr, init = deepCopy(init), aggr = "mean")
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.HeteroGnnParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.heteroGnnLogLoss(groups, parents, Seq("pid"), "y", p, aggr = "mean")
+    }
+    val gradT0 = (init.w1(0)(0)(0) - stepped.w1(0)(0)(0)) / lr
+    val fdT0 = (lossWith(_.w1(0)(0)(0) += eps) - lossWith(_.w1(0)(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradT0 - fdT0) < 1e-4, s"mean type-0 w1 grad $gradT0 vs fd $fdT0")
+    val gradT1 = (init.w1(1)(0)(0) - stepped.w1(1)(0)(0)) / lr
+    val fdT1 = (lossWith(_.w1(1)(0)(0) += eps) - lossWith(_.w1(1)(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradT1 - fdT1) < 1e-4, s"mean type-1 w1 grad $gradT1 vs fd $fdT1")
+    // mean ≠ sum on this fixture (parent 1 has 3 children): the two
+    // aggregations must genuinely train different surfaces
+    val steppedSum = Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+      hidden = 2, steps = 1, lr = lr, init = deepCopy(init), aggr = "sum")
+    assert(math.abs(stepped.w1(0)(0)(0) - steppedSum.w1(0)(0)(0)) > 1e-9)
+    intercept[IllegalArgumentException] {
+      Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+        hidden = 2, steps = 1, lr = lr, init = deepCopy(init), aggr = "cat")
+    }
+  }
+
   test("fitAttnGnnGD: gradient flows THROUGH the attention weights; loss falls") {
     val children = Seq(
       (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (1L, Array(2.0, 1.0)),

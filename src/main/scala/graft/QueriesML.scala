@@ -644,6 +644,100 @@ private[graft] object QueriesML {
     },
     Some(fitAttnGnnOracle(steps = 2, lr = 0.05)))
 
+  /** bp9's oracle: the DEPTH-2 network unrolled — per step a level-1
+    * message CTE (lineitem), its scatter-sum into orders, the level-2
+    * message CTE over [aggregate ; o_totalprice], its scatter-sum into
+    * customers, the residual, the readout aggregate, JOIN-BACK 1
+    * (customer residual onto order rows: level-2 grads + the per-order
+    * chain scalar γ = dm·v·σ'·wa), and JOIN-BACK 2 (γ onto lineitem
+    * rows: level-1 grads), then the update. Naming: a1/a2/c1 = level-1,
+    * wa/wz/c2 = level-2 ([A;z] halves), v/vb = readout. */
+  private[graft] def fitGnn2Oracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""m1$k AS (SELECT mk, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c1))) AS m FROM lv, w${k - 1} w),
+      ag$k AS (SELECT md.mid, md.rk, md.z1, coalesce(s.a, 0.0) AS A
+        FROM md LEFT JOIN
+          (SELECT mk, sum(m) AS a FROM m1$k GROUP BY 1) s ON md.mid = s.mk),
+      m2$k AS (SELECT a.mid, a.rk, a.z1, a.A,
+          1/(1+exp(-((A*w.wa + z1*w.wz) + w.c2))) AS m FROM ag$k a, w${k - 1} w),
+      rg$k AS (SELECT r.rid, r.y, coalesce(s.b, 0.0) AS B
+        FROM rt r LEFT JOIN
+          (SELECT rk, sum(m) AS b FROM m2$k GROUP BY 1) s ON r.rid = s.rk),
+      d$k AS (SELECT g.rid, g.y, g.B,
+          1/(1+exp(-((B*w.v) + w.vb))) - y AS dm FROM rg$k g, w${k - 1} w),
+      gr$k AS (SELECT sum(dm*B) AS gv, sum(dm) AS gvb FROM d$k),
+      bk$k AS (SELECT m.mid, m.z1, m.A, m.m, d.dm
+        FROM m2$k m JOIN d$k d ON m.rk = d.rid),
+      g2$k AS (SELECT
+          sum(b.dm * w.v * (b.m*(1-b.m)) * b.A) AS gwa,
+          sum(b.dm * w.v * (b.m*(1-b.m)) * b.z1) AS gwz,
+          sum(b.dm * w.v * (b.m*(1-b.m))) AS gc2
+        FROM bk$k b, w${k - 1} w),
+      gm$k AS (SELECT b.mid,
+          b.dm * w.v * (b.m*(1-b.m)) * w.wa AS g FROM bk$k b, w${k - 1} w),
+      g1$k AS (SELECT
+          sum(g.g * (h.m*(1-h.m)) * h.x1) AS ga1,
+          sum(g.g * (h.m*(1-h.m)) * h.x2) AS ga2,
+          sum(g.g * (h.m*(1-h.m))) AS gc1
+        FROM m1$k h JOIN gm$k g ON h.mk = g.mid),
+      w$k AS (SELECT
+          w.a1 - $lr*(g1.ga1/n.n) AS a1, w.a2 - $lr*(g1.ga2/n.n) AS a2,
+          w.c1 - $lr*(g1.gc1/n.n) AS c1,
+          w.wa - $lr*(g2.gwa/n.n) AS wa, w.wz - $lr*(g2.gwz/n.n) AS wz,
+          w.c2 - $lr*(g2.gc2/n.n) AS c2,
+          w.v - $lr*(gr.gv/n.n) AS v, w.vb - $lr*(gr.gvb/n.n) AS vb
+        FROM w${k - 1} w, gr$k gr, g2$k g2, g1$k g1, n)"""
+    }.mkString(",\n      ")
+    s"""WITH lv AS (SELECT l_orderkey AS mk, l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2 FROM lineitem),
+      md AS (SELECT o_orderkey AS mid, o_custkey AS rk,
+        o_totalprice::DOUBLE / 100000.0 AS z1 FROM orders),
+      rt AS (SELECT c_custkey AS rid,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS y
+        FROM customer),
+      n AS (SELECT count(*)::DOUBLE AS n FROM rt),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c1,
+        0.1 AS wa, 0.2 AS wz, 0.0 AS c2, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c1, 6) AS bias_l1, round(wa, 6) AS w_agg,
+        round(wz, 6) AS w_totalprice, round(c2, 6) AS bias_l2,
+        round(v, 6) AS w_readout, round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** §2.9: DEPTH-2 GNN training — backprop through two NESTED
+    * scatter-sums (customer ← orders ← lineitem, the reference's stacked
+    * HeteroGNN layers, nn/models/hetero_gnn.py:60-105), 2 steps; the
+    * chain rule telescopes as two join-backs. */
+  private[graft] val qFitGnn2 = Q("bp9_fit_gnn2_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        array(col("o_totalprice").cast("double") / 100000.0).as("feat"))
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitGnn2GD(li, Seq("l_orderkey"), "feat",
+        ord, Seq("o_orderkey"), Seq("o_custkey"), "feat", midDim = 1,
+        cust, Seq("c_custkey"), "y", leafDim = 2, h1 = 1, h2 = 1,
+        steps = 2, lr = 0.05)
+      import s.implicits._
+      Seq((p.w1(0)(0), p.w1(1)(0), p.b1(0), p.w2(0)(0), p.w2(1)(0), p.b2(0),
+          p.v(0), p.vb))
+        .toDF("__a", "__b", "__c", "__d", "__e", "__f", "__g", "__h")
+        .select(round(col("__a"), 6).as("w_quantity"),
+          round(col("__b"), 6).as("w_linenumber"),
+          round(col("__c"), 6).as("bias_l1"),
+          round(col("__d"), 6).as("w_agg"),
+          round(col("__e"), 6).as("w_totalprice"),
+          round(col("__f"), 6).as("bias_l2"),
+          round(col("__g"), 6).as("w_readout"),
+          round(col("__h"), 6).as("bias_out"))
+    },
+    Some(fitGnn2Oracle(steps = 2, lr = 0.05)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private[graft] val qEmbedStub = Q("t4_text_embed_stub",
@@ -800,6 +894,7 @@ private[graft] object QueriesML {
     qFitGnn,
     qFitHeteroGnn,
     qFitAttnGnn,
+    qFitGnn2,
     qEmbedStub,
     qEmbedTable,
     qDuration,

@@ -640,6 +640,226 @@ object Blueprint {
       .collect()(0).getDouble(0)
   }
 
+  /** Parameters of the DEPTH-2 GNN: level-1 message layer (`w1`/`b1`,
+    * leaf→mid), level-2 message layer (`w2`/`b2`, over [mid aggregate ;
+    * mid own features]), readout (`v`/`vb`). */
+  final case class Gnn2Params(w1: Array[Array[Double]], b1: Array[Double],
+      w2: Array[Array[Double]], b2: Array[Double],
+      v: Array[Double], vb: Double)
+
+  /** Backprop through TWO nested scatter-sums — the STACKED-layer shape
+    * the reference actually trains (`HeteroGNN` wires `dims: List[int]`
+    * layers in sequence, nn/models/hetero_gnn.py:60-105, driven
+    * end-to-end main.py:307-323): a leaf table's messages aggregate into
+    * a middle table, the middle table's hidden states (its aggregate
+    * CONCATENATED with its own features — SAGEConv's neighbor+root form)
+    * message onward into the root table, and the readout scores the root
+    * label. [[fitGnnGD]]/[[fitHeteroGnnGD]] train depth 1; this is the
+    * aggregate-of-aggregate (fp2) composition, trained.
+    *
+    * Model: leaf row (edge leaf→mid) emits `m1_j = σ(x·w1(·)(j)+b1(j))`;
+    * mid aggregates `A_j = Σ m1_j` (zero when leafless); mid row (edge
+    * mid→root) emits `m2_k = σ([A;z]·w2(·)(k)+b2(k))` over its aggregate
+    * and its own features `z`; root aggregates `B_k = Σ m2_k`; readout
+    * `p = σ(B·v+vb)` against the root label, mean logistic loss.
+    *
+    * The chain rule telescopes through the two sums as two JOIN-BACKS:
+    * `∂L/∂m2(mid) = dm(root)·v` (join roots→mids), and
+    * `∂L/∂A_j(mid) = Σ_k δ2_k·σ'_k·w2(A_j)(k)` is a per-mid scalar that
+    * joins mids→leaves to give `∂L/∂m1(leaf)`. Every parameter gradient
+    * reduces as a flat sum over the joined rows of its own level. Cost
+    * per GD step: two scatter-sum shuffles (one per level, forward), one
+    * scalar aggregate per level + one over roots (gradients), two
+    * join-backs. The mid-level frame (A, z per mid row) is checkpointed —
+    * three passes read it — and released with the root frame after the
+    * step's gradients are collected; parameters re-enter as literals, no
+    * executor state.
+    *
+    * (The reference interleaves ReLU/batch-norm between layers; this
+    * restatement uses the same sigmoid nonlinearity as the rest of the
+    * trainable stack so the SQL restatement stays one device.) */
+  def fitGnn2GD(leaves: DataFrame, leafFkCols: Seq[String], leafFeatCol: String,
+      mids: DataFrame, midKeyCols: Seq[String], midFkCols: Seq[String],
+      midFeatCol: String, midDim: Int,
+      roots: DataFrame, rootKeyCols: Seq[String], yCol: String,
+      leafDim: Int, h1: Int, h2: Int, steps: Int, lr: Double,
+      init: Gnn2Params = null): Gnn2Params = {
+    require(leafDim >= 1 && midDim >= 0 && h1 >= 1 && h2 >= 1,
+      "need at least one leaf feature and one hidden unit per level")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    require(leafFkCols.nonEmpty && leafFkCols.length == midKeyCols.length,
+      s"leaf FK arity mismatch: $leafFkCols vs $midKeyCols")
+    require(midFkCols.nonEmpty && midFkCols.length == rootKeyCols.length,
+      s"mid FK arity mismatch: $midFkCols vs $rootKeyCols")
+    val d2 = h1 + midDim // level-2 input: [A ; z]
+    val p0 = if (init != null) init else Gnn2Params(
+      Array.tabulate(leafDim, h1)((i, j) => 0.1 * (i + 1) * (if (j % 2 == 0) 1 else -1)),
+      Array.fill(h1)(0.0),
+      Array.tabulate(d2, h2)((i, k) => 0.1 * (i + 1) * (if (k % 2 == 0) 1 else -1)),
+      Array.fill(h2)(0.0),
+      Array.tabulate(h2)(k => 0.1 * (k + 1)),
+      0.0)
+    require(p0.w1.length == leafDim && p0.w1.forall(_.length == h1) &&
+      p0.b1.length == h1 && p0.w2.length == d2 &&
+      p0.w2.forall(_.length == h2) && p0.b2.length == h2 &&
+      p0.v.length == h2, "init shape mismatch")
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val w1 = p0.w1.map(_.clone()); val b1 = p0.b1.clone()
+    val w2 = p0.w2.map(_.clone()); val b2 = p0.b2.clone()
+    val v = p0.v.clone(); var vb = p0.vb
+    val xL = (i: Int) => element_at(col(leafFeatCol), i + 1).cast("double")
+    val zM = (i: Int) => element_at(col(midFeatCol), i + 1).cast("double")
+    (1 to steps).foreach { _ =>
+      // level-1 forward: leaf messages scatter-sum into mids; keep the
+      // mid frame (keys, fk-to-root, z, A) — three later passes read it
+      val m1 = (0 until h1).map { j =>
+        sig((0 until leafDim).map(i => xL(i) * lit(w1(i)(j))).reduce(_ + _) + lit(b1(j)))
+      }
+      val aggd1 = leaves.groupBy(leafFkCols.map(col): _*)
+        .agg((0 until h1).map(j => sum(m1(j)).as(s"__A$j")).head,
+          (0 until h1).map(j => sum(m1(j)).as(s"__A$j")).tail: _*)
+      val ren1 = leafFkCols.zip(midKeyCols).foldLeft(aggd1) {
+        case (df, (c, k)) => df.withColumnRenamed(c, k)
+      }
+      val mid = mids
+        .select((midKeyCols ++ midFkCols).distinct.map(col) ++
+          (0 until midDim).map(i => zM(i).as(s"__z$i")): _*)
+        .join(ren1, midKeyCols, "left")
+        .select((midKeyCols ++ midFkCols).distinct.map(col) ++
+          (0 until midDim).map(i => col(s"__z$i")) ++
+          (0 until h1).map(j => coalesce(col(s"__A$j"), lit(0.0)).as(s"__A$j")): _*)
+        .localCheckpoint(true)
+      // level-2 forward: mid messages over [A ; z] scatter-sum into roots
+      val in2 = (i: Int) =>
+        if (i < h1) col(s"__A$i") else col(s"__z${i - h1}")
+      val m2 = (0 until h2).map { k =>
+        sig((0 until d2).map(i => in2(i) * lit(w2(i)(k))).reduce(_ + _) + lit(b2(k)))
+      }
+      val aggd2 = mid.groupBy(midFkCols.map(col): _*)
+        .agg((0 until h2).map(k => sum(m2(k)).as(s"__B$k")).head,
+          (0 until h2).map(k => sum(m2(k)).as(s"__B$k")).tail: _*)
+      val ren2 = midFkCols.zip(rootKeyCols).foldLeft(aggd2) {
+        case (df, (c, k)) => df.withColumnRenamed(c, k)
+      }
+      val root = roots
+        .select(rootKeyCols.map(col) :+ y.as("__y"): _*)
+        .join(ren2, rootKeyCols, "left")
+        .select(rootKeyCols.map(col) ++ Seq(col("__y")) ++
+          (0 until h2).map(k => coalesce(col(s"__B$k"), lit(0.0)).as(s"__B$k")): _*)
+        .localCheckpoint(true)
+      val margin = (0 until h2).map(k => col(s"__B$k") * lit(v(k))).reduce(_ + _) + lit(vb)
+      val dm = sig(margin) - col("__y")
+      // readout gradients over roots
+      val rootSums = (0 until h2).map(k => sum(dm * col(s"__B$k")).as(s"gv_$k")) ++
+        Seq(sum(dm).as("gvb"), count(lit(1)).cast("double").as("n"))
+      val rRow = root.agg(rootSums.head, rootSums.tail: _*).collect()(0)
+      def gr(name: String) = rRow.getDouble(rRow.fieldIndex(name))
+      val n = gr("n")
+      require(n > 0, "cannot fit on an empty roots frame")
+      // join-back 1: roots → mids; level-2 grads are flat sums over mids,
+      // and γ_j = Σ_k δ2_k·σ'_k·w2(A_j)(k) chains into level 1
+      val dmPerRoot = rootKeyCols.zip(midFkCols).foldLeft(
+          root.select(rootKeyCols.map(col) :+ dm.as("__dm"): _*)) {
+        case (df, (k, c)) => df.withColumnRenamed(k, c)
+      }
+      val back2 = mid.join(dmPerRoot, midFkCols)
+      val sp2 = (k: Int) => m2(k) * (lit(1.0) - m2(k)) // σ' at level 2
+      val gamma = (j: Int) =>
+        (0 until h2).map(k => col("__dm") * lit(v(k)) * sp2(k) * lit(w2(j)(k)))
+          .reduce(_ + _)
+      val back2Sums =
+        (for { i <- 0 until d2; k <- 0 until h2 }
+          yield sum(col("__dm") * lit(v(k)) * sp2(k) * in2(i)).as(s"gw2_${i}_$k")) ++
+        (0 until h2).map(k =>
+          sum(col("__dm") * lit(v(k)) * sp2(k)).as(s"gb2_$k"))
+      val b2Row = back2.agg(back2Sums.head, back2Sums.tail: _*).collect()(0)
+      // join-back 2: mids (with γ) → leaves; level-1 grads are flat sums
+      val gammaPerMid = midKeyCols.zip(leafFkCols).foldLeft(
+          back2.select(midKeyCols.map(col) ++
+            (0 until h1).map(j => gamma(j).as(s"__g$j")): _*)) {
+        case (df, (k, c)) => df.withColumnRenamed(k, c)
+      }
+      val back1 = leaves.join(gammaPerMid, leafFkCols)
+      val sp1 = (j: Int) => m1(j) * (lit(1.0) - m1(j))
+      val back1Sums =
+        (for { i <- 0 until leafDim; j <- 0 until h1 }
+          yield sum(col(s"__g$j") * sp1(j) * xL(i)).as(s"gw1_${i}_$j")) ++
+        (0 until h1).map(j => sum(col(s"__g$j") * sp1(j)).as(s"gb1_$j"))
+      val b1Row = back1.agg(back1Sums.head, back1Sums.tail: _*).collect()(0)
+      def g2(name: String) =
+        if (b2Row.isNullAt(b2Row.fieldIndex(name))) 0.0
+        else b2Row.getDouble(b2Row.fieldIndex(name))
+      def g1(name: String) =
+        if (b1Row.isNullAt(b1Row.fieldIndex(name))) 0.0
+        else b1Row.getDouble(b1Row.fieldIndex(name))
+      for (i <- 0 until leafDim; j <- 0 until h1)
+        w1(i)(j) = w1(i)(j) - lr * (g1(s"gw1_${i}_$j") / n)
+      for (j <- 0 until h1) b1(j) = b1(j) - lr * (g1(s"gb1_$j") / n)
+      for (i <- 0 until d2; k <- 0 until h2)
+        w2(i)(k) = w2(i)(k) - lr * (g2(s"gw2_${i}_$k") / n)
+      for (k <- 0 until h2) {
+        b2(k) = b2(k) - lr * (g2(s"gb2_$k") / n)
+        v(k) = v(k) - lr * (gr(s"gv_$k") / n)
+      }
+      vb = vb - lr * (gr("gvb") / n)
+      graft.util.Checkpoints.release(root)
+      graft.util.Checkpoints.release(mid)
+    }
+    Gnn2Params(w1, b1, w2, b2, v, vb)
+  }
+
+  /** Mean logistic loss of [[fitGnn2GD]]'s depth-2 network — two
+    * scatter-sums + one aggregate; the finite-difference anchor proving
+    * the gradient flows through BOTH nested aggregations. */
+  def gnn2LogLoss(leaves: DataFrame, leafFkCols: Seq[String], leafFeatCol: String,
+      mids: DataFrame, midKeyCols: Seq[String], midFkCols: Seq[String],
+      midFeatCol: String, midDim: Int,
+      roots: DataFrame, rootKeyCols: Seq[String], yCol: String,
+      p: Gnn2Params): Double = {
+    val leafDim = p.w1.length; val h1 = p.b1.length; val h2 = p.b2.length
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val xL = (i: Int) => element_at(col(leafFeatCol), i + 1).cast("double")
+    val zM = (i: Int) => element_at(col(midFeatCol), i + 1).cast("double")
+    val m1 = (0 until h1).map { j =>
+      sig((0 until leafDim).map(i => xL(i) * lit(p.w1(i)(j))).reduce(_ + _) +
+        lit(p.b1(j)))
+    }
+    val aggd1 = leaves.groupBy(leafFkCols.map(col): _*)
+      .agg((0 until h1).map(j => sum(m1(j)).as(s"__A$j")).head,
+        (0 until h1).map(j => sum(m1(j)).as(s"__A$j")).tail: _*)
+    val ren1 = leafFkCols.zip(midKeyCols).foldLeft(aggd1) {
+      case (df, (c, k)) => df.withColumnRenamed(c, k)
+    }
+    val midDimN = p.w2.length - h1
+    val mid = mids
+      .select((midKeyCols ++ midFkCols).distinct.map(col) ++
+        (0 until midDimN).map(i => zM(i).as(s"__z$i")): _*)
+      .join(ren1, midKeyCols, "left")
+    val in2 = (i: Int) =>
+      if (i < h1) coalesce(col(s"__A$i"), lit(0.0)) else col(s"__z${i - h1}")
+    val m2 = (0 until h2).map { k =>
+      sig((0 until p.w2.length).map(i => in2(i) * lit(p.w2(i)(k))).reduce(_ + _) +
+        lit(p.b2(k)))
+    }
+    val aggd2 = mid.groupBy(midFkCols.map(col): _*)
+      .agg((0 until h2).map(k => sum(m2(k)).as(s"__B$k")).head,
+        (0 until h2).map(k => sum(m2(k)).as(s"__B$k")).tail: _*)
+    val ren2 = midFkCols.zip(rootKeyCols).foldLeft(aggd2) {
+      case (df, (c, k)) => df.withColumnRenamed(c, k)
+    }
+    val margin = (0 until h2)
+      .map(k => coalesce(col(s"__B$k"), lit(0.0)) * lit(p.v(k))).reduce(_ + _) +
+      lit(p.vb)
+    val pr = sig(margin)
+    roots.select(rootKeyCols.map(col) :+ y.as("__y"): _*)
+      .join(ren2, rootKeyCols, "left")
+      .agg(avg(-(col("__y") * log(pr) + (lit(1.0) - col("__y")) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
+  }
+
   /** Parameters of the attention GNN layer: message weights `w1`/`b1`,
     * attention scorer `u` (no score bias — softmax is shift-invariant,
     * so a bias there has exactly zero gradient), shared readout

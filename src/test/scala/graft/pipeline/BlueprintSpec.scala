@@ -431,6 +431,78 @@ class BlueprintSpec extends SparkSpec {
       "fitAttnGnnGD must release every per-step checkpoint")
   }
 
+  test("fitGnn2GD: gradient flows through TWO nested scatter-sums; loss falls") {
+    // roots 1-3 (root 3 midless); mid 20 leafless; dangling leaf fk=99
+    val leaves = Seq(
+      (10L, Array(1.0, 0.0)), (10L, Array(0.0, 1.0)), (10L, Array(2.0, 1.0)),
+      (11L, Array(1.0, 1.0)),
+      (21L, Array(0.5, 2.0)),
+      (99L, Array(9.0, 9.0))
+    ).toDF("mfk", "feat")
+    val mids = Seq(
+      (10L, 1L, Array(0.3)), (11L, 1L, Array(-0.2)),
+      (20L, 2L, Array(0.8)), (21L, 2L, Array(0.1))
+    ).toDF("mid", "rfk", "feat")
+    val roots = Seq((1L, 1.0), (2L, 0.0), (3L, 1.0)).toDF("rid", "y")
+    val init = Blueprint.Gnn2Params(
+      Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(0.05, -0.05),
+      Array(Array(0.2, -0.3), Array(-0.25, 0.15), Array(0.1, 0.35)), // d2 = h1+midDim = 3
+      Array(0.02, -0.02),
+      Array(0.25, -0.35), 0.1)
+    def deepCopy(p: Blueprint.Gnn2Params) = Blueprint.Gnn2Params(
+      p.w1.map(_.clone()), p.b1.clone(), p.w2.map(_.clone()), p.b2.clone(),
+      p.v.clone(), p.vb)
+    val lr = 1e-3
+    val stepped = Blueprint.fitGnn2GD(leaves, Seq("mfk"), "feat",
+      mids, Seq("mid"), Seq("rfk"), "feat", midDim = 1,
+      roots, Seq("rid"), "y", leafDim = 2, h1 = 2, h2 = 2, steps = 1, lr = lr,
+      init = deepCopy(init))
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.Gnn2Params => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.gnn2LogLoss(leaves, Seq("mfk"), "feat",
+        mids, Seq("mid"), Seq("rfk"), "feat", midDim = 1,
+        roots, Seq("rid"), "y", p)
+    }
+    // the LEVEL-1 message weight sits under BOTH aggregations — this
+    // finite difference is the two-nested-join-backs proof
+    val gradW1 = (init.w1(0)(0) - stepped.w1(0)(0)) / lr
+    val fdW1 = (lossWith(_.w1(0)(0) += eps) - lossWith(_.w1(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradW1 - fdW1) < 1e-4, s"w1 grad $gradW1 vs fd $fdW1")
+    assert(math.abs(fdW1) > 1e-7, "fixture must exercise the depth-2 path")
+    val gradB1 = (init.b1(1) - stepped.b1(1)) / lr
+    val fdB1 = (lossWith(_.b1(1) += eps) - lossWith(_.b1(1) -= eps)) / (2 * eps)
+    assert(math.abs(gradB1 - fdB1) < 1e-4, s"b1 grad $gradB1 vs fd $fdB1")
+    // level-2 weights over BOTH input halves: the aggregate (A) row and
+    // the mid's own feature (z) row
+    val gradW2A = (init.w2(0)(0) - stepped.w2(0)(0)) / lr
+    val fdW2A = (lossWith(_.w2(0)(0) += eps) - lossWith(_.w2(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradW2A - fdW2A) < 1e-4, s"w2[A] grad $gradW2A vs fd $fdW2A")
+    val gradW2Z = (init.w2(2)(1) - stepped.w2(2)(1)) / lr
+    val fdW2Z = (lossWith(_.w2(2)(1) += eps) - lossWith(_.w2(2)(1) -= eps)) / (2 * eps)
+    assert(math.abs(gradW2Z - fdW2Z) < 1e-4, s"w2[z] grad $gradW2Z vs fd $fdW2Z")
+    val gradV = (init.v(0) - stepped.v(0)) / lr
+    val fdV = (lossWith(_.v(0) += eps) - lossWith(_.v(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradV - fdV) < 1e-4, s"v grad $gradV vs fd $fdV")
+    // training lowers the loss end to end
+    val trained = Blueprint.fitGnn2GD(leaves, Seq("mfk"), "feat",
+      mids, Seq("mid"), Seq("rfk"), "feat", midDim = 1,
+      roots, Seq("rid"), "y", leafDim = 2, h1 = 2, h2 = 2, steps = 60, lr = 0.5,
+      init = deepCopy(init))
+    assert(Blueprint.gnn2LogLoss(leaves, Seq("mfk"), "feat",
+        mids, Seq("mid"), Seq("rfk"), "feat", 1, roots, Seq("rid"), "y", trained) <
+      Blueprint.gnn2LogLoss(leaves, Seq("mfk"), "feat",
+        mids, Seq("mid"), Seq("rfk"), "feat", 1, roots, Seq("rid"), "y", init))
+    // both per-step checkpoints (mid and root frames) released
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Blueprint.fitGnn2GD(leaves, Seq("mfk"), "feat",
+      mids, Seq("mid"), Seq("rfk"), "feat", midDim = 1,
+      roots, Seq("rid"), "y", leafDim = 2, h1 = 2, h2 = 2, steps = 2, lr = 0.1,
+      init = deepCopy(init))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "fitGnn2GD must release every per-step checkpoint")
+  }
+
   test("metrics: accuracy and regression suite") {
     val df = Seq((1, 1, 2.0, 2.5), (0, 1, 4.0, 3.5), (1, 1, 6.0, 6.0))
       .toDF("pred", "y", "yhat", "ytrue")

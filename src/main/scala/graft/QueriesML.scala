@@ -738,6 +738,116 @@ private[graft] object QueriesML {
     },
     Some(fitGnn2Oracle(steps = 2, lr = 0.05)))
 
+  /** bp10's oracle: the hetero layer with ATTENTION aggregation unrolled —
+    * per step, each edge type gets bp8's CTE trio (message h + trainable
+    * score e = x·u(t), the stable two-window softmax, the α-weighted
+    * scatter-sum), the parents LEFT-join both aggregates into one shared
+    * readout over the cross-type SUM, and each type's join-back carries
+    * its own softmax Jacobian dm·α·(h·v − s_t) where s_t projects that
+    * type's OWN aggregate (cross-type terms vanish — another type's
+    * aggregate does not read this type's scores). Naming: a1/a2/c1/u1/u2
+    * = customer-type params, d1/c2/su = supplier-type params, v/vb = the
+    * shared readout. */
+  private[graft] def fitHeteroAttnGnnOracle(steps: Int, lr: Double): String = {
+    val chain = (1 to steps).map { k =>
+      s"""h1$k AS (SELECT k, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c1))) AS h,
+          x1*w.u1 + x2*w.u2 AS e FROM ch1, w${k - 1} w),
+      ex1$k AS (SELECT k, x1, x2, h,
+          exp(e - max(e) OVER (PARTITION BY k)) AS st FROM h1$k),
+      al1$k AS (SELECT k, x1, x2, h,
+          st / sum(st) OVER (PARTITION BY k) AS al FROM ex1$k),
+      h2$k AS (SELECT k, z1,
+          1/(1+exp(-((z1*w.d1) + w.c2))) AS h, z1*w.su AS e FROM ch2, w${k - 1} w),
+      ex2$k AS (SELECT k, z1, h,
+          exp(e - max(e) OVER (PARTITION BY k)) AS st FROM h2$k),
+      al2$k AS (SELECT k, z1, h,
+          st / sum(st) OVER (PARTITION BY k) AS al FROM ex2$k),
+      ag$k AS (SELECT p.k, p.y,
+          coalesce(s1.a, 0.0) AS a1s, coalesce(s2.a, 0.0) AS a2s
+        FROM par p
+        LEFT JOIN (SELECT k, sum(al*h) AS a FROM al1$k GROUP BY 1) s1 ON p.k = s1.k
+        LEFT JOIN (SELECT k, sum(al*h) AS a FROM al2$k GROUP BY 1) s2 ON p.k = s2.k),
+      d$k AS (SELECT a.k, a.y, a.a1s, a.a2s,
+          1/(1+exp(-(((a1s + a2s)*w.v) + w.vb))) - y AS dm FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*(a1s + a2s)) AS gv, sum(dm) AS gb FROM d$k),
+      bk1$k AS (SELECT
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h)) * a.x1) AS ga1,
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h)) * a.x2) AS ga2,
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h))) AS gc1,
+          sum(d.dm * a.al * (a.h*w.v - d.a1s*w.v) * a.x1) AS gu1,
+          sum(d.dm * a.al * (a.h*w.v - d.a1s*w.v) * a.x2) AS gu2
+        FROM al1$k a JOIN d$k d ON a.k = d.k, w${k - 1} w),
+      bk2$k AS (SELECT
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h)) * a.z1) AS gd1,
+          sum(d.dm * w.v * a.al * (a.h*(1-a.h))) AS gc2,
+          sum(d.dm * a.al * (a.h*w.v - d.a2s*w.v) * a.z1) AS gsu
+        FROM al2$k a JOIN d$k d ON a.k = d.k, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b1.ga1/n.n) AS a1, w.a2 - $lr*(b1.ga2/n.n) AS a2,
+          w.c1 - $lr*(b1.gc1/n.n) AS c1,
+          w.u1 - $lr*(b1.gu1/n.n) AS u1, w.u2 - $lr*(b1.gu2/n.n) AS u2,
+          w.d1 - $lr*(b2.gd1/n.n) AS d1, w.c2 - $lr*(b2.gc2/n.n) AS c2,
+          w.su - $lr*(b2.gsu/n.n) AS su,
+          w.v - $lr*(g.gv/n.n) AS v, w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk1$k b1, bk2$k b2, n)"""
+    }.mkString(",\n      ")
+    s"""WITH ch1 AS (SELECT c_nationkey AS k, c_acctbal::DOUBLE / 10000.0 AS x1,
+          (c_custkey % 100)::DOUBLE / 100.0 AS x2 FROM customer),
+      ch2 AS (SELECT s_nationkey AS k, s_acctbal::DOUBLE / 10000.0 AS z1
+        FROM supplier),
+      par AS (SELECT n_nationkey AS k,
+        CASE WHEN n_regionkey <= 1 THEN 1.0 ELSE 0.0 END AS y FROM nation),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c1, 0.05 AS u1, 0.1 AS u2,
+        0.1 AS d1, 0.0 AS c2, 0.05 AS su, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_acctbal_cust, round(a2, 6) AS w_custmod,
+        round(c1, 6) AS bias_msg_cust, round(u1, 6) AS u_acctbal_cust,
+        round(u2, 6) AS u_custmod, round(d1, 6) AS w_acctbal_supp,
+        round(c2, 6) AS bias_msg_supp, round(su, 6) AS u_acctbal_supp,
+        round(v, 6) AS w_readout, round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** §2.9: the reference's ACTUAL tuned combination — hetero conv
+    * (nn/models/hetero_gnn.py:25-36) with attention aggregation
+    * (nn/aggr/attention.py:10-41); the experiment tune space is
+    * choice(["attn", "sum"]) (experiments/blueprint_mlflow.py:267). Two
+    * genuinely different FK relations into one parent (nation ← customer,
+    * nation ← supplier) so BOTH per-type softmaxes are non-degenerate;
+    * per-type trainable scorers u(t), 2 joint backprop steps. */
+  private[graft] val qFitHeteroAttnGnn = Q("bp10_fit_hetero_attn_gd",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val cust = t(s, d, "customer").select(col("c_nationkey"),
+        array(col("c_acctbal").cast("double") / 10000.0,
+          (col("c_custkey") % 100).cast("double") / 100.0).as("feat"))
+      val supp = t(s, d, "supplier").select(col("s_nationkey"),
+        array(col("s_acctbal").cast("double") / 10000.0).as("feat"))
+      val nat = t(s, d, "nation").select(col("n_nationkey"),
+        when(col("n_regionkey") <= 1, 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitHeteroGnnGD(
+        Seq(Blueprint.EdgeGroup(cust, Seq("c_nationkey"), "feat", dim = 2),
+          Blueprint.EdgeGroup(supp, Seq("s_nationkey"), "feat", dim = 1)),
+        nat, Seq("n_nationkey"), "y", hidden = 1, steps = 2, lr = 0.05,
+        aggr = "attn")
+      import s.implicits._
+      Seq((p.w1(0)(0)(0), p.w1(0)(1)(0), p.b1(0)(0), p.u(0)(0), p.u(0)(1),
+          p.w1(1)(0)(0), p.b1(1)(0), p.u(1)(0), p.w2(0), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e", "__f", "__g", "__h", "__i", "__j")
+        .select(round(col("__a"), 6).as("w_acctbal_cust"),
+          round(col("__b"), 6).as("w_custmod"),
+          round(col("__c"), 6).as("bias_msg_cust"),
+          round(col("__d"), 6).as("u_acctbal_cust"),
+          round(col("__e"), 6).as("u_custmod"),
+          round(col("__f"), 6).as("w_acctbal_supp"),
+          round(col("__g"), 6).as("bias_msg_supp"),
+          round(col("__h"), 6).as("u_acctbal_supp"),
+          round(col("__i"), 6).as("w_readout"),
+          round(col("__j"), 6).as("bias_out"))
+    },
+    Some(fitHeteroAttnGnnOracle(steps = 2, lr = 0.05)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private[graft] val qEmbedStub = Q("t4_text_embed_stub",
@@ -895,6 +1005,7 @@ private[graft] object QueriesML {
     qFitHeteroGnn,
     qFitAttnGnn,
     qFitGnn2,
+    qFitHeteroAttnGnn,
     qEmbedStub,
     qEmbedTable,
     qDuration,

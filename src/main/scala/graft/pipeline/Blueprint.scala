@@ -448,9 +448,12 @@ object Blueprint {
       featCol: String, dim: Int)
 
   /** Parameters of the hetero layer: per-group message weights
-    * (`w1(t)`, `b1(t)`) feeding ONE shared readout (`w2`, `b2`). */
+    * (`w1(t)`, `b1(t)`) feeding ONE shared readout (`w2`, `b2`); `u(t)`
+    * is group t's attention scorer, present only under `aggr = "attn"`
+    * (null otherwise — sum/mean have no attention parameters). */
   final case class HeteroGnnParams(w1: Seq[Array[Array[Double]]],
-      b1: Seq[Array[Double]], w2: Array[Double], b2: Double)
+      b1: Seq[Array[Double]], w2: Array[Double], b2: Double,
+      u: Seq[Array[Double]] = null)
 
   /** Joint training across SEVERAL edge types — the reference's hetero
     * conv semantics (nn/models/hetero_gnn.py:25-36: one SAGEConv per edge
@@ -475,12 +478,18 @@ object Blueprint {
     *
     * `aggr` selects the per-type reduce, mirroring the reference's
     * AggrType knob (hetero_gnn.py:19, main.py:61 defaults to "sum"; the
-    * tune space adds "attn" = [[fitAttnGnnGD]]): "sum" or "mean". Mean's
-    * adjoint scales the join-back residual by 1/n_t(parent) — the
-    * per-(parent, type) child count already produced by the forward
-    * aggregate. ("min"/"max" route gradients to one extremal child and
-    * "cat" changes the readout arity — neither is trained by any
-    * reference experiment config; out of scope.)
+    * experiment tune space is choice(["attn", "sum"]),
+    * blueprint_mlflow.py:267): "sum", "mean", or "attn". Mean's adjoint
+    * scales the join-back residual by 1/n_t(parent) — the per-(parent,
+    * type) child count already produced by the forward aggregate. Attn
+    * gives every group its own trainable scorer `u(t)` and per-(parent,
+    * type) softmax weights ([[fitAttnGnnGD]]'s machinery applied per
+    * group: the softmax Jacobian is the per-edge scalar
+    * dm·α·(m_c − s_t), where s_t projects the group's OWN aggregate —
+    * cross-type terms vanish because another type's aggregate does not
+    * read this type's scores). ("min"/"max" route gradients to one
+    * extremal child and "cat" changes the readout arity — neither is
+    * trained by any reference experiment config; out of scope.)
     *
     * Op order pinned exactly as [[fitGnnGD]] per group for the SQL
     * restatement; drift is summation-order and exp ulps. */
@@ -488,8 +497,8 @@ object Blueprint {
       keyCols: Seq[String], yCol: String, hidden: Int, steps: Int,
       lr: Double, init: HeteroGnnParams = null,
       aggr: String = "sum"): HeteroGnnParams = {
-    require(aggr == "sum" || aggr == "mean",
-      s"aggr must be 'sum' or 'mean', got '$aggr'")
+    require(aggr == "sum" || aggr == "mean" || aggr == "attn",
+      s"aggr must be 'sum', 'mean' or 'attn', got '$aggr'")
     require(groups.nonEmpty, "need at least one edge group")
     require(hidden >= 1, "need at least one hidden unit")
     require(steps >= 1, "need at least one step")
@@ -498,23 +507,31 @@ object Blueprint {
       require(g.dim >= 1 && g.fkCols.nonEmpty && g.fkCols.length == keyCols.length,
         s"bad edge group: dim=${g.dim}, fkCols=${g.fkCols} vs keyCols=$keyCols")
     }
+    val attn = aggr == "attn"
     val p0 = if (init != null) init else HeteroGnnParams(
       groups.map(g => Array.tabulate(g.dim, hidden)(
         (i, j) => 0.1 * (i + 1) * (if (j % 2 == 0) 1 else -1))),
       groups.map(_ => Array.fill(hidden)(0.0)),
       Array.tabulate(hidden)(j => 0.1 * (j + 1)),
-      0.0)
+      0.0,
+      if (attn) groups.map(g => Array.tabulate(g.dim)(i => 0.05 * (i + 1)))
+      else null)
     require(p0.w1.length == groups.length && p0.b1.length == groups.length &&
       p0.w2.length == hidden &&
       p0.w1.zip(groups).forall { case (w, g) =>
         w.length == g.dim && w.forall(_.length == hidden) } &&
       p0.b1.forall(_.length == hidden), "init shape mismatch")
+    require(!attn || (p0.u != null && p0.u.length == groups.length &&
+      p0.u.zip(groups).forall { case (ut, g) => ut.length == g.dim }),
+      "aggr='attn' needs one scorer u(t) per group, sized to its dim")
     val y = col(yCol).cast("double")
     def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
     val w1 = p0.w1.map(_.map(_.clone()).toArray)
     val b1 = p0.b1.map(_.clone())
     val w2 = p0.w2.clone(); var b2 = p0.b2
+    val u = if (attn) p0.u.map(_.clone()) else null
     val nG = groups.length
+    import org.apache.spark.sql.expressions.Window
     def xOf(g: EdgeGroup)(i: Int) = element_at(col(g.featCol), i + 1).cast("double")
     def hOf(t: Int): Seq[Column] = {
       val g = groups(t); val x = xOf(g) _
@@ -524,16 +541,44 @@ object Blueprint {
       }
     }
     (1 to steps).foreach { _ =>
+      // attn: per group, materialize the edge frame with its softmax
+      // weight (A9's stable two-window device on the group's OWN scores)
+      // — the forward aggregate and the join-back both read it
+      val eds: Seq[DataFrame] =
+        if (!attn) Nil
+        else groups.zipWithIndex.map { case (g, t) =>
+          val h = hOf(t); val x = xOf(g) _
+          val e = (0 until g.dim).map(i => x(i) * lit(u(t)(i))).reduce(_ + _)
+          val w = Window.partitionBy(g.fkCols.map(col): _*)
+          val stable = exp(e - max(e).over(w))
+          val alpha = stable / sum(stable).over(w)
+          g.children.select(
+              g.fkCols.map(col) ++
+              (0 until g.dim).map(i => x(i).as(s"__x$i")) ++
+              (0 until hidden).map(j => h(j).as(s"__h$j")) ++
+              Seq(alpha.as("__al")): _*)
+            .localCheckpoint(true)
+        }
       // forward: one scatter-sum per group, parents left-join ALL groups
       // (childless-in-a-type parents aggregate zero for that type)
       val dst0 = groups.zipWithIndex.foldLeft(
           parents.select(keyCols.map(col) :+ y.as("__y"): _*)) {
         case (acc, (g, t)) =>
-          val h = hOf(t)
-          val sums = (0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")) :+
-            count(lit(1)).cast("double").as(s"__n$t")
-          val aggd = g.children.groupBy(g.fkCols.map(col): _*)
-            .agg(sums.head, sums.tail: _*)
+          val aggd =
+            if (attn)
+              eds(t).groupBy(g.fkCols.map(col): _*)
+                .agg((0 until hidden).map(j =>
+                    sum(col("__al") * col(s"__h$j")).as(s"__a${t}_$j")).head,
+                  ((0 until hidden).map(j =>
+                    sum(col("__al") * col(s"__h$j")).as(s"__a${t}_$j")).tail :+
+                    count(lit(1)).cast("double").as(s"__n$t")): _*)
+            else {
+              val h = hOf(t)
+              val sums = (0 until hidden).map(j => sum(h(j)).as(s"__a${t}_$j")) :+
+                count(lit(1)).cast("double").as(s"__n$t")
+              g.children.groupBy(g.fkCols.map(col): _*)
+                .agg(sums.head, sums.tail: _*)
+            }
           val renamed = g.fkCols.zip(keyCols).foldLeft(aggd) {
             case (df, (c, k)) => df.withColumnRenamed(c, k)
           }
@@ -563,26 +608,54 @@ object Blueprint {
       // per-group adjoint: the scatter-sum join-back of fitGnnGD, once
       // per edge type (∂L/∂h^t is dm regardless of the carrying type)
       val grads = groups.zipWithIndex.map { case (g, t) =>
-        // mean's scatter adjoint: ∂a_tj/∂h(child) = 1/n_t(parent), so the
-        // joined-back residual is dm/n_t (sum: dm unscaled); n_t > 0 on
-        // every row that joins a child
-        val dmBack =
-          if (aggr == "mean")
-            when(col(s"__n$t") > 0, dm / col(s"__n$t")).otherwise(lit(0.0))
-          else dm
-        val dmPerDst = keyCols.zip(g.fkCols).foldLeft(
-            dst.select(keyCols.map(col) :+ dmBack.as("__dm"): _*)) {
-          case (df, (k, c)) => df.withColumnRenamed(k, c)
+        if (attn) {
+          // attn's adjoint carries (dm, s_t) per parent; s_t projects
+          // the group's OWN aggregate (cross-type terms vanish — another
+          // type's aggregate does not read this type's scores)
+          val sProj = (0 until hidden)
+            .map(j => col(s"__a${t}_$j") * lit(w2(j))).reduce(_ + _)
+          val dmPerDst = keyCols.zip(g.fkCols).foldLeft(
+              dst.select(keyCols.map(col) ++
+                Seq(dm.as("__dm"), sProj.as("__s")): _*)) {
+            case (df, (k, c)) => df.withColumnRenamed(k, c)
+          }
+          val back = eds(t).join(dmPerDst, g.fkCols)
+          val hB = (j: Int) => col(s"__h$j")
+          val xB = (i: Int) => col(s"__x$i")
+          val mProj = (0 until hidden).map(j => hB(j) * lit(w2(j))).reduce(_ + _)
+          val backSums =
+            (for { i <- 0 until g.dim; j <- 0 until hidden }
+              yield sum(col("__dm") * lit(w2(j)) * col("__al") *
+                  (hB(j) * (lit(1.0) - hB(j))) * xB(i)).as(s"gw_${i}_$j")) ++
+            (0 until hidden).map(j =>
+              sum(col("__dm") * lit(w2(j)) * col("__al") *
+                (hB(j) * (lit(1.0) - hB(j)))).as(s"gc_$j")) ++
+            (0 until g.dim).map(i =>
+              sum(col("__dm") * col("__al") * (mProj - col("__s")) * xB(i))
+                .as(s"gu_$i"))
+          back.agg(backSums.head, backSums.tail: _*).collect()(0)
+        } else {
+          // mean's scatter adjoint: ∂a_tj/∂h(child) = 1/n_t(parent), so
+          // the joined-back residual is dm/n_t (sum: dm unscaled);
+          // n_t > 0 on every row that joins a child
+          val dmBack =
+            if (aggr == "mean")
+              when(col(s"__n$t") > 0, dm / col(s"__n$t")).otherwise(lit(0.0))
+            else dm
+          val dmPerDst = keyCols.zip(g.fkCols).foldLeft(
+              dst.select(keyCols.map(col) :+ dmBack.as("__dm"): _*)) {
+            case (df, (k, c)) => df.withColumnRenamed(k, c)
+          }
+          val back = g.children.join(dmPerDst, g.fkCols)
+          val h = hOf(t); val x = xOf(g) _
+          val backSums =
+            (for { i <- 0 until g.dim; j <- 0 until hidden }
+              yield sum(col("__dm") * lit(w2(j)) * (h(j) * (lit(1.0) - h(j))) * x(i))
+                .as(s"gw_${i}_$j")) ++
+            (0 until hidden).map(j =>
+              sum(col("__dm") * lit(w2(j)) * (h(j) * (lit(1.0) - h(j)))).as(s"gc_$j"))
+          back.agg(backSums.head, backSums.tail: _*).collect()(0)
         }
-        val back = g.children.join(dmPerDst, g.fkCols)
-        val h = hOf(t); val x = xOf(g) _
-        val backSums =
-          (for { i <- 0 until g.dim; j <- 0 until hidden }
-            yield sum(col("__dm") * lit(w2(j)) * (h(j) * (lit(1.0) - h(j))) * x(i))
-              .as(s"gw_${i}_$j")) ++
-          (0 until hidden).map(j =>
-            sum(col("__dm") * lit(w2(j)) * (h(j) * (lit(1.0) - h(j)))).as(s"gc_$j"))
-        back.agg(backSums.head, backSums.tail: _*).collect()(0)
       }
       groups.zipWithIndex.foreach { case (g, t) =>
         val bRow = grads(t)
@@ -593,12 +666,17 @@ object Blueprint {
           w1(t)(i)(j) = w1(t)(i)(j) - lr * (gb(s"gw_${i}_$j") / n)
         for (j <- 0 until hidden)
           b1(t)(j) = b1(t)(j) - lr * (gb(s"gc_$j") / n)
+        if (attn)
+          for (i <- 0 until g.dim)
+            u(t)(i) = u(t)(i) - lr * (gb(s"gu_$i") / n)
       }
       for (j <- 0 until hidden) w2(j) = w2(j) - lr * (gd(s"gv_$j") / n)
       b2 = b2 - lr * (gd("gb") / n)
       graft.util.Checkpoints.release(dst)
+      eds.foreach(graft.util.Checkpoints.release)
     }
-    HeteroGnnParams(w1.toSeq, b1.toSeq, w2, b2)
+    HeteroGnnParams(w1.toSeq, b1.toSeq, w2, b2,
+      if (attn) u.map(identity) else null)
   }
 
   /** Mean logistic loss of [[fitHeteroGnnGD]]'s network — one scatter-sum
@@ -608,12 +686,13 @@ object Blueprint {
   def heteroGnnLogLoss(groups: Seq[EdgeGroup], parents: DataFrame,
       keyCols: Seq[String], yCol: String, p: HeteroGnnParams,
       aggr: String = "sum"): Double = {
-    require(aggr == "sum" || aggr == "mean",
-      s"aggr must be 'sum' or 'mean', got '$aggr'")
+    require(aggr == "sum" || aggr == "mean" || aggr == "attn",
+      s"aggr must be 'sum', 'mean' or 'attn', got '$aggr'")
     val hidden = p.w2.length
     val y = col(yCol).cast("double")
     def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
     val reduceH: Column => Column = if (aggr == "mean") avg else sum
+    import org.apache.spark.sql.expressions.Window
     val joined = groups.zipWithIndex.foldLeft(
         parents.select(keyCols.map(col) :+ y.as("__y"): _*)) {
       case (acc, (g, t)) =>
@@ -622,9 +701,20 @@ object Blueprint {
           sig((0 until g.dim).map(i => x(i) * lit(p.w1(t)(i)(j))).reduce(_ + _) +
             lit(p.b1(t)(j)))
         }
-        val aggd = g.children.groupBy(g.fkCols.map(col): _*)
-          .agg((0 until hidden).map(j => reduceH(h(j)).as(s"__a${t}_$j")).head,
-            (0 until hidden).map(j => reduceH(h(j)).as(s"__a${t}_$j")).tail: _*)
+        val aggd =
+          if (aggr == "attn") {
+            val e = (0 until g.dim).map(i => x(i) * lit(p.u(t)(i))).reduce(_ + _)
+            val w = Window.partitionBy(g.fkCols.map(col): _*)
+            val stable = exp(e - max(e).over(w))
+            val alpha = stable / sum(stable).over(w)
+            g.children.select(g.fkCols.map(col) ++
+                (0 until hidden).map(j => (alpha * h(j)).as(s"__wh$j")): _*)
+              .groupBy(g.fkCols.map(col): _*)
+              .agg((0 until hidden).map(j => sum(col(s"__wh$j")).as(s"__a${t}_$j")).head,
+                (0 until hidden).map(j => sum(col(s"__wh$j")).as(s"__a${t}_$j")).tail: _*)
+          } else g.children.groupBy(g.fkCols.map(col): _*)
+            .agg((0 until hidden).map(j => reduceH(h(j)).as(s"__a${t}_$j")).head,
+              (0 until hidden).map(j => reduceH(h(j)).as(s"__a${t}_$j")).tail: _*)
         val renamed = g.fkCols.zip(keyCols).foldLeft(aggd) {
           case (df, (c, k)) => df.withColumnRenamed(c, k)
         }

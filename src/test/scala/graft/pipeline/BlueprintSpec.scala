@@ -375,6 +375,72 @@ class BlueprintSpec extends SparkSpec {
     }
   }
 
+  test("fitHeteroGnnGD aggr=attn: per-group attention scorers train jointly") {
+    val liChildren = Seq(
+      (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (1L, Array(2.0, 1.0)),
+      (2L, Array(1.0, 1.0)),
+      (3L, Array(0.5, 2.0)), (3L, Array(1.5, 0.5))
+    ).toDF("fk", "feat")
+    // the reverse-type parent 1 gets TWO children so ITS softmax is
+    // non-degenerate too (a single-child group has α = 1 and zero u-grad)
+    val revChildren = Seq(
+      (1L, Array(0.7)), (1L, Array(-0.4)), (2L, Array(-0.3)), (3L, Array(1.2))
+    ).toDF("fk", "feat")
+    val parents = Seq((1L, 1.0), (2L, 0.0), (3L, 1.0), (4L, 0.0)).toDF("pid", "y")
+    val groups = Seq(
+      Blueprint.EdgeGroup(liChildren, Seq("fk"), "feat", dim = 2),
+      Blueprint.EdgeGroup(revChildren, Seq("fk"), "feat", dim = 1))
+    val init = Blueprint.HeteroGnnParams(
+      Seq(Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(Array(0.2, 0.3))),
+      Seq(Array(0.05, -0.05), Array(0.0, 0.1)),
+      Array(0.25, -0.35), 0.1,
+      Seq(Array(0.15, -0.25), Array(0.3)))
+    def deepCopy(p: Blueprint.HeteroGnnParams) = Blueprint.HeteroGnnParams(
+      p.w1.map(_.map(_.clone())), p.b1.map(_.clone()), p.w2.clone(), p.b2,
+      p.u.map(_.clone()))
+    val lr = 1e-3
+    val stepped = Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+      hidden = 2, steps = 1, lr = lr, init = deepCopy(init), aggr = "attn")
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.HeteroGnnParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.heteroGnnLogLoss(groups, parents, Seq("pid"), "y", p, aggr = "attn")
+    }
+    // BOTH groups' attention scorers — the per-type softmax Jacobians
+    val gradU0 = (init.u(0)(0) - stepped.u(0)(0)) / lr
+    val fdU0 = (lossWith(_.u(0)(0) += eps) - lossWith(_.u(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradU0 - fdU0) < 1e-4, s"type-0 u grad $gradU0 vs fd $fdU0")
+    assert(math.abs(fdU0) > 1e-7, "type-0 attention path must be live")
+    val gradU1 = (init.u(1)(0) - stepped.u(1)(0)) / lr
+    val fdU1 = (lossWith(_.u(1)(0) += eps) - lossWith(_.u(1)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradU1 - fdU1) < 1e-4, s"type-1 u grad $gradU1 vs fd $fdU1")
+    assert(math.abs(fdU1) > 1e-7, "type-1 attention path must be live")
+    // message weights still correct with α in each type's chain
+    val gradW0 = (init.w1(0)(0)(0) - stepped.w1(0)(0)(0)) / lr
+    val fdW0 = (lossWith(_.w1(0)(0)(0) += eps) - lossWith(_.w1(0)(0)(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradW0 - fdW0) < 1e-4, s"type-0 w1 grad $gradW0 vs fd $fdW0")
+    val gradV = (init.w2(0) - stepped.w2(0)) / lr
+    val fdV = (lossWith(_.w2(0) += eps) - lossWith(_.w2(0) -= eps)) / (2 * eps)
+    assert(math.abs(gradV - fdV) < 1e-4, s"w2 grad $gradV vs fd $fdV")
+    // loss falls; all per-step checkpoints (dst + one ed per group) released
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val trained = Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+      hidden = 2, steps = 40, lr = 0.5, init = deepCopy(init), aggr = "attn")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "fitHeteroGnnGD(attn) must release every per-step checkpoint")
+    assert(Blueprint.heteroGnnLogLoss(groups, parents, Seq("pid"), "y",
+        trained, aggr = "attn") <
+      Blueprint.heteroGnnLogLoss(groups, parents, Seq("pid"), "y",
+        init, aggr = "attn"))
+    // attn without scorers fails fast
+    intercept[IllegalArgumentException] {
+      Blueprint.fitHeteroGnnGD(groups, parents, Seq("pid"), "y",
+        hidden = 2, steps = 1, lr = lr,
+        init = Blueprint.HeteroGnnParams(init.w1, init.b1, init.w2, init.b2),
+        aggr = "attn")
+    }
+  }
+
   test("fitAttnGnnGD: gradient flows THROUGH the attention weights; loss falls") {
     val children = Seq(
       (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (1L, Array(2.0, 1.0)),

@@ -848,6 +848,111 @@ private[graft] object QueriesML {
     },
     Some(fitHeteroAttnGnnOracle(steps = 2, lr = 0.05)))
 
+  /** bp11's oracle: the END-TO-END minibatch recipe unrolled — the
+    * hex4(0.3) train-rest mask CTE (w6's coin), the frontier join, the
+    * HGT budget sample as a row_number over the namespaced md5 coin
+    * (w12's order), then bp6's 2-step training chain over the SAMPLED
+    * child rows and the TRAIN parents only. */
+  private[graft] def sampledTrainOracle(steps: Int, lr: Double,
+      budget: Int): String = {
+    val chain = (1 to steps).map { k =>
+      s"""h$k AS (SELECT l_orderkey, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c))) AS h FROM samp, w${k - 1} w),
+      ag$k AS (SELECT p.o_orderkey, p.y, coalesce(s.a, 0.0) AS a0
+        FROM par p LEFT JOIN
+          (SELECT l_orderkey, sum(h) AS a FROM h$k GROUP BY 1) s
+          ON p.o_orderkey = s.l_orderkey),
+      d$k AS (SELECT a.o_orderkey, a.y, a.a0,
+          1/(1+exp(-((a0*w.v) + w.vb))) - y AS dm FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*a0) AS gv, sum(dm) AS gb FROM d$k),
+      bk$k AS (SELECT
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x1) AS ga1,
+          sum(d.dm * w.v * (h.h*(1-h.h)) * h.x2) AS ga2,
+          sum(d.dm * w.v * (h.h*(1-h.h))) AS gc
+        FROM h$k h JOIN d$k d ON h.l_orderkey = d.o_orderkey, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b.ga1/n.n) AS a1, w.a2 - $lr*(b.ga2/n.n) AS a2,
+          w.c - $lr*(b.gc/n.n) AS c, w.v - $lr*(g.gv/n.n) AS v,
+          w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk$k b, n)"""
+    }.mkString(",\n      ")
+    s"""WITH par AS (SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+        FROM orders
+        WHERE NOT (substring(md5(o_orderkey::VARCHAR || ':42'), 1, 4) < '4ccd')),
+      cand AS (SELECT l.l_orderkey, l.l_quantity::DOUBLE AS x1,
+          l.l_linenumber::DOUBLE AS x2,
+          l.l_orderkey::VARCHAR || ':' || l.l_linenumber::VARCHAR AS nk
+        FROM lineitem l JOIN par p ON l.l_orderkey = p.o_orderkey),
+      -- node-level budget: rank DISTINCT node keys (the engine's
+      -- budgetSample dedups first), then join back ALL rows of each
+      -- sampled node — the synthetic lineitem repeats (orderkey,
+      -- linenumber), so row multiplicity must survive on both sides
+      picked AS (SELECT nk FROM (
+          SELECT nk, row_number() OVER (
+            ORDER BY md5('lineitem' || ':' || nk || ':hgt:42'), nk) AS rn
+          FROM (SELECT DISTINCT nk FROM cand)) WHERE rn <= $budget),
+      samp AS (SELECT c.l_orderkey, c.x1, c.x2
+        FROM cand c JOIN picked s ON c.nk = s.nk),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT 0.1 AS a1, 0.2 AS a2, 0.0 AS c, 0.1 AS v, 0.0 AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c, 6) AS bias_msg, round(v, 6) AS w_readout,
+        round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** §2.9 end-to-end: the reference's ACTUAL experiment loop — train_rest
+    * random node split (T.RandomNodeSplit with 30% val,
+    * experiments/blueprint_mlflow.py:108-110), HGT budget-sampled
+    * subgraph around the train seeds (HGTLoader with per-type num_samples,
+    * blueprint_mlflow.py:119-125), then GD steps on the SAMPLED subgraph
+    * only — composed entirely from the registered operators (W6 portable
+    * split mask + W12 budgetSample + bp6 fitGnnGD), so the whole
+    * minibatch pipeline is one deterministic dataflow under the oracle.
+    * At 100 TB this is the training economy: the per-step shuffles run
+    * over the budget-bounded subgraph, not the full graph. */
+  private[graft] val qSampledTrainStep = Q("bp11_sampled_train_step",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val seeds = Sampling.withSplitMasksPortable(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+          "o_orderkey", 0.3)
+        .filter(col("train_mask"))
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val cand = t(s, d, "lineitem")
+        .join(seeds.select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("nk", concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+      val picked = Sampling.budgetSample(
+        cand.select(lit("lineitem").as("nt"), col("nk")), "nt", "nk",
+        budget = 1000)
+      // materialize the batch ONCE (the loader's materialized-subgraph
+      // contract): fitGnnGD reads children and parents twice per step, so
+      // without this the sampling dataflow (frontier join + distinct +
+      // budget rank) would re-execute four times
+      val li = cand.join(picked.select(col("nk")), "nk")
+        .select(col("l_orderkey"),
+          array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+        .localCheckpoint(true)
+      val par = seeds.localCheckpoint(true)
+      val p = Blueprint.fitGnnGD(li, Seq("l_orderkey"), "feat",
+        par, Seq("o_orderkey"), "y", dim = 2, hidden = 1, steps = 2,
+        lr = 0.05)
+      graft.util.Checkpoints.release(li)
+      graft.util.Checkpoints.release(par)
+      import s.implicits._
+      Seq((p.w1(0)(0), p.w1(1)(0), p.b1(0), p.w2(0), p.b2))
+        .toDF("__a", "__b", "__c", "__d", "__e")
+        .select(round(col("__a"), 6).as("w_quantity"),
+          round(col("__b"), 6).as("w_linenumber"),
+          round(col("__c"), 6).as("bias_msg"),
+          round(col("__d"), 6).as("w_readout"),
+          round(col("__e"), 6).as("bias_out"))
+    },
+    Some(sampledTrainOracle(steps = 2, lr = 0.05, budget = 1000)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private[graft] val qEmbedStub = Q("t4_text_embed_stub",
@@ -1006,6 +1111,7 @@ private[graft] object QueriesML {
     qFitAttnGnn,
     qFitGnn2,
     qFitHeteroAttnGnn,
+    qSampledTrainStep,
     qEmbedStub,
     qEmbedTable,
     qDuration,

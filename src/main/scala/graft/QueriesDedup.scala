@@ -250,16 +250,69 @@ private[graft] object QueriesDedup {
           WHERE substr(a.sig64, (p+1)::INTEGER, 1) <> substr(c.sig64, (p+1)::INTEGER, 1)) <= 4
       ORDER BY id1, id2"""))
 
+  /** The hyperplanes as SQL literals — the device that moved d5/d5c/sim2
+    * from rows-only to fully oracle-checked in round 12. The planes are
+    * deterministic driver-side doubles ([[Similarity.hyperplanes]]: a
+    * splitmix64 mix of (seed, p, i) — integer arithmetic DuckDB can't
+    * express), but the ORACLE doesn't need to re-derive them: like the
+    * VALUES micro-graphs, the plane constants are part of the query's
+    * spec, and `Double.toString` round-trips exactly through DuckDB's
+    * decimal→nearest-double parse, so both engines dot against
+    * bit-identical planes. Plane p of a table is prefix-stable in
+    * nPlanes (component = f(seed, p, i)), so one VALUES list serves any
+    * `p < np` cut. */
+  private def planeValuesSql(nTables: Int, maxPlanes: Int, dim: Int,
+      seed: Long): String =
+    (0 until nTables).flatMap { tb =>
+      val planes = Similarity.hyperplanes(maxPlanes, dim, seed + 1000L * tb)
+      planes.zipWithIndex.map { case (pl, p) =>
+        s"($tb, $p, [${pl.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n        ")
+
+  /** Full [[Dedup.embeddingNearDups]] restatement at the REAL banded
+    * parameters (not a degenerate anchor): signature = packed sign bits
+    * of the literal-plane dots, candidates = within-(table, signature)
+    * pairs OR-ed across tables, then the exact-cosine verify. `npExpr`
+    * is SQL so d5c can compute [[Similarity.nPlanesFor]]'s sizing from
+    * `count(*)` in-query (valid while np ≤ maxPlanes — 16 covers the
+    * correctness-gate SFs with 10× headroom; the engine keeps its exact
+    * integer sizing, and the two `ceil∘log2` paths agree except when
+    * n/16 is an exact power of two, which no gate SF hits). */
+  private def embNearDupOracle(nTables: Int, maxPlanes: Int,
+      seed: Long, npExpr: String, threshold: Double): String =
+    s"""WITH np AS (SELECT ($npExpr) AS np),
+      planes(t, p, pl) AS (VALUES
+        ${planeValuesSql(nTables, maxPlanes, 64, seed)}),
+      sig AS (SELECT e.vec_id AS id, pl.t,
+          sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pl) >= 0
+              THEN 1 << pl.p ELSE 0 END) AS sig
+        FROM embeddings e CROSS JOIN planes pl
+        WHERE pl.p < (SELECT np FROM np)
+        GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.id < b.id),
+      v AS (SELECT c.id1, c.id2,
+          list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS cos
+        FROM cand c JOIN embeddings x ON c.id1 = x.vec_id
+          JOIN embeddings y ON c.id2 = y.vec_id)
+      SELECT id1, id2, round(cos, 4) AS cos FROM v
+      WHERE cos >= $threshold ORDER BY id1, id2"""
+
   private[graft] val qEmbDedup = Q("d5_embedding_neardups",
     // the synthetic embeddings are near-orthogonal random vectors (max
     // pairwise cos ~0.51), so the "near-dup" bar is set low enough to
     // exercise the bucket-join + verify path end-to-end; 3 OR-ed signature
-    // tables exercise the recall-amplified path (DedupSpec measures recall)
+    // tables exercise the recall-amplified path (DedupSpec measures recall).
+    // Fully oracle-checked since round 12 (literal-plane restatement above) —
+    // the BANDED pipeline itself now sits under the DuckDB gate, not just
+    // the nPlanes=0 degenerate anchor d5b.
     (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.25, nPlanes = 4, nTables = 3)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
       .orderBy("id1", "id2"),
-    None)
+    Some(embNearDupOracle(nTables = 3, maxPlanes = 4, seed = 42L,
+      npExpr = "4", threshold = 0.25)))
 
   /** d5's contract-sized SCALE path: nPlanes derived from the corpus
     * count via [[Similarity.nPlanesFor]] — the sizing the d5 scaladoc
@@ -267,10 +320,13 @@ private[graft] object QueriesDedup {
     * hash-defined output stable round-over-round while pair work grows
     * ~n²/2^nPlanes: 36× at the r10 sf1 sweep). Here the benchmark
     * exercises the actual contract: in-bucket pair work stays
-    * ~n·targetBucket/2 at any corpus size. Rows-only (hash-defined);
-    * `d5b` anchors the identical pipeline under the oracle at nPlanes=0
-    * ≡ exhaustive. The count() sizing pass is one cheap scan — the same
-    * bounded-driver-state class as Lloyd centroids. */
+    * ~n·targetBucket/2 at any corpus size. Fully oracle-checked since
+    * round 12: the sizing itself moves into the SQL (ceil∘log2 of
+    * count(*)/16, the [[Similarity.nPlanesFor]] formula), so the oracle
+    * tracks the corpus across gate SFs; 16 embedded plane literals per
+    * table cover np up to 16 ≫ any gate SF's sizing. The count() sizing
+    * pass is one cheap scan — the same bounded-driver-state class as
+    * Lloyd centroids. */
   private[graft] val qEmbDedupScaled = Q("d5c_embedding_neardups_scaled",
     (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -280,7 +336,10 @@ private[graft] object QueriesDedup {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
         .orderBy("id1", "id2")
     },
-    None)
+    Some(embNearDupOracle(nTables = 3, maxPlanes = 16, seed = 42L,
+      npExpr = "GREATEST(1, LEAST(63, CEIL(LOG2(" +
+        "(SELECT count(*) FROM embeddings) / 16.0))))::INTEGER",
+      threshold = 0.25)))
 
   /** SemDeDup-style semantic dedup, the cluster-then-prune curation step:
     * cells from the deterministic IVF Lloyd trainer, within-cell pairs
@@ -380,12 +439,32 @@ private[graft] object QueriesDedup {
     },
     qBruteTopK.oracle)
 
+  /** Bucketed ANN at the real nPlanes=6 — fully oracle-checked since
+    * round 12 via the literal-plane device ([[planeValuesSql]]): the
+    * oracle rebuilds the 6-bit signatures, pairs within buckets, and
+    * ranks by raw cos with the same neighbor_id tie-break (the sim2b
+    * device — near-orthogonal synthetic vectors put no pair inside
+    * float drift of a rank flip). */
   private[graft] val qLshTopK = Q("sim2_lsh_topk",
     (s, d) => Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 3, nPlanes = 6, dim = 64)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
       .orderBy("query_id", "neighbor_id"),
-    None)
+    Some(s"""WITH planes(t, p, pl) AS (VALUES
+        ${planeValuesSql(1, 6, 64, 42L)}),
+      sig AS (SELECT e.vec_id AS id,
+          sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pl) >= 0
+              THEN 1 << pl.p ELSE 0 END) AS b
+        FROM embeddings e CROSS JOIN planes pl GROUP BY 1),
+      pairs AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+          list_cosine_similarity(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) AS cos
+        FROM sig q JOIN sig c ON q.b = c.b AND q.id <> c.id
+        JOIN embeddings eq ON q.id = eq.vec_id
+        JOIN embeddings ec ON c.id = ec.vec_id),
+      ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM pairs)
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos FROM ranked
+      WHERE rn <= 3 ORDER BY query_id, neighbor_id"""))
 
   /** Degenerate-parameter LSH anchor (the d2b/sim4 device): nPlanes = 0
     * yields the constant signature, so every vector lands in ONE bucket and

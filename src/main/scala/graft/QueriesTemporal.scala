@@ -1109,10 +1109,47 @@ private[graft] object QueriesTemporal {
         WHERE hist.fp = md5(lower(trim(d.text))))
       ORDER BY doc_id"""))
 
+  /** pr1's oracle: the FIXED 5-round power iteration unrolls into chained
+    * CTEs exactly like [[labelPropOracle]] — per round one dangling-mass
+    * scalar (the left-anti sum the engine collects to the driver), one
+    * contribution aggregate over the joined edge list, one left join back
+    * onto the vertex set. The arithmetic SHAPES mirror the engine's
+    * exactly ((1−d)/n as one division, rank/deg with a BIGINT degree,
+    * dangling/n at use site), so both engines differ only by summation
+    * order — ~1e-15 relative, absorbed by the shared round-to-6. */
+  private[graft] def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(r.rank), 0.0) AS dang
+        FROM r${k - 1} r LEFT JOIN deg ON r.id = deg.src
+        WHERE deg.src IS NULL),
+      c$k AS (SELECT e.dst AS id, sum(r.rank / e.d) AS s
+        FROM e JOIN r${k - 1} r ON e.src = r.id GROUP BY 1),
+      r$k AS (SELECT v.id,
+          (1 - 0.85) / (SELECT n FROM nn)
+            + 0.85 * (coalesce(c.s, 0.0)
+                      + (SELECT dang FROM d$k) / (SELECT n FROM nn)) AS rank
+        FROM v LEFT JOIN c$k c ON v.id = c.id)"""
+    }.mkString(",\n      ")
+    s"""WITH v AS (SELECT o_orderkey::BIGINT AS id FROM orders
+        UNION ALL SELECT (c_custkey + 1000000)::BIGINT FROM customer),
+      e0 AS (SELECT o_orderkey::BIGINT AS src,
+          (o_custkey + 1000000)::BIGINT AS dst FROM orders),
+      deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+      e AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg ON e0.src = deg.src),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+      r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),
+      $rounds
+      SELECT id, round(rank, 6) AS rank FROM r$iters
+      WHERE id >= 1000000 ORDER BY id"""
+  }
+
   /** PageRank over the orders→customer FK graph (bipartite: rank flows to
-    * heavily-ordered customers). Iterative float fixpoint — no SQL
-    * restatement; PageRankSpec pins closed-form fixpoints, mass
-    * conservation and dangling redistribution. */
+    * heavily-ordered customers). Fully oracle-checked since round 12: the
+    * fixed iteration count makes the float loop SQL-restatable after all
+    * (see [[pageRankOracle]]) — both engines run the identical 5-round
+    * recurrence and round to 6 decimals; PageRankSpec additionally pins
+    * closed-form fixpoints, mass conservation and dangling
+    * redistribution. */
   private[graft] val qPageRank = Q("pr1_pagerank",
     (s, d) => {
       val orders = t(s, d, "orders")
@@ -1125,7 +1162,7 @@ private[graft] object QueriesTemporal {
         .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy("id")
     },
-    None)
+    Some(pageRankOracle(5)))
 
   /** lp1's oracle: both engines run the SAME two synchronous
     * label-propagation rounds over the order–customer FK graph — the

@@ -59,17 +59,19 @@ class EntrySmokeSpec extends SparkSpec {
     * (mm2_decode_batched left this list in round 9: the default decode
     * codec is now the real javax.imageio path, pinned by a closed-form
     * PNG oracle; w6_random_split left in round 10: the registered split
-    * is the md5-coin portable variant, oracle-checked per row.) */
+    * is the md5-coin portable variant, oracle-checked per row;
+    * pr1_pagerank left in round 12: the fixed 5-round power iteration
+    * unrolls into CTEs — pageRankOracle — and the shared round-to-6
+    * absorbs summation-order drift. d5/d5c/sim2 left in round 12 too:
+    * their hyperplanes are deterministic driver-side doubles, so the
+    * oracle embeds them as literal DOUBLE[] VALUES — planeValuesSql —
+    * and the banded pipelines restate at their REAL parameters.) */
   private val anchorOf: Map[String, String] = Map(
     "d2_minhash_neardups" -> "d2c_minhash_portable", // full pipeline incl. banding
     "d4_simhash_neardups" -> "d4c_simhash_portable",
     "d4b_simhash128_neardups" -> "d4d_simhash_portable_pairs",
-    "d5_embedding_neardups" -> "d5b_embedding_exact_anchor",
-    "d5c_embedding_neardups_scaled" -> "d5b_embedding_exact_anchor", // nPlanesFor sizing
-    "sim2_lsh_topk" -> "sim2b_lsh_exact_anchor",
     "sim6_mmr_topk" -> "sim6b_mmr_exact_anchor",
     "t4_text_embed_stub" -> "t4b_text_embed_table",
-    "pr1_pagerank" -> "pr1b_pagerank_anchor",
     "kc1_kcore" -> "kc1b_kcore_anchor", // iterate-to-fixpoint peel: no SQL
     "sem1_semantic_dedup" -> "sem1b_semantic_dedup_anchor", // nCells=1 ≡ global
     // BPE's merge-round loop (argmax + fold per round) has no SQL

@@ -336,10 +336,62 @@ private[graft] object QueriesAnalytics {
         FROM documents GROUP BY lang)
       ORDER BY lang, p"""))
 
+  /** sim6's oracle: the greedy MMR selection is sequential per query, but
+    * with m FIXED it unrolls — pick r is one argmax CTE over the
+    * shortlist minus picks 1..r−1, scored 0.7·cos − 0.3·max(0, maxdiv).
+    * Drift-safety of the discrete argmax: the relevance term is the
+    * round-6 shortlist cos (EXACTLY equal across engines, since sim1's
+    * oracle is green); only the diversity term carries ~1e-16 summation
+    * drift, so an engine-vs-oracle pick flip needs two candidates'
+    * scores mathematically closer than ~1e-15 — and mathematically TIED
+    * candidates (duplicate vectors) compute bit-identical scores within
+    * each engine, where the shared (score desc, cos desc, id) tie-break
+    * agrees. `greatest(0, …)` mirrors the engine's zero-initialized
+    * running max (cosines can be negative; the engine never lets
+    * divergence go below 0). */
+  private def mmrOracle(m: Int): String = {
+    val head = """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      scored AS (SELECT query_id, neighbor_id, cv,
+          round(list_cosine_similarity(qv, cv), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+      sl AS (SELECT query_id, neighbor_id, cv, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored) t WHERE rn <= 15),
+      p1 AS (SELECT query_id, neighbor_id, cv, cos, 1 AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          FROM sl) t WHERE rk = 1)"""
+    val rounds = (2 to m).map { r =>
+      val prevPicks = (1 until r)
+        .map(j => s"SELECT query_id, neighbor_id, cv FROM p$j")
+        .mkString(" UNION ALL ")
+      s"""pk$r AS ($prevPicks),
+      dv$r AS (SELECT s.query_id, s.neighbor_id, s.cv, s.cos,
+          greatest(0.0, max(list_cosine_similarity(s.cv, p.cv))) AS dv
+        FROM sl s JOIN pk$r p ON s.query_id = p.query_id
+        WHERE s.neighbor_id NOT IN (SELECT neighbor_id FROM pk$r x WHERE x.query_id = s.query_id)
+        GROUP BY 1, 2, 3, 4),
+      p$r AS (SELECT query_id, neighbor_id, cv, cos, $r AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY 0.7*cos - 0.3*dv DESC, cos DESC, neighbor_id) AS rk
+          FROM dv$r) t WHERE rk = 1)"""
+    }
+    val union = (1 to m)
+      .map(r => s"SELECT query_id, neighbor_id, cos, rank FROM p$r")
+      .mkString("\n      UNION ALL ")
+    (Seq(head) ++ rounds).mkString(",\n      ") +
+      s"""
+      SELECT query_id, neighbor_id, cos, rank FROM (
+      $union) u
+      ORDER BY query_id, rank"""
+  }
+
   /** MMR-diversified ANN: widened brute-force shortlist re-ranked for
-    * diversity (λ = 0.7). Greedy selection is sequential per query —
-    * rows-only (SimilaritySpec pins the greedy reference); the shortlist
-    * itself is the oracle-checked sim1 pipeline. */
+    * diversity (λ = 0.7). Fully oracle-checked since round 12 — the
+    * fixed-m greedy unrolls into per-pick argmax CTEs (see
+    * [[mmrOracle]]); SimilaritySpec additionally pins the greedy
+    * reference, and the shortlist itself is the oracle-checked sim1
+    * pipeline. */
   private[graft] val qMmr = Q("sim6_mmr_topk",
     (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -349,7 +401,7 @@ private[graft] object QueriesAnalytics {
           m = 5, lambda = 0.7)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(mmrOracle(5)))
 
   /** Degenerate-parameter MMR anchor: λ = 1 zeroes the diversity term, so
     * by mmrRerank's own contract the greedy selection reduces to plain

@@ -343,15 +343,48 @@ private[graft] object QueriesDedup {
 
   /** SemDeDup-style semantic dedup, the cluster-then-prune curation step:
     * cells from the deterministic IVF Lloyd trainer, within-cell pairs
-    * only, keep-min-id prune at the cosine threshold. Rows-only (cell
-    * assignment is centroid-defined — no SQL restatement); `sem1b` is the
-    * oracle anchor at nCells=1 and DedupSpec pins cells-vs-global
+    * only, keep-min-id prune at the cosine threshold. Fully
+    * oracle-checked since round 12: at iters=1 the whole Lloyd loop
+    * unrolls into SQL with ZERO embedded constants — the deterministic
+    * every-⌊n/8⌋th-row init, the argmin assignment (|c|²−2v·c scored,
+    * lowest-cell tie-break = the engine's array_position-of-min), the
+    * per-cell elementwise mean (empty cells keep their init centroid),
+    * the re-assignment, and the within-cell prune. Cell-membership
+    * argmins sit ~0.1 apart on the synthetic vectors vs ~1e-15 float
+    * drift, so the discrete decisions can't flip. `sem1b` additionally
+    * anchors nCells=1 ≡ global and DedupSpec pins cells-vs-global
     * semantics. */
   private[graft] val qSemDedup = Q("sem1_semantic_dedup",
     (s, d) => Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
         nCells = 8, threshold = 0.25, iters = 1)
       .orderBy("vec_id"),
-    None)
+    Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nn AS (SELECT greatest(1, count(*) // 8) AS step FROM base),
+      rid AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM base),
+      c0 AS (SELECT (rn / (SELECT step FROM nn))::INTEGER AS cell, v FROM rid
+        WHERE rn % (SELECT step FROM nn) = 0 AND rn / (SELECT step FROM nn) < 8),
+      a1 AS (SELECT r.vec_id, r.v, c.cell,
+          list_sum(list_transform(c.v, x -> x*x)) - 2*list_inner_product(r.v, c.v) AS score
+        FROM base r CROSS JOIN c0 c),
+      asg1 AS (SELECT vec_id, v, cell FROM (
+          SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rk
+          FROM a1) t WHERE rk = 1),
+      m1 AS (SELECT a.cell, i.i, avg(a.v[i.i]) AS mx
+        FROM asg1 a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i GROUP BY 1, 2),
+      cm AS (SELECT cell, list(mx ORDER BY i) AS v FROM m1 GROUP BY 1),
+      c1 AS (SELECT c0.cell, coalesce(cm.v, c0.v) AS v FROM c0 LEFT JOIN cm ON c0.cell = cm.cell),
+      a2 AS (SELECT r.vec_id, r.v, c.cell,
+          list_sum(list_transform(c.v, x -> x*x)) - 2*list_inner_product(r.v, c.v) AS score
+        FROM base r CROSS JOIN c1 c),
+      asg2 AS (SELECT vec_id, v, cell FROM (
+          SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rk
+          FROM a2) t WHERE rk = 1),
+      dropped AS (SELECT DISTINCT b.vec_id AS id2
+        FROM asg2 a JOIN asg2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.25)
+      SELECT e.vec_id, d.id2 IS NULL AS keep
+      FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id2
+      ORDER BY e.vec_id"""))
 
   /** Degenerate-parameter anchor for sem1 (the d2b/sim2b device): at
     * nCells = 1 every vector shares the one cell, so the within-cell prune

@@ -65,15 +65,16 @@ class EntrySmokeSpec extends SparkSpec {
     * absorbs summation-order drift. d5/d5c/sim2 left in round 12 too:
     * their hyperplanes are deterministic driver-side doubles, so the
     * oracle embeds them as literal DOUBLE[] VALUES — planeValuesSql —
-    * and the banded pipelines restate at their REAL parameters.) */
+    * and the banded pipelines restate at their REAL parameters;
+    * sem1 likewise: at iters=1 the deterministic-init Lloyd loop
+    * unrolls into SQL with zero embedded constants; sim6's fixed-m
+    * greedy MMR unrolls into per-pick argmax CTEs — mmrOracle.) */
   private val anchorOf: Map[String, String] = Map(
     "d2_minhash_neardups" -> "d2c_minhash_portable", // full pipeline incl. banding
     "d4_simhash_neardups" -> "d4c_simhash_portable",
     "d4b_simhash128_neardups" -> "d4d_simhash_portable_pairs",
-    "sim6_mmr_topk" -> "sim6b_mmr_exact_anchor",
     "t4_text_embed_stub" -> "t4b_text_embed_table",
     "kc1_kcore" -> "kc1b_kcore_anchor", // iterate-to-fixpoint peel: no SQL
-    "sem1_semantic_dedup" -> "sem1b_semantic_dedup_anchor", // nCells=1 ≡ global
     // BPE's merge-round loop (argmax + fold per round) has no SQL
     // restatement; the classic-corpus closed form is pinned in ChunkerSpec
     "bpe1_bpe_merges" -> "bpe1b_bpe_first_merge",

@@ -189,6 +189,68 @@ private[graft] object QueriesAnalytics {
       JOIN e e2 ON e1.v = e2.u
       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v"""))
 
+  /** Doulion approximate triangle count on the same co-purchase graph —
+    * the 100 TB path past tc1/tc2's inherent Σ outdeg² wedge growth
+    * (measured ~5.5× at the 3× sf3 sweep): keep each canonical edge on
+    * the portable md5 coin at p = 0x40/256 = 1/4, count exactly on the
+    * sparse graph (~1/64 the intersection work), scale by 4³. The coin
+    * is a pure function of the edge, so the estimate is deterministic
+    * and the WHOLE estimator — coin, sparse count, scaling — restates
+    * in SQL. TrianglesSpec pins estimator = exact-count-on-sample ×
+    * scale and coin invariance to edge order. */
+  private[graft] val qTrianglesApprox = Q("tc3_triangle_approx",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.Triangles.approxCount(e, "u", "v", thresholdHex = "40")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      k AS (SELECT u, v FROM e
+        WHERE substr(md5('tc:' || u::VARCHAR || ':' || v::VARCHAR), 1, 2) < '40'),
+      t AS (SELECT count(*) AS c FROM k e1
+        JOIN k e2 ON e1.v = e2.u
+        JOIN k e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT (SELECT c FROM t) * 64.0 AS est_triangles,
+        (SELECT count(*) FROM k) AS sampled_edges"""))
+
+  /** Vertex-sampled triangle estimate with the coin pushed BELOW the
+    * co-purchase self-join — the colorful-counting scale shape: the
+    * `tcv:` md5 coin filters lineitem at the SCAN (p = 1/4 of parts
+    * survive), so the pair join shrinks ~p² and the count phase ~p³,
+    * where tc3's edge coin left the join untouched (measured
+    * join-bound at sf3). The operator re-filters both endpoints
+    * defensively, so the pushed and unpushed forms provably agree —
+    * and the whole estimator restates in SQL. */
+  private[graft] val qTrianglesVertexSampled = Q("tc4_triangle_vsample",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(graft.graph.Triangles.vertexCoin(col("l_partkey"), "40"))
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.Triangles.approxCountInduced(e, "u", "v", thresholdHex = "40")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE substr(md5('tcv:' || l_partkey::VARCHAR), 1, 2) < '40'),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      t AS (SELECT count(*) AS c FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT (SELECT c FROM t) * 64.0 AS est_triangles,
+        (SELECT count(*) FROM e) AS sampled_edges"""))
+
   /** Latest-wins MERGE: a 10% update batch (status 'U') plus a 4% batch of
     * brand-new keys (status 'N') upserted into orders — one tagged union +
     * one per-key window against the FULL-JOIN/coalesce restatement. */
@@ -1221,6 +1283,8 @@ private[graft] object QueriesAnalytics {
     qContamination,
     qZOrder,
     qTriangles,
+    qTrianglesApprox,
+    qTrianglesVertexSampled,
     qUpsert,
     qDataQuality,
     qCorrelation,

@@ -39,6 +39,8 @@ class PlanQualitySpec extends SparkSpec {
     "sim7_int8_topk", // broadcast tiny query side, like the other ANN paths
     "sim8_range_search", // same broadcast-queries scoring scan as sim1
     "tc2_clustering_coeff", // two 1-ROW aggregates cross-joined
+    "tc3_triangle_approx", // estimate × 1-ROW sampled-edges aggregate
+    "tc4_triangle_vsample", // same scalar attach as tc3
     // the degenerate-parameter oracle anchors are DELIBERATELY exhaustive:
     // a constant bucket key folds the equi-join into a nested loop
     "sim2b_lsh_exact_anchor", "sim6b_mmr_exact_anchor",

@@ -439,16 +439,40 @@ object Dedup {
         explode(col("__set")).as("__sh"))
       val dfreq = inv.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
       val byRarity = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__sh"))
-      // the 1e-9 slack only ever LENGTHENS the prefix (the d3 device)
-      val prefix = inv.join(dfreq, "__sh")
+      // rank EVERY shingle (not only A's prefix): the B side's rank feeds
+      // the positional filter below
+      val ranked = inv.join(dfreq, "__sh")
         .withColumn("__rn", row_number().over(byRarity))
+      // the 1e-9 slack only ever LENGTHENS the prefix (the d3 device)
+      val prefix = ranked
         .filter(col("__rn") <=
           col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
-        .select(col("__sh"), col(idCol).as("id_a"))
-      val cands = prefix
-        .join(inv.select(col("__sh"), col(idCol).as("id_b")), "__sh")
+        .select(col("__sh"), col(idCol).as("id_a"),
+          col("__sz").as("__szA"), col("__rn").as("__p"))
+      // Positional filter, containment form (the d3 exactness-preserving
+      // device adapted to the asymmetric bound |A∩B| ≥ ⌈τ|A|⌉ =: req).
+      // Per candidate pair the join hits are exactly prefix(A) ∩ B, so
+      // __common counts them ALL; every element of A∩B outside prefix(A)
+      // has A-rank > prefix length ≥ any hit's __p, hence (ranks are
+      // monotone in the global (df, shingle) order) global order after
+      // every hit, hence B-rank > max(__q). Those extras therefore number
+      // at most min(|A| − prefixLen_A, |B| − max(__q)) = min(req − 1,
+      // |B| − max(__q)), giving |A∩B| ≤ __common + min(req−1, |B|−qmax):
+      // pairs whose upper bound misses req are pruned BEFORE the
+      // set-verify join — same groupBy shuffle the plain `distinct` paid,
+      // no extra exchange. ceil(τ|A| − 1e-9) can only UNDERSTATE req by a
+      // float hair, which weakens the prune, never the result. The cheap
+      // side condition |B| ≥ req rides the same filter (|A∩B| ≤ |B|).
+      val full = ranked.select(col("__sh"), col(idCol).as("id_b"),
+        col("__sz").as("__szB"), col("__rn").as("__q"))
+      val req = ceil(lit(threshold) * col("__szA") - lit(1e-9))
+      val cands = prefix.join(full, "__sh")
         .filter(col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+        .groupBy(col("id_a"), col("id_b"), col("__szA"), col("__szB"))
+        .agg(count(lit(1)).as("__common"), max(col("__q")).as("__qmax"))
+        .filter(col("__szB") >= req &&
+          col("__common") + least(req - 1, col("__szB") - col("__qmax")) >= req)
+        .select(col("id_a"), col("id_b"))
       val a = sets.select(col(idCol).as("id_a"), col("__set").as("__A"))
       val b = sets.select(col(idCol).as("id_b"), col("__set").as("__B"))
       cands.join(a, "id_a").join(b, "id_b")

@@ -144,6 +144,37 @@ class DedupSpec extends SparkSpec {
     assert(!ids.contains(8L) && !ids.contains(9L), "NULL docs never pair")
   }
 
+  /** The r12 positional filter prunes candidates via the upper bound
+    * |A∩B| ≤ common + min(req−1, |B|−qmax); it must be LOSSLESS — on a
+    * dense overlapping corpus (every doc a random-ish slice of one token
+    * stream, so prefixes collide heavily) the output must equal brute
+    * force at several thresholds, including ones that land req exactly
+    * on and just off integer boundaries. */
+  test("containmentPairs positional filter is lossless on a dense corpus") {
+    val toks = ('a' to 'z').map(_.toString)
+    // deterministic overlapping slices: doc i covers [i mod 13, i mod 13 + 6 + i mod 9]
+    val corpus = (0 until 40).map { i =>
+      val start = i % 13
+      val len = 7 + (i % 9)
+      (i.toLong, (start until (start + len)).map(k => toks(k % 26)).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val sets = corpus.map { case (id, txt) =>
+      id -> txt.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+    }.toMap
+    for (t <- Seq(0.5, 0.75, 0.8, 1.0)) {
+      val want = (for {
+        (i, si) <- sets; (j, sj) <- sets if i != j
+        c = (si & sj).size.toDouble / si.size if c >= t
+      } yield (i, j) -> c).toMap
+      val got = Dedup.containmentPairs(df, "doc_id", "text", n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == want,
+        s"t=$t: missing ${(want.keySet -- got.keySet).toSeq.sorted.take(5)}, " +
+          s"extra ${(got.keySet -- want.keySet).toSeq.sorted.take(5)}")
+    }
+  }
+
   test("simhashNearDups banding has full recall at the requested distance") {
     // brute-force ground truth over all pairs: banding into maxDistance+1
     // chunks must surface EVERY pair within the distance (pigeonhole), and

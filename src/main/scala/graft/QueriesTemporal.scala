@@ -305,6 +305,33 @@ private[graft] object QueriesTemporal {
         FROM orders) t
       WHERE rn <= 5 ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** Quality-weighted corpus selection: the 100 longest-weighted docs by
+    * the Efraimidis–Spirakis exponential race (`w = n_chars + 1`) — a
+    * doc's odds scale with its weight, selection is without replacement,
+    * and the race value is a pure function of (doc_id, seed), so the
+    * winning set restates exactly: the oracle decodes the same 48-bit
+    * md5 coin digit-by-digit (the d4d strpos device; u is then a
+    * division by 2⁴⁸, so both engines' u are bit-identical and only
+    * ~1-ulp ln() drift touches the ranking, spread ~1/500 apart). */
+  private[graft] val qWeightedSample = Q("w13_weighted_sample",
+    (s, d) => Sampling.weightedSample(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), (col("n_chars") + 1).as("w")),
+        "doc_id", "w", k = 100)
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, n_chars + 1 AS w,
+          substr(md5(doc_id::VARCHAR || ':ws:42'), 1, 12) AS h
+        FROM documents WHERE text IS NOT NULL),
+      v AS (SELECT doc_id, w,
+          sum((strpos('0123456789abcdef', substr(h, j.j, 1)) - 1)
+              * power(16, 12 - j.j)) AS iv
+        FROM d CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS j) j
+        GROUP BY doc_id, w),
+      e AS (SELECT doc_id, w,
+          -ln((iv + 0.5) / power(16, 12)) / w AS e FROM v),
+      win AS (SELECT doc_id, w FROM e ORDER BY e, doc_id LIMIT 100)
+      SELECT doc_id, w FROM win ORDER BY doc_id"""))
+
   /** HGT-style budget sample: one hop from a 50-customer frontier into
     * two node types (their orders, their nations), collapsed to unique
     * nodes, ≤10 kept per TYPE by the namespaced md5 coin — restated as
@@ -1351,6 +1378,7 @@ private[graft] object QueriesTemporal {
     qLDiversity,
     qGroupSample,
     qBudgetSample,
+    qWeightedSample,
     qZipf,
     qSnapshotDiff,
     qUpsample,

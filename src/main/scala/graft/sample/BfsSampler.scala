@@ -260,6 +260,45 @@ object Sampling {
       .filter(col("__rn") <= budget).drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * exponential-race form) — the quality-weighted corpus selection step
+    * none of the uniform samplers cover: "keep the best-k documents where
+    * a doc's odds scale with its quality/length/dedup-priority weight".
+    * Each row draws `e = −ln(u)/w` with `u` the md5 coin of its key in
+    * the `:ws:` namespace mapped into (0, 1); the k SMALLEST `e` win —
+    * the first k arrivals of independent exponential clocks with rates
+    * `w`, which is exactly sequential weighted draws without replacement.
+    *
+    * Engine-portable: `u = (int(md5[0:12]) + 0.5) / 16¹²` is a pure
+    * function of (key, seed) — 48 bits of coin, the +0.5 keeps u
+    * strictly inside (0,1) so ln never sees 0 — and ties on `e`
+    * (impossible up to float drift) break by key. The plan is a
+    * distributed TakeOrderedAndProject (sort-limit pushes top-k into
+    * each partition), NOT a single-task global window — the same
+    * scale shape as ORDER BY + LIMIT.
+    *
+    * Weights must be positive and non-NULL (a zero-weight row's clock
+    * never fires; a NULL would sort arbitrarily) — rejected up front,
+    * the [[graft.graph.PageRank.runWeighted]] fail-fast device.
+    *
+    * @param k rows to keep (all rows if fewer)
+    * @return the winning input rows, original columns only */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, seed: String = "42"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = col(weightCol).cast("double")
+    val bad = df.filter(w.isNull || w <= 0).limit(1).count()
+    require(bad == 0, "weights must be positive and non-NULL")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(":ws:" + seed))), 1, 12), 16, 10).cast("double") + 0.5) /
+      lit(math.pow(16.0, 12))
+    val e = -log(u) / w
+    df.withColumn("__e", e)
+      .orderBy(col("__e"), col(keyCol))
+      .limit(k)
+      .drop("__e")
+  }
+
   /** Deterministic fractional up-sampling — the "epochs per source" knob
     * of a pretraining data mix ([[temperatureMix]] can only DOWN-sample;
     * rebalancing a rare-but-valuable source means repeating it): each row

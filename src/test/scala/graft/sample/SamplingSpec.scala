@@ -302,4 +302,46 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.temperatureMix(df, "src", "id", 1.0, maxSources = 500)
       .count() == 500L)
   }
+
+  test("weightedSample: race identity, weight bias, determinism, guards") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    // independent re-derivation of the exponential race
+    def eOf(key: Long, w: Double): Double = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"$key:ws:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(h, 16) + 0.5) / math.pow(16.0, 12)
+      -math.log(u) / w
+    }
+    val rows = (1L to 400L).map(i => (i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = rows.sortBy { case (i, w) => (eOf(i, w), i) }
+      .take(50).map(_._1).toSet
+    assert(got == want, "winners must be the 50 smallest race values")
+    // weight bias: heavy rows (w=7) must win far more often than light
+    // (w=1) — under uniform sampling each stratum would land ~7 winners
+    val byW = rows.filter(r => want(r._1)).groupBy(_._2).view.mapValues(_.size)
+    assert(byW.getOrElse(7.0, 0) > byW.getOrElse(1.0, 0),
+      s"heavier stratum must win more: $byW")
+    // partitioning/order invariance
+    val got2 = Sampling.weightedSample(df.repartition(7).sortWithinPartitions("w"),
+      "id", "w", k = 50).select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == got)
+    // k beyond the input keeps everything
+    assert(Sampling.weightedSample(df, "id", "w", k = 1000).count() == 400L)
+    // guards: non-positive and NULL weights fail fast
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(Seq((1L, 0.0)).toDF("id", "w"), "id", "w", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(
+        Seq((1L, Option.empty[Double])).toDF("id", "w"), "id", "w", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "id", "w", k = 0)
+    }
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.VectorAgg
-import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles}
+import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles, Sketches}
 import graft.functions.ZOrder
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
 import graft.convert.{CategoricalCodes, Converters, TableConverter}
@@ -1272,9 +1272,203 @@ private[graft] object QueriesAnalytics {
     },
     None)
 
+  // Portable mergeable sketches (round 12) — incremental distinct stats:
+  // build tiny register/bottom-k sketches once per shard, merge later
+  // without rescanning the data. Every estimator is a pure function of
+  // the data (string-only md5 device, exact-integer harmonic sums), so
+  // all four queries are fully oracle-checked despite being "approximate".
+  // ====================================================================
+
+  /** Shared tokenizer: the freq1 convention (testdata text is single-
+    * space separated, so `\s+` and DuckDB's `string_split(_, ' ')`
+    * agree). */
+  private def langTerms(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("text").isNotNull)
+      .select(col("lang"), col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+
+  private val rhoSql =
+    """CASE WHEN st = '' THEN 45
+          ELSE (11 - length(st)) * 4
+            + CASE WHEN substr(st, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                   WHEN substr(st, 1, 1) IN ('4','5','6','7') THEN 1
+                   WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+                   ELSE 3 END + 1 END"""
+
+  /** Per-language vocabulary size by portable HLL (m = 256 registers vs
+    * the exact distinct) — the register build shuffles at most 256 rows
+    * per group after map-side max-combine, where the exact count
+    * shuffles every distinct term. Restated register-for-register in
+    * DuckDB (see [[graft.analyze.Sketches]] for why the arithmetic is
+    * drift-free). */
+  private[graft] val qHllVocab = Q("hll1_vocab_est",
+    (s, d) => {
+      val tok = langTerms(s, d)
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(tok, Seq("lang"), col("term")), Seq("lang"))
+      val exact = tok.groupBy("lang").agg(countDistinct(col("term")).as("n_exact"))
+      exact.join(est, Seq("lang")).orderBy("lang")
+    },
+    Some(s"""WITH tok AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS term
+          FROM documents WHERE text IS NOT NULL),
+        h AS (SELECT lang, substr(md5('hll:' || term), 1, 13) AS h FROM tok),
+        parts AS (SELECT lang, substr(h, 1, 2) AS bucket,
+            ltrim(substr(h, 3, 11), '0') AS st FROM h),
+        rr AS (SELECT lang, bucket, max($rhoSql) AS r FROM parts GROUP BY 1, 2),
+        agg AS (SELECT lang, sum((power(2, 45 - r))::BIGINT) AS sp,
+            count(*) AS nb FROM rr GROUP BY 1),
+        est AS (SELECT lang, 256 - nb AS zeros,
+            0.7213 / (1 + 1.079 / 256) * 256 * 256 * power(2, 45)
+              / (sp + (256 - nb) * (power(2, 45))::BIGINT) AS raw
+          FROM agg),
+        ex AS (SELECT lang, count(DISTINCT term) AS n_exact FROM tok GROUP BY 1)
+      SELECT ex.lang, n_exact, zeros, round(raw, 4) AS est_raw,
+          round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+              THEN 256 * ln(256 / zeros) ELSE raw END, 4) AS estimate
+      FROM ex JOIN est ON ex.lang = est.lang ORDER BY ex.lang"""))
+
+  /** The incremental-sketch workflow end-to-end: per-shard registers are
+    * MATERIALIZED (parquet, the per-day/per-source layout a 100 TB
+    * pipeline persists), re-read, merged by bucket-max, and the merged
+    * estimate is checked equal to the direct single-pass estimate —
+    * merge is max per bucket, so no merge tree can lose information.
+    * The oracle restates the register math once (the two paths are
+    * mathematically identical, which is exactly the claim). */
+  private[graft] val qHllMerge = Q("hll2_sketch_merge",
+    (s, d) => {
+      val tok = langTerms(s, d)
+      val sharded = tok.withColumn("shard",
+        pmod(conv(substring(md5(concat(lit("shard:"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int"), lit(8)))
+      val dir = scratchDir("hll2_registers")
+      Sketches.hllRegisters(sharded, Seq("shard"), col("term"))
+        .write.mode("overwrite").parquet(dir)
+      val merged = Sketches.hllEstimate(
+          Sketches.hllMerge(nanosOk(s).read.parquet(dir), Seq.empty), Seq.empty)
+      val direct = Sketches.hllEstimate(
+          Sketches.hllRegisters(tok, Seq.empty, col("term")), Seq.empty)
+        .select(col("zeros").as("zeros_direct"),
+          col("est_raw").as("est_raw_direct"),
+          col("estimate").as("estimate_direct"))
+      merged.crossJoin(direct)
+        .withColumn("merge_lossless",
+          (col("zeros") === col("zeros_direct") &&
+            col("est_raw") === col("est_raw_direct")).cast("int"))
+    },
+    Some(s"""WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+          FROM documents WHERE text IS NOT NULL),
+        h AS (SELECT substr(md5('hll:' || term), 1, 13) AS h FROM tok),
+        parts AS (SELECT substr(h, 1, 2) AS bucket,
+            ltrim(substr(h, 3, 11), '0') AS st FROM h),
+        rr AS (SELECT bucket, max($rhoSql) AS r FROM parts GROUP BY 1),
+        agg AS (SELECT sum((power(2, 45 - r))::BIGINT) AS sp, count(*) AS nb FROM rr),
+        est AS (SELECT 256 - nb AS zeros,
+            0.7213 / (1 + 1.079 / 256) * 256 * 256 * power(2, 45)
+              / (sp + (256 - nb) * (power(2, 45))::BIGINT) AS raw
+          FROM agg)
+      SELECT zeros, round(raw, 4) AS est_raw,
+          round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+              THEN 256 * ln(256 / zeros) ELSE raw END, 4) AS estimate,
+          zeros AS zeros_direct, round(raw, 4) AS est_raw_direct,
+          round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+              THEN 256 * ln(256 / zeros) ELSE raw END, 4) AS estimate_direct,
+          1 AS merge_lossless
+      FROM est"""))
+
+  /** Corpus-wide distinct tokens by KMV bottom-k (k = 256): hex string
+    * order IS numeric order, so the sketch is a distributed
+    * TakeOrderedAndProject over distinct hashes and only the single
+    * k-th hash is ever converted to a number. */
+  private[graft] val qKmvDistinct = Q("kmv1_distinct_est",
+    (s, d) => {
+      val tok = langTerms(s, d).select("term")
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(tok, col("term"), 256), 256)
+      val exact = tok.agg(countDistinct(col("term")).as("n_exact"))
+      est.withColumn("saturated", col("saturated").cast("int"))
+        .crossJoin(exact)
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+          FROM documents WHERE text IS NOT NULL),
+        hs AS (SELECT DISTINCT substr(md5('kmv:' || term), 1, 13) AS h FROM tok),
+        sk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+        top AS (SELECT count(*) AS n_sketch, max(h) AS hk FROM sk),
+        iv AS (SELECT n_sketch,
+            sum((strpos('0123456789abcdef', substr(hk, j.j, 1)) - 1)
+                * power(16, 13 - j.j)) AS v
+          FROM top CROSS JOIN (SELECT unnest(generate_series(1, 13)) AS j) j
+          GROUP BY n_sketch),
+        ex AS (SELECT count(DISTINCT term) AS n_exact FROM tok)
+      SELECT n_sketch, (n_sketch = 256)::INT AS saturated,
+          round(CASE WHEN n_sketch = 256 THEN 255 * power(2, 52) / v
+              ELSE n_sketch::DOUBLE END, 4) AS estimate,
+          n_exact
+      FROM iv CROSS JOIN ex"""))
+
+  /** Cross-corpus overlap WITHOUT comparing the corpora: Jaccard and
+    * intersection size of the en-vs-de vocabularies estimated from one
+    * KMV sketch of the union (members carry exact in-both flags) — the
+    * sketch-sized form of the contamination-overlap question. Exact
+    * values alongside. */
+  private[graft] val qKmvJaccard = Q("kmv2_jaccard_est",
+    (s, d) => {
+      val flags = langTerms(s, d).filter(col("lang").isin("en", "de"))
+        .groupBy(col("term")).agg(
+          max(when(col("lang") === "en", 1).otherwise(0)).as("in_a"),
+          max(when(col("lang") === "de", 1).otherwise(0)).as("in_b"))
+      val sk = flags
+        .withColumn("h", Sketches.hexHash(col("term"), "kmv"))
+        .orderBy("h").limit(256)
+      val stats = sk.agg(count(lit(1)).as("n_sketch"),
+        sum(col("in_a") * col("in_b")).as("n_both"),
+        max(col("h")).as("__hk"))
+      val exact = flags.agg(
+        sum(col("in_a") * col("in_b")).as("inter_exact"),
+        count(lit(1)).as("union_exact"))
+      stats.crossJoin(exact).select(
+        col("n_sketch"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_sketch").cast("double"), 4)
+          .as("j_est"),
+        round(col("inter_exact").cast("double") /
+          col("union_exact").cast("double"), 4).as("j_exact"),
+        round(col("n_both").cast("double") / col("n_sketch").cast("double") *
+          (lit(255.0 * math.pow(2.0, 52)) /
+            conv(col("__hk"), 16, 10).cast("double")), 4).as("inter_est"),
+        col("inter_exact"), col("union_exact"))
+    },
+    Some("""WITH tok AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS term
+          FROM documents WHERE text IS NOT NULL AND lang IN ('en', 'de')),
+        flags AS (SELECT term,
+            max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS in_a,
+            max(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS in_b
+          FROM tok GROUP BY 1),
+        hs AS (SELECT term, in_a, in_b,
+            substr(md5('kmv:' || term), 1, 13) AS h FROM flags),
+        sk AS (SELECT * FROM hs ORDER BY h LIMIT 256),
+        st AS (SELECT count(*) AS n_sketch, sum(in_a * in_b) AS n_both,
+            max(h) AS hk FROM sk),
+        iv AS (SELECT n_sketch, n_both,
+            sum((strpos('0123456789abcdef', substr(hk, j.j, 1)) - 1)
+                * power(16, 13 - j.j)) AS v
+          FROM st CROSS JOIN (SELECT unnest(generate_series(1, 13)) AS j) j
+          GROUP BY n_sketch, n_both),
+        ex AS (SELECT sum(in_a * in_b) AS inter_exact,
+            count(*) AS union_exact FROM flags)
+      SELECT n_sketch, n_both,
+          round(n_both::DOUBLE / n_sketch::DOUBLE, 4) AS j_est,
+          round(inter_exact::DOUBLE / union_exact::DOUBLE, 4) AS j_exact,
+          round(n_both::DOUBLE / n_sketch::DOUBLE
+            * (255 * power(2, 52) / v), 4) AS inter_est,
+          inter_exact, union_exact
+      FROM iv CROSS JOIN ex"""))
+
   // ====================================================================
 
   private[graft] val all: Seq[Q] = Seq(
+    qHllVocab,
+    qHllMerge,
+    qKmvDistinct,
+    qKmvJaccard,
     qFunnel,
     qCohort,
     qScd2,

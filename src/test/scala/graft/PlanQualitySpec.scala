@@ -44,7 +44,9 @@ class PlanQualitySpec extends SparkSpec {
     // the degenerate-parameter oracle anchors are DELIBERATELY exhaustive:
     // a constant bucket key folds the equi-join into a nested loop
     "sim2b_lsh_exact_anchor", "sim6b_mmr_exact_anchor",
-    "d5b_embedding_exact_anchor")
+    "d5b_embedding_exact_anchor",
+    // sketch estimate × 1-ROW exact-count aggregate (crossJoin of scalars)
+    "hll2_sketch_merge", "kmv1_distinct_est", "kmv2_jaccard_est")
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

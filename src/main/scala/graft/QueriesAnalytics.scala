@@ -1462,6 +1462,76 @@ private[graft] object QueriesAnalytics {
           inter_exact, union_exact
       FROM iv CROSS JOIN ex"""))
 
+  /** Quantiles from a bottom-k uniform row sample (k = 256 docs keyed by
+    * md5 of doc_id) next to the exact quantiles — the mergeable quantile
+    * sketch: per-shard bottom-k samples materialize and re-merge losslessly
+    * (SketchesSpec proves union-of-shard-samples ≡ direct sample), so a
+    * 100 TB corpus answers quantile questions from k rows per shard
+    * without a global sort. Both engines interpolate identically
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the a13 device). */
+  private[graft] val qQuantileSketch = Q("qs1_quantile_sketch",
+    (s, d) => {
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val sample = Sketches.bottomK(docs, col("doc_id"), 256, "qsk")
+      val est = sample
+        .agg(percentile(col("n_chars"), typedlit(ps)).as("qs"))
+        .select(posexplode(col("qs")).as(Seq("i", "__q")))
+        .select(element_at(typedlit(ps), col("i").cast("int") + 1).as("p"),
+          round(col("__q"), 4).as("q_est"))
+      val exact = Quantiles.exact(docs, Seq("n_chars"), ps)
+        .select(col("p"), round(col("q"), 4).as("q_exact"))
+      est.join(exact, Seq("p")).orderBy("p")
+    },
+    Some("""WITH s AS (SELECT n_chars,
+            substr(md5('qsk:' || doc_id::VARCHAR), 1, 13) AS h FROM documents),
+        sk AS (SELECT n_chars FROM s ORDER BY h LIMIT 256),
+        est AS (SELECT quantile_cont(n_chars, [0.25,0.5,0.75,0.95]) AS qs FROM sk),
+        ex AS (SELECT quantile_cont(n_chars, [0.25,0.5,0.75,0.95]) AS qe
+          FROM documents)
+      SELECT unnest([0.25,0.5,0.75,0.95])::DOUBLE AS p,
+          round(unnest(qs), 4) AS q_est, round(unnest(qe), 4) AS q_exact
+      FROM est CROSS JOIN ex ORDER BY p"""))
+
+  /** Streaming distinct users per hour, the register way: the SAME
+    * register build that lifts to Structured Streaming (one windowed max
+    * aggregate — EventStreamSpec drives it as a watermarked stream) next
+    * to the exact per-hour distinct. The streaming sink persists 256
+    * max-registers per window, not a distinct-set; the estimate is
+    * computed at query time over the tiny register table. */
+  private[graft] val qStreamDistinct = Q("st6_stream_distinct",
+    (s, d) => {
+      val ev = events(s, d).select(col("ts"), col("user_id"))
+      val regs = EventStream
+        .windowedDistinctRegisters(ev, "ts", "user_id", "1 hour")
+        .select(unix_timestamp(col("w_start")).as("wstart"),
+          col("bucket"), col("r"))
+      val est = Sketches.hllEstimate(regs, Seq("wstart"))
+      val exact = ev
+        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("wstart"),
+          col("user_id"))
+        .groupBy("wstart").agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("wstart")).orderBy("wstart")
+    },
+    Some(s"""WITH e AS (SELECT epoch(date_trunc('hour', ts))::BIGINT AS wstart,
+            user_id FROM events),
+        h AS (SELECT wstart, substr(md5('hll:' || user_id::VARCHAR), 1, 13) AS h
+          FROM e),
+        parts AS (SELECT wstart, substr(h, 1, 2) AS bucket,
+            ltrim(substr(h, 3, 11), '0') AS st FROM h),
+        rr AS (SELECT wstart, bucket, max($rhoSql) AS r FROM parts GROUP BY 1, 2),
+        agg AS (SELECT wstart, sum((power(2, 45 - r))::BIGINT) AS sp,
+            count(*) AS nb FROM rr GROUP BY 1),
+        est AS (SELECT wstart, 256 - nb AS zeros,
+            0.7213 / (1 + 1.079 / 256) * 256 * 256 * power(2, 45)
+              / (sp + (256 - nb) * (power(2, 45))::BIGINT) AS raw
+          FROM agg),
+        ex AS (SELECT wstart, count(DISTINCT user_id) AS n_exact FROM e GROUP BY 1)
+      SELECT ex.wstart, n_exact, zeros, round(raw, 4) AS est_raw,
+          round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+              THEN 256 * ln(256 / zeros) ELSE raw END, 4) AS estimate
+      FROM ex JOIN est ON ex.wstart = est.wstart ORDER BY ex.wstart"""))
+
   // ====================================================================
 
   private[graft] val all: Seq[Q] = Seq(
@@ -1469,6 +1539,8 @@ private[graft] object QueriesAnalytics {
     qHllMerge,
     qKmvDistinct,
     qKmvJaccard,
+    qQuantileSketch,
+    qStreamDistinct,
     qFunnel,
     qCohort,
     qScd2,

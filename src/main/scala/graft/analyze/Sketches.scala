@@ -145,6 +145,27 @@ object Sketches {
       .orderBy("h").limit(k)
   }
 
+  /** Bottom-k uniform row sample: the k rows whose KEY hashes smallest,
+    * all columns preserved plus the hash as `__h`. Because md5 is a pure
+    * function of the key, this is simultaneously (a) a uniform
+    * without-replacement sample of the key population, (b) deterministic
+    * across runs/partitionings/engines, and (c) MERGEABLE: the bottom-k
+    * of a union is the bottom-k of the concatenated per-shard bottom-k's
+    * (dedup by hash absorbs keys seen in several shards) — so per-shard
+    * samples can be materialized and any later union re-sampled without
+    * rescanning the data. Plans as a distributed TakeOrderedAndProject:
+    * per-partition top-k, driver merges k rows, no global sort. */
+  def bottomK(df: DataFrame, key: Column, k: Int,
+      seed: String = "sample"): DataFrame = {
+    require(k >= 1, s"bottomK needs k >= 1, got $k")
+    df.withColumn("__h", hexHash(key, seed)).orderBy("__h").limit(k)
+  }
+
+  /** Merge per-shard bottom-k samples (built with the SAME seed over the
+    * same keyspace): dedup on the hash, keep the k smallest. */
+  def bottomKMerge(parts: DataFrame, k: Int): DataFrame =
+    parts.dropDuplicates("__h").orderBy("__h").limit(k)
+
   /** Distinct-count estimate from a full KMV sketch: (k-1) * 2^52 / h_k
     * where h_k is the largest (k-th smallest) hash — converted to a
     * number only here, on a single row. Caller must pass the k the

@@ -26,6 +26,29 @@ object EventStream {
         col(keyCol), col("n"), col("sum_value"))
   }
 
+  /** HLL registers per tumbling window — the streaming form of
+    * [[graft.analyze.Sketches.hllRegisters]]: ONE groupBy((window, bucket))
+    * with a max aggregate, so it lifts to Structured Streaming unchanged
+    * (max is a supported streaming aggregate; the watermark evicts closed
+    * windows' register state). The sink persists registers, not counts —
+    * the estimate ([[graft.analyze.Sketches.hllEstimate]]) is computed at
+    * QUERY time over the tiny register table, which is how a streaming
+    * distinct-count stays incremental: per window only 256 max-registers
+    * of state, duplicate and late-but-in-watermark arrivals absorbed by
+    * max's idempotence. */
+  def windowedDistinctRegisters(events: DataFrame, tsCol: String,
+      idCol: String, windowLen: String,
+      watermark: Option[String] = None): DataFrame = {
+    import graft.analyze.Sketches
+    val src = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    val h = Sketches.hexHash(col(idCol), "hll")
+    src.select(window(col(tsCol), windowLen).as("__w"), h.as("__h"))
+      .groupBy(col("__w"),
+        substring(col("__h"), 1, Sketches.BucketChars).as("bucket"))
+      .agg(max(Sketches.rho(col("__h"))).as("r"))
+      .select(col("__w.start").as("w_start"), col("bucket"), col("r"))
+  }
+
   /** Per-key running totals via arbitrary stateful processing —
     * `KeyValueGroupedDataset.mapGroupsWithState` (the §2.8 design hook for
     * custom state the built-in windowed aggregates can't express). State is

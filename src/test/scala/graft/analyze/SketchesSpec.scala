@@ -108,6 +108,43 @@ class SketchesSpec extends SparkSpec {
     assert(skU.exceptAll(merged).isEmpty && merged.exceptAll(skU).isEmpty)
   }
 
+  test("bottom-k sample merges losslessly: shard samples union to the direct sample") {
+    val df = (1 to 6000).map(i => (s"key-$i", i.toLong)).toDF("k", "x")
+    val k = 200
+    val direct = Sketches.bottomK(df, col("k"), k, "s")
+    for (shards <- Seq(3, 8)) {
+      val parts = (0 until shards).map { sh =>
+        Sketches.bottomK(
+          df.filter(pmod(conv(substring(md5(col("k")), 1, 4), 16, 10)
+            .cast("int"), lit(shards)) === sh), col("k"), k, "s")
+      }.reduce(_ union _)
+      val merged = Sketches.bottomKMerge(parts, k)
+      // collect-compare: the samples are k rows by construction (and
+      // exceptAll over unions of LIMIT frames trips a Catalyst binding bug)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("__h", "k", "x").as[(String, String, Long)]
+          .collect().sorted.toSeq
+      assert(rows(merged) == rows(direct), s"shards=$shards")
+    }
+  }
+
+  test("bottom-k sample is uniform enough: sample mean tracks the population mean") {
+    // keys 1..20000 carry value = key; a uniform 256-sample's mean has
+    // se = sigma/sqrt(k) ~ 361 here — assert within 4 se of 10000.5
+    val df = (1 to 20000).map(i => (s"u-$i", i.toDouble)).toDF("k", "x")
+    val m = Sketches.bottomK(df, col("k"), 256, "s")
+      .agg(avg("x")).as[Double].head()
+    assert(math.abs(m - 10000.5) < 4 * 20000 / math.sqrt(12) / 16,
+      s"sample mean $m")
+  }
+
+  test("bottom-k with duplicate keys keeps one row per key hash after merge") {
+    val df = Seq("a", "a", "b", "c", "c").toDF("k")
+    val merged = Sketches.bottomKMerge(
+      Sketches.bottomK(df, col("k"), 10, "s"), 10)
+    assert(merged.count() == 3)
+  }
+
   test("registers never exceed m rows per group and ranks stay in 1..45") {
     val reg = Sketches.hllRegisters(values(30000, "r"), Seq.empty, col("v"))
     assert(reg.count() <= Sketches.Buckets)

@@ -250,6 +250,38 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctRegisters streams to the exact batch registers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val src = mem.toDF().toDF("ts", "user_id")
+    val regs = EventStream.windowedDistinctRegisters(src, "ts", "user_id",
+      "1 hour", watermark = Some("10 minutes"))
+    val q = regs.writeStream
+      .format("memory").queryName("evt_regs").outputMode("complete").start()
+    try {
+      // 40 users across two hours, users 1-10 DUPLICATED across batches —
+      // max's idempotence must absorb the re-arrivals
+      val h1 = (1L to 25L).map(u => (Timestamp.valueOf("2024-01-01 10:05:00"), u))
+      val h2 = (20L to 40L).map(u => (Timestamp.valueOf("2024-01-01 11:10:00"), u))
+      mem.addData(h1)
+      q.processAllAvailable()
+      mem.addData(h2 ++ h1.take(10))
+      q.processAllAvailable()
+      val streamed = spark.table("evt_regs")
+      val batch = EventStream.windowedDistinctRegisters(
+        (h1 ++ h2 ++ h1.take(10)).toDF("ts", "user_id"), "ts", "user_id", "1 hour")
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+      // and the registers answer the distinct question
+      val est = graft.analyze.Sketches.hllEstimate(
+        streamed.withColumnRenamed("w_start", "w"), Seq("w"))
+        .orderBy("w").select("estimate").as[Double].collect()
+      assert(est.length == 2)
+      assert(math.abs(est(0) - 25) / 25.0 < 0.3 &&
+        math.abs(est(1) - 21) / 21.0 < 0.3, est.mkString(","))
+    } finally q.stop()
+  }
+
   test("foreachBatch + Merge.upsert is the continuous CDC apply loop") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Merge

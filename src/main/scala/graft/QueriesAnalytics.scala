@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.VectorAgg
-import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles, Sketches}
+import graft.analyze.{Associations, Behavior, DistinctCounter, Olap, Quantiles, Sketches}
 import graft.functions.ZOrder
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
 import graft.convert.{CategoricalCodes, Converters, TableConverter}
@@ -1532,6 +1532,62 @@ private[graft] object QueriesAnalytics {
               THEN 256 * ln(256 / zeros) ELSE raw END, 4) AS estimate
       FROM ex JOIN est ON ex.wstart = est.wstart ORDER BY ex.wstart"""))
 
+  /** Association rules over the co-purchase baskets (order = basket,
+    * part = item): frequent pairs at minCount = 3 with support /
+    * confidence / lift. The a-priori prune in [[Associations]] is the
+    * scale content — items are counted and the basket table reduced to
+    * frequent items BEFORE the pair self-join. */
+  private[graft] val qAssocRules = Q("mb1_association_rules",
+    (s, d) => Associations.frequentPairs(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minCount = 3)
+      .orderBy("item_a", "item_b"),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          FROM lineitem),
+        cnt AS (SELECT i, count(*) AS n FROM li GROUP BY 1),
+        f AS (SELECT li.b, li.i, cnt.n FROM li JOIN cnt ON li.i = cnt.i
+          WHERE cnt.n >= 3),
+        p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS pair_n,
+            min(a.n) AS n_a, min(b.n) AS n_b
+          FROM f a JOIN f b ON a.b = b.b AND a.i < b.i
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+        nb AS (SELECT count(DISTINCT b) AS n_baskets FROM li)
+      SELECT item_a, item_b, pair_n, n_a, n_b, n_baskets,
+        round(pair_n::DOUBLE / n_baskets::DOUBLE, 4) AS support,
+        round(pair_n::DOUBLE / n_a::DOUBLE, 4) AS conf_ab,
+        round(pair_n::DOUBLE / n_b::DOUBLE, 4) AS conf_ba,
+        round((pair_n * n_baskets)::DOUBLE / (n_a * n_b)::DOUBLE, 4) AS lift
+      FROM p CROSS JOIN nb ORDER BY item_a, item_b"""))
+
+  /** BFS shortest-path levels (0..3) from part 1 over the co-purchase
+    * graph — the frontier loop restated as DuckDB's bounded recursive
+    * closure, so the ITERATIVE operator gets a real oracle (min over all
+    * ≤3-hop path lengths ≡ BFS level). */
+  private[graft] val qBfsLevels = Q("g1_bfs_levels",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.graph.Bfs.levels(e, "u", "v", source = 1L, maxDepth = 3)
+        .orderBy("id")
+    },
+    Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey
+          FROM lineitem),
+        e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        d AS (
+          SELECT 1::BIGINT AS id, 0 AS dist
+          UNION
+          SELECT e.v, d.dist + 1 FROM d JOIN e ON e.u = d.id
+          WHERE d.dist < 3)
+      SELECT id, min(dist) AS dist FROM d GROUP BY 1 ORDER BY id"""))
+
   // ====================================================================
 
   private[graft] val all: Seq[Q] = Seq(
@@ -1541,6 +1597,8 @@ private[graft] object QueriesAnalytics {
     qKmvJaccard,
     qQuantileSketch,
     qStreamDistinct,
+    qAssocRules,
+    qBfsLevels,
     qFunnel,
     qCohort,
     qScd2,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.VectorAgg
-import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles}
+import graft.analyze.{Behavior, DistinctCounter, Olap, Quantiles, TimeSeries}
 import graft.functions.ZOrder
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
 import graft.convert.{CategoricalCodes, Converters, TableConverter}
@@ -1361,9 +1361,36 @@ private[graft] object QueriesTemporal {
         coalesce(c.n, 0) AS n
       FROM range(0,10) r LEFT JOIN c ON c.bucket = r.range ORDER BY bucket"""))
 
+  /** Autocorrelation of daily shipped quantity at lags 1..7 — the
+    * seasonality probe ([[graft.analyze.TimeSeries.acf]]: exact integer
+    * sums per lag, one sqrt·sqrt division at the end). A weekly cycle
+    * surfaces as a lag-7 peak. */
+  private[graft] val qAcf = Q("ts1_autocorrelation",
+    (s, d) => {
+      val daily = t(s, d, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      TimeSeries.acf(daily, "day", "qty", maxLag = 7).orderBy("lag")
+    },
+    Some("""WITH s AS (SELECT l_shipdate::DATE AS day,
+          sum(l_quantity::BIGINT) AS x FROM lineitem GROUP BY 1),
+        l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        p AS (SELECT l.lag, a.x AS xa, b.x AS xb
+          FROM s a CROSS JOIN l JOIN s b ON b.day = a.day + l.lag::INTEGER),
+        g AS (SELECT lag, count(*) AS n_pairs, sum(xa*xb) AS sxy,
+            sum(xa) AS sx, sum(xb) AS sy,
+            sum(xa*xa) AS sxx, sum(xb*xb) AS syy
+          FROM p GROUP BY 1)
+      SELECT lag, n_pairs,
+        round((n_pairs*sxy - sx*sy)::DOUBLE /
+          (sqrt((n_pairs*sxx - sx*sx)::DOUBLE) *
+           sqrt((n_pairs*syy - sy*sy)::DOUBLE)), 4) AS acf
+      FROM g ORDER BY lag"""))
+
   // ====================================================================
 
   private[graft] val all: Seq[Q] = Seq(
+    qAcf,
     qAsof,
     qRangeJoin,
     qRolling,

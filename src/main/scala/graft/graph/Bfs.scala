@@ -31,11 +31,12 @@ object Bfs {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val spark = edges.sparkSession
     import spark.implicits._
+    // duplicate edges are harmless (the frontier's reached-set distinct
+    // absorbs them), so no adjacency-wide dedup shuffle is paid here
     val adj = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .unionAll(edges.select(col(dstCol).cast("long").as("a"),
         col(srcCol).cast("long").as("b")))
-      .distinct()
       .localCheckpoint(true)
     var visited = Seq((source, 0)).toDF("id", "dist").localCheckpoint(true)
     var frontier = visited

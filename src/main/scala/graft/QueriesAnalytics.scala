@@ -1532,6 +1532,101 @@ private[graft] object QueriesAnalytics {
               THEN 256 * ln(256 / zeros) ELSE raw END, 4) AS estimate
       FROM ex JOIN est ON ex.wstart = est.wstart ORDER BY ex.wstart"""))
 
+  /** One persisted DAILY register table answers every coarser grain by
+    * register merge alone — day estimates read it as-is, week merges
+    * day-buckets by max, the corpus total merges everything; the data is
+    * scanned exactly once (the materialize). This is the incremental
+    * rollup a 100 TB pipeline runs nightly: append today's registers,
+    * never rescan history. The oracle restates the register math at each
+    * grain from raw data — equal results ARE the lossless-merge claim. */
+  private[graft] val qHllRollup = Q("hll3_rollup_distinct",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dir = scratchDir("hll3_registers")
+      Sketches.hllRegisters(ev, Seq("day"), col("user_id"))
+        .write.mode("overwrite").parquet(dir)
+      val regs = nanosOk(s).read.parquet(dir)
+      val byDay = Sketches.hllEstimate(regs, Seq("day"))
+        .select(lit("day").as("grain"), col("day").cast("string").as("key"),
+          col("zeros"), col("est_raw"), col("estimate"))
+      val byWeek = Sketches.hllEstimate(
+          Sketches.hllMerge(regs.withColumn("week",
+            date_trunc("week", col("day")).cast("date")), Seq("week")),
+          Seq("week"))
+        .select(lit("week").as("grain"), col("week").cast("string").as("key"),
+          col("zeros"), col("est_raw"), col("estimate"))
+      val total = Sketches.hllEstimate(Sketches.hllMerge(regs, Seq.empty),
+          Seq.empty)
+        .select(lit("all").as("grain"), lit("all").as("key"),
+          col("zeros"), col("est_raw"), col("estimate"))
+      byDay.unionByName(byWeek).unionByName(total).orderBy("grain", "key")
+    },
+    Some(s"""WITH e AS (SELECT ts::DATE AS day, user_id FROM events),
+        h AS (SELECT day, date_trunc('week', day)::DATE AS week,
+            substr(md5('hll:' || user_id::VARCHAR), 1, 13) AS h FROM e),
+        parts AS (SELECT day, week, substr(h, 1, 2) AS bucket,
+            ltrim(substr(h, 3, 11), '0') AS st FROM h),
+        rho AS (SELECT day, week, bucket, $rhoSql AS rho0 FROM parts),
+        gday AS (SELECT 'day' AS grain, day::VARCHAR AS key, bucket,
+            max(rho0) AS r FROM rho GROUP BY 1, 2, 3),
+        gweek AS (SELECT 'week' AS grain, week::VARCHAR AS key, bucket,
+            max(rho0) AS r FROM rho GROUP BY 1, 2, 3),
+        gall AS (SELECT 'all' AS grain, 'all' AS key, bucket,
+            max(rho0) AS r FROM rho GROUP BY 1, 2, 3),
+        rr AS (SELECT * FROM gday UNION ALL SELECT * FROM gweek
+          UNION ALL SELECT * FROM gall),
+        agg AS (SELECT grain, key, sum((power(2, 45 - r))::BIGINT) AS sp,
+            count(*) AS nb FROM rr GROUP BY 1, 2),
+        est AS (SELECT grain, key, 256 - nb AS zeros,
+            0.7213 / (1 + 1.079 / 256) * 256 * 256 * power(2, 45)
+              / (sp + (256 - nb) * (power(2, 45))::BIGINT) AS raw
+          FROM agg)
+      SELECT grain, key, zeros, round(raw, 4) AS est_raw,
+          round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+              THEN 256 * ln(256 / zeros) ELSE raw END, 4) AS estimate
+      FROM est ORDER BY grain, key"""))
+
+  /** Self-join output-size estimation by fixed-rate key sampling (the
+    * Gibbons distinct-sampling device): keys whose md5 starts with the
+    * nibble '0' (rate exactly 1/16 under the hash) are counted, the
+    * sampled sum of c(k)² scales by 16, and the exact Σc(k)² sits beside
+    * it. At 100 TB the sample predicate is a map-side filter BEFORE any
+    * shuffle — the planner answer ("how big would the co-purchase
+    * self-join be?") costs a scan plus a 1/16-size aggregate, not the
+    * join itself. */
+  private[graft] val qJoinSizeEst = Q("jc1_joinsize_est",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_partkey"))
+      val sampled = li
+        .filter(substring(Sketches.hexHash(col("l_partkey"), "jc"), 1, 1)
+          === "0")
+        .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_sample_keys"),
+          sum(col("c") * col("c")).as("j_sample"))
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("j_exact"))
+      sampled.crossJoin(exact)
+        .withColumn("j_est", col("j_sample") * lit(16L))
+        .withColumn("rel_err", round(
+          (col("j_est") - col("j_exact")).cast("double") /
+            col("j_exact").cast("double"), 4))
+    },
+    Some("""WITH s AS (SELECT l_partkey,
+            substr(md5('jc:' || l_partkey::VARCHAR), 1, 1) AS nib
+          FROM lineitem),
+        samp AS (SELECT l_partkey, count(*) AS c FROM s
+          WHERE nib = '0' GROUP BY 1),
+        st AS (SELECT count(*) AS n_sample_keys,
+            sum(c * c)::BIGINT AS j_sample FROM samp),
+        ex AS (SELECT sum(c * c)::BIGINT AS j_exact FROM
+          (SELECT count(*) AS c FROM s GROUP BY l_partkey)),
+      j AS (SELECT n_sample_keys, j_sample, j_exact,
+          j_sample * 16 AS j_est FROM st CROSS JOIN ex)
+      SELECT n_sample_keys, j_sample, j_exact, j_est,
+        round((j_est - j_exact)::DOUBLE / j_exact::DOUBLE, 4) AS rel_err
+      FROM j"""))
+
   /** Association rules over the co-purchase baskets (order = basket,
     * part = item): frequent pairs at minCount = 3 with support /
     * confidence / lift. The a-priori prune in [[Associations]] is the
@@ -1599,6 +1694,8 @@ private[graft] object QueriesAnalytics {
     qStreamDistinct,
     qAssocRules,
     qBfsLevels,
+    qHllRollup,
+    qJoinSizeEst,
     qFunnel,
     qCohort,
     qScd2,

@@ -47,7 +47,8 @@ class PlanQualitySpec extends SparkSpec {
     "d5b_embedding_exact_anchor",
     // sketch estimate × 1-ROW exact-count aggregate (crossJoin of scalars)
     "hll2_sketch_merge", "kmv1_distinct_est", "kmv2_jaccard_est",
-    "mb1_association_rules") // pair stats × 1-ROW n_baskets aggregate
+    "mb1_association_rules", // pair stats × 1-ROW n_baskets aggregate
+    "jc1_joinsize_est") // sampled sum × 1-ROW exact-sum aggregate
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

@@ -43,7 +43,12 @@ object Bfs {
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier.join(adj, col("id") === col("a"))
+      // broadcast the frontier (the BfsSampler device): the adjacency —
+      // the big side — is probed in place instead of re-shuffled every
+      // round; a frontier too large to broadcast means the walk has
+      // reached graph scale and hop-bounded BFS is the wrong tool anyway
+      val next = adj.join(broadcast(frontier.select(col("id").as("a"))),
+          Seq("a"))
         .select(col("b").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("dist", lit(depth))

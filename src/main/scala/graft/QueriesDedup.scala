@@ -521,7 +521,42 @@ private[graft] object QueriesDedup {
 
   // ====================================================================
 
+  /** Sorted-neighborhood blocking (merge/purge): candidates are each
+    * document's 5 successors in (first-20-chars-of-text, id) order — a
+    * pair budget of exactly 5n with NO bucket skew, the complementary
+    * paradigm to the hash families (recall limited to what the key sorts
+    * together; multiple passes with different keys raise it). Verified by
+    * the same exact 3-gram Jaccard as d3. */
+  private[graft] val qSortedNeighborhood = Q("d11_sorted_neighborhood",
+    (s, d) => Dedup.sortedNeighborhoodPairs(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        "doc_id", "text",
+        blockKey = substring(lower(trim(col("text"))), 1, 20),
+        window = 5, shingleN = 3, threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id1", "id2"),
+    Some("""WITH t AS (SELECT doc_id, lower(trim(text)) AS lt,
+          string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT doc_id, substr(lt, 1, 20) AS bk,
+          list_distinct(CASE WHEN len(w) < 3
+            THEN [array_to_string(w, ' ')]
+            ELSE list_transform(range(1, len(w)-1),
+              i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks
+        FROM t),
+      r AS (SELECT doc_id, toks,
+          row_number() OVER (ORDER BY bk, doc_id) AS rn FROM s),
+      cand AS (SELECT least(a.doc_id, b.doc_id) AS id1,
+          greatest(a.doc_id, b.doc_id) AS id2, a.toks AS t1, b.toks AS t2
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5),
+      j AS (SELECT id1, id2, len(list_intersect(t1, t2))::DOUBLE /
+          (len(t1) + len(t2) - len(list_intersect(t1, t2)))::DOUBLE AS jac
+        FROM cand)
+      SELECT id1, id2, round(jac, 4) AS jaccard FROM j
+      WHERE jac >= 0.5 ORDER BY id1, id2"""))
+
   private[graft] val all: Seq[Q] = Seq(
+    qSortedNeighborhood,
     qExactDedup,
     qNgramJaccard,
     qDupClusters,

@@ -484,6 +484,37 @@ object Dedup {
     }
   }
 
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo, SIGMOD'95
+    * merge/purge): sort the corpus by a blocking key, pair each record
+    * with only its `window` successors in that order, verify candidates
+    * by exact shingle Jaccard. The complementary paradigm to the hash
+    * families: the candidate budget is EXACTLY n·window by construction —
+    * no bucket-size skew, no df² growth on shared shingles — at the cost
+    * of recall limited to what the key sorts together (near-dups whose
+    * mutation hits the key prefix land apart; run multiple passes with
+    * different keys for higher recall, as the paper does).
+    *
+    * Scale shape: one distributed rank over (key, id) — range sort +
+    * zipWithIndex, no single-task window — then explode(1..window) and an
+    * equi-join on the shifted rank, then the usual verify join. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+      textCol: String, blockKey: Column, window: Int, shingleN: Int,
+      threshold: Double): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ranked = graft.functions.DistributedRank.withRank(
+      docs.select(col(idCol), blockKey.as("__bk")),
+      Seq(col("__bk"), col(idCol)), "__rn")
+    val cand = ranked
+      .select(col(idCol).as("id1"), col("__rn"),
+        explode(sequence(lit(1), lit(window))).as("__o"))
+      .withColumn("__rn2", col("__rn") + col("__o"))
+      .join(ranked.select(col(idCol).as("id2"), col("__rn").as("__rn2")),
+        Seq("__rn2"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+    verifyJaccard(docs, cand, idCol, textCol, shingleN, threshold)
+  }
+
   private def ngramJaccardFromSets(sets: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
     val inv = sets

@@ -623,4 +623,48 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(top1 == Seq("a b c"))                   // 4 occurrences beats "b c d"'s 3
   }
+
+  private def snpDocs = Seq(
+    // prefix-identical near-dups: the sort key (first 20 chars) lands them
+    // adjacent, the TAIL mutation is what Jaccard scores
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+    // prefix-MUTATED near-dup of 1: sorts far away, invisible to this key
+    (9L, "zulu beta gamma delta epsilon zeta eta theta iota kappa"),
+    (4L, "unrelated filler one two three four five six seven eight"),
+    (5L, "more filler nine ten eleven twelve thirteen fourteen fifteen")
+  ).toDF("doc_id", "text")
+
+  private def snpKey = substring(lower(trim(col("text"))), 1, 20)
+
+  test("sortedNeighborhoodPairs finds prefix-sorted near-dups") {
+    val got = Dedup.sortedNeighborhoodPairs(snpDocs, "doc_id", "text",
+        snpKey, window = 2, shingleN = 3, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.forall { case (a, b) => a < b }) // canonical order
+  }
+
+  test("sorted-neighborhood recall is key-bound: a prefix mutation escapes the window") {
+    // (1,9) is a genuine near-dup (Jaccard ~0.78 at 3-grams) that d3's
+    // inverted index finds, but 'zulu...' sorts away from 'alpha...' —
+    // the documented paradigm trade-off, not a bug
+    val snp = Dedup.sortedNeighborhoodPairs(snpDocs, "doc_id", "text",
+        snpKey, window = 1, shingleN = 3, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!snp.contains((1L, 9L)))
+    val full = Dedup.ngramJaccardPairs(snpDocs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(full.contains((1L, 9L)))
+  }
+
+  test("sorted-neighborhood candidate budget is exactly n·window") {
+    // window=2 over 5 docs: ranks 1..5 pair with up to 2 successors = 7
+    // candidate pairs (4th has 1, 5th has 0); verify can only shrink that
+    val got = Dedup.sortedNeighborhoodPairs(snpDocs, "doc_id", "text",
+        snpKey, window = 2, shingleN = 3, threshold = 0.0)
+      .count()
+    assert(got == 7, s"expected the full 7-candidate budget, got $got")
+  }
 }

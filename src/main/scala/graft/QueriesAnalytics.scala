@@ -1493,6 +1493,45 @@ private[graft] object QueriesAnalytics {
           round(unnest(qs), 4) AS q_est, round(unnest(qe), 4) AS q_exact
       FROM est CROSS JOIN ex ORDER BY p"""))
 
+  /** Grouped quantile estimates from per-group uniform samples: w10's
+    * md5-rank sampler takes 64 docs per language, grouped percentile over
+    * the sample sits beside the exact grouped quantiles (a18's device) —
+    * the per-group form of qs1's sketch economy: at scale the quantile
+    * battery runs over |groups|·64 rows, not the corpus. */
+  private[graft] val qGroupedQuantileSketch = Q("qs2_grouped_quantile_sketch",
+    (s, d) => {
+      val ps = Seq(0.25, 0.5, 0.75)
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val sample = Sampling.topKPerGroup(docs, "lang", "doc_id", 64,
+        seed = "qs2")
+      val est = sample.groupBy("lang")
+        .agg(percentile(col("n_chars"), typedlit(ps)).as("qs"))
+        .select(col("lang"), posexplode(col("qs")).as(Seq("i", "__q")))
+        .select(col("lang"),
+          element_at(typedlit(ps), col("i").cast("int") + 1).as("p"),
+          round(col("__q"), 4).as("q_est"))
+      val exact = Quantiles.groupedExact(docs, "lang", "n_chars", ps)
+        .select(col("lang"), col("p"), round(col("q"), 4).as("q_exact"))
+      est.join(exact, Seq("lang", "p")).orderBy("lang", "p")
+    },
+    Some("""WITH r AS (SELECT lang, n_chars, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(doc_id::VARCHAR || ':qs2'), doc_id) AS rn
+          FROM documents),
+        sk AS (SELECT lang, n_chars FROM r WHERE rn <= 64),
+        est AS (SELECT lang, quantile_cont(n_chars, [0.25,0.5,0.75]) AS qs
+          FROM sk GROUP BY lang),
+        el AS (SELECT lang, unnest([0.25,0.5,0.75])::DOUBLE AS p,
+            round(unnest(qs), 4) AS q_est FROM est),
+        ex AS (SELECT lang, unnest([0.25,0.5,0.75])::DOUBLE AS p,
+            round(unnest(quantile_cont(n_chars, [0.25,0.5,0.75])), 4)
+              AS q_exact
+          FROM documents GROUP BY lang)
+      SELECT el.lang, el.p, q_est, q_exact
+      FROM el JOIN ex ON el.lang = ex.lang AND el.p = ex.p
+      ORDER BY el.lang, el.p"""))
+
   /** Streaming distinct users per hour, the register way: the SAME
     * register build that lifts to Structured Streaming (one windowed max
     * aggregate — EventStreamSpec drives it as a watermarked stream) next
@@ -1691,6 +1730,7 @@ private[graft] object QueriesAnalytics {
     qKmvDistinct,
     qKmvJaccard,
     qQuantileSketch,
+    qGroupedQuantileSketch,
     qStreamDistinct,
     qAssocRules,
     qBfsLevels,

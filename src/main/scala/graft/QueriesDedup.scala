@@ -555,8 +555,73 @@ private[graft] object QueriesDedup {
       SELECT id1, id2, round(jac, 4) AS jaccard FROM j
       WHERE jac >= 0.5 ORDER BY id1, id2"""))
 
+  /** Blocking-strategy evaluation: d11's sorted-neighborhood pairs
+    * measured against d3's exhaustive inverted-index truth at the same
+    * τ — recall = how much the window missed, precision = 1 by
+    * construction (every blocked pair is verified at the same bar, so
+    * it IS a truth pair; the query exposes the invariant rather than
+    * assuming it). One full-outer join + one aggregate; the "is my
+    * cheap blocking good enough" audit run before switching paradigms
+    * at scale. */
+  private[graft] val qBlockingRecall = Q("dq7_blocking_recall",
+    (s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id1"), col("id2"), lit(1L).as("in_t"))
+      val blocked = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+          blockKey = substring(lower(trim(col("text"))), 1, 20),
+          window = 5, shingleN = 3, threshold = 0.5)
+        .select(col("id1"), col("id2"), lit(1L).as("in_b"))
+      truth.join(blocked, Seq("id1", "id2"), "full_outer")
+        .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("in_b"), lit(0L))).as("n_blocked"),
+          sum(coalesce(col("in_t"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+            .as("n_hit"))
+        .withColumn("recall", round(
+          col("n_hit").cast("double") / col("n_truth").cast("double"), 4))
+        .withColumn("precision", round(
+          col("n_hit").cast("double") / col("n_blocked").cast("double"), 4))
+    },
+    Some("""WITH t AS (SELECT doc_id, lower(trim(text)) AS lt,
+          string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT doc_id, substr(lt, 1, 20) AS bk,
+          list_distinct(CASE WHEN len(w) < 3
+            THEN [array_to_string(w, ' ')]
+            ELSE list_transform(range(1, len(w)-1),
+              i -> array_to_string(list_slice(w, i, i+2), ' ')) END) AS toks
+        FROM t),
+      sz AS (SELECT doc_id, len(toks)::INTEGER AS sz FROM s),
+      inv AS (SELECT doc_id, unnest(toks) AS sh FROM s),
+      tp AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT id1, id2 FROM tp
+        JOIN sz z1 ON id1 = z1.doc_id JOIN sz z2 ON id2 = z2.doc_id
+        WHERE inter::DOUBLE / (z1.sz + z2.sz - inter) >= 0.5),
+      r AS (SELECT doc_id, toks,
+          row_number() OVER (ORDER BY bk, doc_id) AS rn FROM s),
+      bc AS (SELECT least(a.doc_id, b.doc_id) AS id1,
+          greatest(a.doc_id, b.doc_id) AS id2, a.toks AS t1, b.toks AS t2
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5),
+      blocked AS (SELECT id1, id2 FROM bc
+        WHERE len(list_intersect(t1, t2))::DOUBLE /
+          (len(t1) + len(t2) - len(list_intersect(t1, t2)))::DOUBLE >= 0.5),
+      j AS (SELECT coalesce(tr.id1, bl.id1) AS id1,
+          CASE WHEN tr.id1 IS NULL THEN 0 ELSE 1 END AS in_t,
+          CASE WHEN bl.id1 IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM truth tr FULL OUTER JOIN blocked bl
+        ON tr.id1 = bl.id1 AND tr.id2 = bl.id2)
+      SELECT sum(in_t)::BIGINT AS n_truth, sum(in_b)::BIGINT AS n_blocked,
+        sum(in_t * in_b)::BIGINT AS n_hit,
+        round(sum(in_t * in_b)::DOUBLE / sum(in_t)::DOUBLE, 4) AS recall,
+        round(sum(in_t * in_b)::DOUBLE / sum(in_b)::DOUBLE, 4) AS precision
+      FROM j"""))
+
   private[graft] val all: Seq[Q] = Seq(
     qSortedNeighborhood,
+    qBlockingRecall,
     qExactDedup,
     qNgramJaccard,
     qDupClusters,

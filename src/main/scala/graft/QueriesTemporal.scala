@@ -1387,10 +1387,29 @@ private[graft] object QueriesTemporal {
            sqrt((n_pairs*syy - sy*sy)::DOUBLE)), 4) AS acf
       FROM g ORDER BY lag"""))
 
+  /** Day-of-week profile of the same daily series ts1 probes: the
+    * seasonal-mean table a pipeline inspects when ts1's lag-7 spike
+    * fires. Exact integer sums; dow 0=Sunday..6=Saturday on both
+    * engines. */
+  private[graft] val qSeasonalProfile = Q("ts2_weekday_profile",
+    (s, d) => {
+      val daily = t(s, d, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      TimeSeries.seasonalProfile(daily, "day", "qty").orderBy("dow")
+    },
+    Some("""WITH s AS (SELECT l_shipdate::DATE AS day,
+          sum(l_quantity::BIGINT) AS x FROM lineitem GROUP BY 1)
+      SELECT dayofweek(day) AS dow, count(*) AS n_days,
+        round(sum(x)::DOUBLE / count(*)::DOUBLE, 4) AS mean_v,
+        min(x) AS min_v, max(x) AS max_v
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
   // ====================================================================
 
   private[graft] val all: Seq[Q] = Seq(
     qAcf,
+    qSeasonalProfile,
     qAsof,
     qRangeJoin,
     qRolling,

@@ -28,6 +28,21 @@ object TimeSeries {
     * dates-bounded — i.e. tiny) series, one equi-join on the shifted
     * date, one groupBy(lag). The upstream daily aggregation is where the
     * data volume dies; everything here is O(days · maxLag). */
+  /** Day-of-week seasonal profile of a daily series: per weekday the day
+    * count, mean (exact integer sum / count, one rounded division), min,
+    * and max. `dow` is 0 = Sunday .. 6 = Saturday (Spark's `dayofweek`−1,
+    * which equals DuckDB's `dayofweek` — the alignment the oracle
+    * relies on). Same scale shape as [[acf]]: the data volume dies in the
+    * upstream daily aggregation, this is O(days). */
+  def seasonalProfile(series: DataFrame, dateCol: String,
+      valueCol: String): DataFrame =
+    series.select(col(dateCol).as("__d"), col(valueCol).cast("long").as("__x"))
+      .groupBy((dayofweek(col("__d")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("__x")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_v"),
+        min(col("__x")).as("min_v"), max(col("__x")).as("max_v"))
+
   def acf(series: DataFrame, dateCol: String, valueCol: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")

@@ -30,6 +30,16 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == (1L, 4L, want))
   }
 
+  test("seasonalProfile: dow 0 is Sunday and stats are exact") {
+    // 2024-01-07 is a Sunday; two Sundays (7, 14) and one Monday (8)
+    val s = Seq((Date.valueOf("2024-01-07"), 10L),
+      (Date.valueOf("2024-01-14"), 30L),
+      (Date.valueOf("2024-01-08"), 5L)).toDF("d", "x")
+    val got = TimeSeries.seasonalProfile(s, "d", "x")
+      .as[(Int, Long, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0, 2L, 20.0, 10L, 30L), (1, 1L, 5.0, 5L, 5L)))
+  }
+
   test("gap days drop their pairs instead of imputing") {
     // days 0,1,2,4 — lag 1 pairs: (0,1),(1,2) only; lag 2: (0,2),(2,4)
     val s = Seq(0, 1, 2, 4).map(i => (day(i), (i + 1).toLong)).toDF("d", "x")

@@ -1431,9 +1431,16 @@ private[graft] object QueriesAnalytics {
           .as("j_est"),
         round(col("inter_exact").cast("double") /
           col("union_exact").cast("double"), 4).as("j_exact"),
-        round(col("n_both").cast("double") / col("n_sketch").cast("double") *
-          (lit(255.0 * math.pow(2.0, 52)) /
-            conv(col("__hk"), 16, 10).cast("double")), 4).as("inter_est"),
+        // Saturation guard mirroring Sketches.kmvEstimate: an unsaturated
+        // sketch (fewer than k distinct terms survive) IS the exact term
+        // set, so the union estimate is n_sketch and the intersection
+        // estimate collapses to n_both — the k-th-hash formula would be
+        // wildly wrong there.
+        round(when(col("n_sketch") === 256,
+          col("n_both").cast("double") / col("n_sketch").cast("double") *
+            (lit(255.0 * math.pow(2.0, 52)) /
+              conv(col("__hk"), 16, 10).cast("double")))
+          .otherwise(col("n_both").cast("double")), 4).as("inter_est"),
         col("inter_exact"), col("union_exact"))
     },
     Some("""WITH tok AS (SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS term
@@ -1445,20 +1452,21 @@ private[graft] object QueriesAnalytics {
         hs AS (SELECT term, in_a, in_b,
             substr(md5('kmv:' || term), 1, 13) AS h FROM flags),
         sk AS (SELECT * FROM hs ORDER BY h LIMIT 256),
-        st AS (SELECT count(*) AS n_sketch, sum(in_a * in_b) AS n_both,
+        st AS (SELECT count(*) AS n_sketch, sum(in_a * in_b)::BIGINT AS n_both,
             max(h) AS hk FROM sk),
         iv AS (SELECT n_sketch, n_both,
             sum((strpos('0123456789abcdef', substr(hk, j.j, 1)) - 1)
                 * power(16, 13 - j.j)) AS v
           FROM st CROSS JOIN (SELECT unnest(generate_series(1, 13)) AS j) j
           GROUP BY n_sketch, n_both),
-        ex AS (SELECT sum(in_a * in_b) AS inter_exact,
+        ex AS (SELECT sum(in_a * in_b)::BIGINT AS inter_exact,
             count(*) AS union_exact FROM flags)
       SELECT n_sketch, n_both,
           round(n_both::DOUBLE / n_sketch::DOUBLE, 4) AS j_est,
           round(inter_exact::DOUBLE / union_exact::DOUBLE, 4) AS j_exact,
-          round(n_both::DOUBLE / n_sketch::DOUBLE
-            * (255 * power(2, 52) / v), 4) AS inter_est,
+          round(CASE WHEN n_sketch = 256 THEN n_both::DOUBLE / n_sketch::DOUBLE
+              * (255 * power(2, 52) / v) ELSE n_both::DOUBLE END, 4)
+            AS inter_est,
           inter_exact, union_exact
       FROM iv CROSS JOIN ex"""))
 

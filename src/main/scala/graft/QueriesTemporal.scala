@@ -1402,7 +1402,7 @@ private[graft] object QueriesTemporal {
           sum(l_quantity::BIGINT) AS x FROM lineitem GROUP BY 1)
       SELECT dayofweek(day) AS dow, count(*) AS n_days,
         round(sum(x)::DOUBLE / count(*)::DOUBLE, 4) AS mean_v,
-        min(x) AS min_v, max(x) AS max_v
+        min(x)::BIGINT AS min_v, max(x)::BIGINT AS max_v
       FROM s GROUP BY 1 ORDER BY 1"""))
 
   // ====================================================================

@@ -60,7 +60,10 @@ object Associations {
       .withColumn("conf_ba",
         round(col("pair_n").cast("double") / col("n_b").cast("double"), 4))
       .withColumn("lift",
-        round((col("pair_n") * col("n_baskets")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 4))
+        // cast each factor BEFORE multiplying: pair_n * n_baskets as longs
+        // overflows Int64 once n_baskets reaches ~1e10 (the 100 TB regime),
+        // while double products lose only ulps
+        round(col("pair_n").cast("double") * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 4))
   }
 }

@@ -1252,9 +1252,36 @@ private[graft] object QueriesAnalytics {
       FROM c LEFT JOIN o ON c.pseudonym = o.p2
       GROUP BY 1 ORDER BY pseudonym"""))
 
+  /** kc1's oracle: the peel unrolled to `rounds` single-pass rounds
+    * (exactly [[graft.graph.KCore.vertices]] with innerPeels=1 — drop
+    * vertices of degree < k, repeat). Rounds past the fixpoint are
+    * no-ops (the weak set is empty), so any `rounds` ≥ the actual peel
+    * depth restates the fixpoint exactly; sf0.01 converges in 3 rounds
+    * (sf0.001 empties in 2), 8 leaves headroom. Pure integer degree
+    * counts — no rounding device needed. */
+  private[graft] def kCoreOracle(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: without it DuckDB inlines each CTE at every use
+    // site — e_{i-1} appears 3× per round, so the plan blows up 3^rounds
+    // ("Too many open files" on the lineitem scan before it even runs)
+    val peels = (1 to rounds).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) < $k),
+      e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+        WHERE e.a NOT IN (SELECT a FROM w$i)
+          AND e.b NOT IN (SELECT a FROM w$i))"""
+    }.mkString(",\n      ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      de AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey),
+      e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM de UNION ALL SELECT v, u FROM de),
+      $peels
+      SELECT a AS id, count(*)::BIGINT AS degree
+      FROM e$rounds GROUP BY 1 ORDER BY 1"""
+  }
+
   /** k-core of the part co-purchase graph — iterative peel to the unique
-    * fixpoint (rows-only: no SQL restatement exists for an
-    * iterate-to-fixpoint; determinism is pinned by KCoreSpec instead).
+    * fixpoint, fully oracle-checked since round 13 (the peel unrolls into
+    * CTEs exactly like pr1's power iteration; see [[kCoreOracle]]).
     * k=70 sits just below this uniform graph's sharp degeneracy
     * transition at sf0.01 (degrees 42-206, median 115; k=70 peels 29
     * vertices, k=90 cascades to empty) so the query exercises a real
@@ -1270,7 +1297,7 @@ private[graft] object QueriesAnalytics {
       graft.graph.KCore.vertices(e, "u", "v", k = 70)
         .orderBy("id")
     },
-    None)
+    Some(kCoreOracle(70, 8)))
 
   // Portable mergeable sketches (round 12) — incremental distinct stats:
   // build tiny register/bottom-k sketches once per shard, merge later

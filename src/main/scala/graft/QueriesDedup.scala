@@ -564,25 +564,11 @@ private[graft] object QueriesDedup {
     * cheap blocking good enough" audit run before switching paradigms
     * at scale. */
   private[graft] val qBlockingRecall = Q("dq7_blocking_recall",
-    (s, d) => {
-      val docs = t(s, d, "documents").filter(col("text").isNotNull)
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.5)
-        .select(col("id1"), col("id2"), lit(1L).as("in_t"))
-      val blocked = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
-          blockKey = substring(lower(trim(col("text"))), 1, 20),
-          window = 5, shingleN = 3, threshold = 0.5)
-        .select(col("id1"), col("id2"), lit(1L).as("in_b"))
-      truth.join(blocked, Seq("id1", "id2"), "full_outer")
-        .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
-          sum(coalesce(col("in_b"), lit(0L))).as("n_blocked"),
-          sum(coalesce(col("in_t"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
-            .as("n_hit"))
-        .withColumn("recall", round(
-          col("n_hit").cast("double") / col("n_truth").cast("double"), 4))
-        .withColumn("precision", round(
-          col("n_hit").cast("double") / col("n_blocked").cast("double"), 4))
-    },
+    (s, d) => Dedup.blockingRecallAudit(
+      t(s, d, "documents").filter(col("text").isNotNull),
+      "doc_id", "text",
+      blockKey = substring(lower(trim(col("text"))), 1, 20),
+      window = 5, shingleN = 3, threshold = 0.5),
     Some("""WITH t AS (SELECT doc_id, lower(trim(text)) AS lt,
           string_split(lower(trim(text)), ' ') AS w
         FROM documents WHERE text IS NOT NULL),

@@ -68,13 +68,15 @@ class EntrySmokeSpec extends SparkSpec {
     * and the banded pipelines restate at their REAL parameters;
     * sem1 likewise: at iters=1 the deterministic-init Lloyd loop
     * unrolls into SQL with zero embedded constants; sim6's fixed-m
-    * greedy MMR unrolls into per-pick argmax CTEs — mmrOracle.) */
+    * greedy MMR unrolls into per-pick argmax CTEs — mmrOracle;
+    * kc1_kcore left in round 13: the peel unrolls into materialized
+    * CTE rounds — kCoreOracle — idempotent past the fixpoint, so a
+    * fixed unroll depth restates the iterate-to-fixpoint exactly.) */
   private val anchorOf: Map[String, String] = Map(
     "d2_minhash_neardups" -> "d2c_minhash_portable", // full pipeline incl. banding
     "d4_simhash_neardups" -> "d4c_simhash_portable",
     "d4b_simhash128_neardups" -> "d4d_simhash_portable_pairs",
     "t4_text_embed_stub" -> "t4b_text_embed_table",
-    "kc1_kcore" -> "kc1b_kcore_anchor", // iterate-to-fixpoint peel: no SQL
     // BPE's merge-round loop (argmax + fold per round) has no SQL
     // restatement; the classic-corpus closed form is pinned in ChunkerSpec
     "bpe1_bpe_merges" -> "bpe1b_bpe_first_merge",

@@ -18,10 +18,9 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 # Rows-only queries whose EMPTY output is CORRECT at tiny scale factors —
 # the bare emptiness heuristic below cannot tell correct-empty from
-# broken-empty, so these are declared. kc1's k=70 core provably peels to
-# nothing at sf0.001 (verified by an independent Python re-peel, round 9);
-# the kc1b literal-graph anchor pins the operator SF-independently.
-EXPECTED_EMPTY_OK = {"kc1_kcore"}
+# broken-empty, so these are declared. (kc1 lived here rounds 9-12; its
+# peel is fully oracle-checked since round 13.)
+EXPECTED_EMPTY_OK = set()
 results = {}
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)

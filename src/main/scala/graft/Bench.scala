@@ -240,6 +240,13 @@ object Bench {
       // inflating 10x+ under block pressure a fresh JVM didn't reproduce.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // TWO passes: the first collection only ENQUEUES the Cleaner refs of
+      // Spark's off-heap shuffle/Netty direct buffers; the second actually
+      // releases them. One pass left the next heavy query starting against
+      // a heap floor inherited from its predecessors (r12 kc1: 12.1 s
+      // official vs 9.0-9.3 s fresh-JVM controlled pair, 1.2 s of
+      // in-query GC that the pair does not show).
+      System.gc()
       System.gc()
     }
 

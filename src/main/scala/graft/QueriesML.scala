@@ -953,6 +953,116 @@ private[graft] object QueriesML {
     },
     Some(sampledTrainOracle(steps = 2, lr = 0.05, budget = 1000)))
 
+  /** bp12's oracle: the embedding-GD recurrence unrolled per step — a
+    * forward CTE (broadcast lookup restated as a join against the
+    * deterministic-init VALUES table), the single per-code gradient CTE
+    * ([[graft.pipeline.Blueprint.fitEmbeddingGD]]'s one groupBy(code)
+    * pass), a readout-fold CTE (`gw_i = Σ_c s_c·e_i`, the driver fold
+    * restated as the card-row join-aggregate it is), then the scatter
+    * update of the table and the readout update, all from the step's
+    * INCOMING parameters. Init rows interpolate from the same
+    * [[graft.pipeline.Blueprint.embInit]] the Spark side uses —
+    * doubles round-trip exactly through their decimal literals. */
+  private[graft] def fitEmbeddingOracle(card: Int, steps: Int,
+      lr: Double): String = {
+    val init = graft.pipeline.Blueprint.embInit(card, dim = 2, nFeat = 1)
+    val eVals = (0 until card)
+      .map(c => s"($c, ${init.e(c)(0)}::DOUBLE, ${init.e(c)(1)}::DOUBLE)")
+      .mkString(", ")
+    val chain = (1 to steps).map { k =>
+      s"""p$k AS (SELECT d.c, d.x1, d.y, e.e1, e.e2,
+          1.0/(1.0+exp(-(e.e1*w.w1 + e.e2*w.w2 + d.x1*w.u1 + w.b))) AS p
+        FROM d JOIN e${k - 1} e ON d.c = e.c, w${k - 1} w),
+      g$k AS (SELECT c, sum(p - y) AS s, sum((p - y)*x1) AS t1
+        FROM p$k GROUP BY c),
+      r$k AS (SELECT sum(g.s*e.e1) AS gw1, sum(g.s*e.e2) AS gw2,
+          sum(g.t1) AS gu1, sum(g.s) AS gb
+        FROM g$k g JOIN e${k - 1} e ON g.c = e.c),
+      e$k AS (SELECT e.c, e.e1 - $lr*(coalesce(g.s, 0.0)*w.w1/n.n) AS e1,
+          e.e2 - $lr*(coalesce(g.s, 0.0)*w.w2/n.n) AS e2
+        FROM e${k - 1} e LEFT JOIN g$k g ON e.c = g.c, w${k - 1} w, n),
+      w$k AS (SELECT w.w1 - $lr*(r.gw1/n.n) AS w1, w.w2 - $lr*(r.gw2/n.n) AS w2,
+          w.u1 - $lr*(r.gu1/n.n) AS u1, w.b - $lr*(r.gb/n.n) AS b
+        FROM w${k - 1} w, r$k r, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'A' THEN 0
+          WHEN l_returnflag = 'N' THEN 1 ELSE 2 END AS c,
+        l_quantity::DOUBLE AS x1,
+        CASE WHEN l_linestatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      e0 AS (SELECT * FROM (VALUES $eVals) AS t(c, e1, e2)),
+      w0 AS (SELECT ${init.w(0)}::DOUBLE AS w1, ${init.w(1)}::DOUBLE AS w2,
+        ${init.u(0)}::DOUBLE AS u1, ${init.b}::DOUBLE AS b),
+      $chain
+      SELECT c AS code, round(e1, 6) AS e1, round(e2, 6) AS e2
+      FROM e$steps ORDER BY c"""
+  }
+
+  /** Trainable per-category embedding table (the reference's CatEmbedder,
+    * created per categorical column and trained end-to-end): 2 GD steps
+    * over the 3-code return-flag column with l_quantity as a co-trained
+    * numeric feature. Each step is ONE broadcast lookup join + ONE
+    * groupBy(code) aggregate of card rows — the scatter-add adjoint of
+    * the embedding lookup. The trained table rows are the output; they
+    * pin the readout transitively (step 2's per-code residuals flow
+    * through step 1's updated w/u/b). */
+  private[graft] val qFitEmbedding = Q("bp12_fit_embedding",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 1).otherwise(2).as("code"),
+        array(col("l_quantity")).as("feat"),
+        when(col("l_linestatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitEmbeddingGD(li, "code", "feat", "y",
+        card = 3, dim = 2, nFeat = 1, steps = 2, lr = 0.1)
+      import s.implicits._
+      (0 until 3).map(c => (c, p.e(c)(0), p.e(c)(1)))
+        .toDF("code", "__e1", "__e2")
+        .select(col("code"), round(col("__e1"), 6).as("e1"),
+          round(col("__e2"), 6).as("e2"))
+        .orderBy("code")
+    },
+    Some(fitEmbeddingOracle(card = 3, steps = 2, lr = 0.1)))
+
+  /** Column-token transformer forward (the reference's per-row
+    * MultiheadAttention over column embeddings, token 0 = the readout
+    * token): each lineitem row carries three 2-dim tokens — a constant
+    * CLS token and two feature tokens built from normalized columns —
+    * and the attended CLS vector is emitted per row. Row-local k×k
+    * softmax, pure codegen expressions — the compute is ONE ProjectExec
+    * inside whole-stage codegen at scan speed (the plan's only exchange
+    * is the house output-order sort, presentation not compute). The
+    * oracle restates the arithmetic term for term; round-6 absorbs exp
+    * ulps. */
+  private[graft] val qColumnAttention = Q("tf1_column_attention",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem")
+      val tokens = Seq(
+        array(lit(0.5), lit(-0.5)),
+        array(col("l_quantity") / 50, col("l_linenumber").cast("double") / 7),
+        array(col("l_discount"), col("l_tax")))
+      val out = Blueprint.columnSelfAttention(tokens, dim = 2)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        round(out(0)(0), 6).as("cls1"), round(out(0)(1), 6).as("cls2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH d AS (SELECT l_orderkey, l_linenumber,
+        0.5 AS x00, -0.5 AS x01,
+        l_quantity::DOUBLE/50 AS x10, l_linenumber::DOUBLE/7 AS x11,
+        l_discount::DOUBLE AS x20, l_tax::DOUBLE AS x21,
+        1/sqrt(2.0) AS sc FROM lineitem),
+      e AS (SELECT *, exp((x00*x00 + x01*x01)*sc) AS e0,
+          exp((x00*x10 + x01*x11)*sc) AS e1,
+          exp((x00*x20 + x01*x21)*sc) AS e2 FROM d),
+      z AS (SELECT *, e0 + e1 + e2 AS z0 FROM e)
+      SELECT l_orderkey, l_linenumber,
+        round(e0/z0*x00 + e1/z0*x10 + e2/z0*x20, 6) AS cls1,
+        round(e0/z0*x01 + e1/z0*x11 + e2/z0*x21, 6) AS cls2
+      FROM z ORDER BY l_orderkey, l_linenumber"""))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private[graft] val qEmbedStub = Q("t4_text_embed_stub",
@@ -1112,6 +1222,8 @@ private[graft] object QueriesML {
     qFitGnn2,
     qFitHeteroAttnGnn,
     qSampledTrainStep,
+    qFitEmbedding,
+    qColumnAttention,
     qEmbedStub,
     qEmbedTable,
     qDuration,

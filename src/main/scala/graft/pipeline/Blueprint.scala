@@ -1136,6 +1136,164 @@ object Blueprint {
       .collect()(0).getDouble(0)
   }
 
+  /** Parameters of the trainable embedding model: `e` = the card×dim
+    * embedding table, `w` = readout over the embedding, `u` = readout
+    * over the numeric features (may be empty), `b` = bias. */
+  final case class EmbParams(e: Array[Array[Double]], w: Array[Double],
+      u: Array[Double], b: Double)
+
+  /** Deterministic default [[EmbParams]] init (nonzero so neither the
+    * table nor the readout is gradient-dead at step 0; shared by the
+    * bp12 oracle generator, which embeds the same rows as VALUES). */
+  def embInit(card: Int, dim: Int, nFeat: Int): EmbParams = EmbParams(
+    Array.tabulate(card, dim)((c, i) =>
+      0.05 * (c + 1) * (if (i % 2 == 0) 1 else -1)),
+    Array.tabulate(dim)(i => 0.1 * (i + 1)),
+    Array.fill(nFeat)(0.0), 0.0)
+
+  /** Gradient-trained per-category EMBEDDING TABLE — the reference's
+    * `CatEmbedder` (`nn/embedder/columns/cat_embedder.py:14-24`:
+    * `nn.Embedding(card, dim)` looked up per row), created per
+    * categorical column by the table embedder (`nn/embedder/
+    * db_embedder.py:81-125`) and trained end-to-end with everything
+    * downstream. Model: logistic readout over the looked-up embedding
+    * concatenated with `nFeat` numeric features,
+    * `p = σ(Σ_i E[c][i]·w_i + Σ_j x_j·u_j + b)`, mean logistic loss.
+    *
+    * Forward: the F20 broadcast-join device — the card×dim table ships
+    * as a broadcast frame keyed by code, so the lookup is a
+    * broadcast-hash join, never a shuffle. Backward: the lookup's
+    * adjoint is a SCATTER-ADD per code (`∂L/∂E[c] = Σ_{rows: code=c}
+    * dm·w`), and because the model is linear in the looked-up vector,
+    * EVERY gradient in the model is a fold of per-code residual sums:
+    *   s_c = Σ_{code=c} dm,  t_{c,j} = Σ_{code=c} dm·x_j
+    *   ∂E[c][i] = s_c·w_i    ∂w_i = Σ_c s_c·E[c][i]
+    *   ∂u_j = Σ_c t_{c,j}    ∂b = Σ_c s_c
+    * so ONE groupBy(code) aggregate (card rows after map-side partial
+    * agg) per step carries the entire backward pass; the folds run on
+    * the driver over the card-row result. Updated parameters re-enter
+    * the next step as a fresh broadcast literal frame — no executor
+    * state, 1000-executor-safe at any corpus size (card bounds the
+    * driver work, not the data).
+    *
+    * Codes outside [0, card) drop out of the inner lookup join and
+    * contribute nothing — the dangling-FK convention of the J-ops.
+    * Op order pinned (gradients all computed from the step's incoming
+    * parameters, then `θ − lr·(g/n)` applied) for the SQL restatement;
+    * drift is summation-order and exp ulps, below a round-6 contract. */
+  def fitEmbeddingGD(df: DataFrame, codeCol: String, featCol: String,
+      yCol: String, card: Int, dim: Int, nFeat: Int, steps: Int, lr: Double,
+      init: EmbParams = null): EmbParams = {
+    require(card >= 1 && dim >= 1, "need at least one code and one dimension")
+    require(nFeat >= 0 && (nFeat == 0 || featCol != null),
+      "nFeat > 0 requires a feature column")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    val p0 = if (init != null) init else embInit(card, dim, nFeat)
+    require(p0.e.length == card && p0.e.forall(_.length == dim) &&
+      p0.w.length == dim && p0.u.length == nFeat, "init shape mismatch")
+    val e = p0.e.map(_.clone()); val w = p0.w.clone()
+    val u = p0.u.clone(); var b = p0.b
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = (j: Int) => element_at(col(featCol), j + 1).cast("double")
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    (1 to steps).foreach { _ =>
+      val embDf = e.zipWithIndex.map { case (row, c) => (c, row) }.toSeq
+        .toDF("__code", "__emb")
+      val joined = df.join(broadcast(embDf),
+        col(codeCol).cast("int") === col("__code"))
+      val ei = (i: Int) => element_at(col("__emb"), i + 1)
+      val margin = (0 until dim).map(i => ei(i) * lit(w(i))) ++
+        (0 until nFeat).map(j => x(j) * lit(u(j))) reduceOption (_ + _)
+      val dm = sig(margin.getOrElse(lit(0.0)) + lit(b)) - y
+      val sums = Seq(sum(dm).as("__s"), count(lit(1)).cast("double").as("__n")) ++
+        (0 until nFeat).map(j => sum(dm * x(j)).as(s"__t$j"))
+      val rows = joined.groupBy(col("__code")).agg(sums.head, sums.tail: _*)
+        .collect()
+      val s = Array.fill(card)(0.0); val t = Array.fill(nFeat)(0.0)
+      var n = 0.0
+      rows.foreach { r =>
+        val c = r.getInt(r.fieldIndex("__code"))
+        s(c) = r.getDouble(r.fieldIndex("__s"))
+        n += r.getDouble(r.fieldIndex("__n"))
+        (0 until nFeat).foreach(j => t(j) += r.getDouble(r.fieldIndex(s"__t$j")))
+      }
+      require(n > 0, "no row carries a code inside [0, card)")
+      // fold the readout gradients from the per-code sums (old table),
+      // THEN update everything from the step's incoming parameters
+      val gw = Array.tabulate(dim)(i => (0 until card).map(c => s(c) * e(c)(i)).sum)
+      val gb = s.sum
+      for (c <- 0 until card; i <- 0 until dim)
+        e(c)(i) = e(c)(i) - lr * (s(c) * w(i) / n)
+      (0 until dim).foreach(i => w(i) = w(i) - lr * (gw(i) / n))
+      (0 until nFeat).foreach(j => u(j) = u(j) - lr * (t(j) / n))
+      b = b - lr * (gb / n)
+    }
+    EmbParams(e, w, u, b)
+  }
+
+  /** Mean logistic loss of [[fitEmbeddingGD]]'s model — one broadcast
+    * lookup join + one aggregate; the finite-difference anchor proving
+    * the analytic gradient really flows through the table lookup. */
+  def embeddingLogLoss(df: DataFrame, codeCol: String, featCol: String,
+      yCol: String, p: EmbParams): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = p.w.length; val nFeat = p.u.length
+    val embDf = p.e.zipWithIndex.map { case (row, c) => (c, row) }.toSeq
+      .toDF("__code", "__emb")
+    val x = (j: Int) => element_at(col(featCol), j + 1).cast("double")
+    val y = col(yCol).cast("double")
+    val ei = (i: Int) => element_at(col("__emb"), i + 1)
+    val margin = ((0 until dim).map(i => ei(i) * lit(p.w(i))) ++
+      (0 until nFeat).map(j => x(j) * lit(p.u(j)))).reduce(_ + _) + lit(p.b)
+    val pr = lit(1.0) / (lit(1.0) + exp(-margin))
+    df.join(broadcast(embDf), col(codeCol).cast("int") === col("__code"))
+      .agg(avg(-(y * log(pr) + (lit(1.0) - y) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
+  }
+
+  /** Single-head column-token self-attention FORWARD — the reference's
+    * per-row transformer over column embeddings
+    * (`nn/models/transformer.py:8-39`: `MultiheadAttention` applied to
+    * `x: [batch, num_cols, dim]`, i.e. each row's tokens are its k
+    * column embeddings; the readout then takes token 0,
+    * `transformer.py:106-110`). Scaled dot-product attention with
+    * Q=K=V=X (the reference constructs the module with its projections,
+    * then trains them — this is the forward at the identity point):
+    *
+    *   s_ab = (Σ_i x_a[i]·x_b[i]) / √dim
+    *   A_ab = exp(s_ab) / Σ_b exp(s_ab)
+    *   out_a[i] = Σ_b A_ab · x_b[i]
+    *
+    * Everything is row-local k×k arithmetic — pure codegen column
+    * expressions, NO shuffle, no UDF: at 100 TB this runs as a straight
+    * projection inside whole-stage codegen at scan speed. Plain softmax
+    * (no max-subtraction) so the SQL restatement is term-for-term
+    * identical; callers keep token dot products bounded (normalized
+    * features) exactly as a trained model would.
+    *
+    * @param tokens the k column embeddings, each an array column of
+    *               length `dim`
+    * @return the k attended vectors, each as `dim` scalar expressions
+    *         (out(a)(i) = component i of attended token a) */
+  def columnSelfAttention(tokens: Seq[Column], dim: Int): Seq[Seq[Column]] = {
+    require(tokens.nonEmpty && dim >= 1, "need at least one token and one dim")
+    val k = tokens.length
+    val x = (a: Int, i: Int) => element_at(tokens(a), i + 1).cast("double")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val ex = Array.tabulate(k, k)((a, b) =>
+      exp((0 until dim).map(i => x(a, i) * x(b, i)).reduce(_ + _) * lit(scale)))
+    val z = (0 until k).map(a => (0 until k).map(b => ex(a)(b)).reduce(_ + _))
+    (0 until k).map { a =>
+      (0 until dim).map { i =>
+        (0 until k).map(b => ex(a)(b) / z(a) * x(b, i)).reduce(_ + _)
+      }.toSeq
+    }.toSeq
+  }
+
   /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:
     * one ridge regression per class against its 0/1 indicator (a standard
     * ridge classifier — argmax of the per-class scores predicts). All

@@ -569,6 +569,86 @@ class BlueprintSpec extends SparkSpec {
       "fitGnn2GD must release every per-step checkpoint")
   }
 
+  test("fitEmbeddingGD: gradient flows through the table lookup; loss falls") {
+    // codes 0-2 trainable; code 7 is outside card=3 and must be inert
+    // (dropped by the lookup join, the dangling-FK convention)
+    val data = Seq((0, Array(1.0), 0.0), (0, Array(2.0), 1.0),
+      (1, Array(0.5), 1.0), (1, Array(1.5), 1.0),
+      (2, Array(3.0), 0.0), (2, Array(0.0), 0.0), (7, Array(9.0), 1.0))
+    val df = data.toDF("code", "feat", "y")
+    val init = Blueprint.embInit(card = 3, dim = 2, nFeat = 1)
+    def deepCopy(p: Blueprint.EmbParams) = Blueprint.EmbParams(
+      p.e.map(_.clone()), p.w.clone(), p.u.clone(), p.b)
+    // one GD step with tiny lr recovers the gradient: g = (init - stepped)/lr
+    val lr = 1e-3
+    val stepped = Blueprint.fitEmbeddingGD(df, "code", "feat", "y",
+      card = 3, dim = 2, nFeat = 1, steps = 1, lr = lr, init = deepCopy(init))
+    val gradE10 = (init.e(1)(0) - stepped.e(1)(0)) / lr
+    val gradW1 = (init.w(1) - stepped.w(1)) / lr
+    val gradU0 = (init.u(0) - stepped.u(0)) / lr
+    val gradB = (init.b - stepped.b) / lr
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.EmbParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.embeddingLogLoss(df, "code", "feat", "y", p)
+    }
+    val fdE10 = (lossWith(_.e(1)(0) += eps) - lossWith(_.e(1)(0) -= eps)) / (2 * eps)
+    val fdW1 = (lossWith(_.w(1) += eps) - lossWith(_.w(1) -= eps)) / (2 * eps)
+    val fdU0 = (lossWith(_.u(0) += eps) - lossWith(_.u(0) -= eps)) / (2 * eps)
+    def lossAt(p: Blueprint.EmbParams) =
+      Blueprint.embeddingLogLoss(df, "code", "feat", "y", p)
+    val fdB = (lossAt(deepCopy(init).copy(b = init.b + eps)) -
+      lossAt(deepCopy(init).copy(b = init.b - eps))) / (2 * eps)
+    assert(math.abs(gradE10 - fdE10) < 1e-4, s"E[1][0] grad $gradE10 vs fd $fdE10")
+    assert(math.abs(gradW1 - fdW1) < 1e-4, s"w grad $gradW1 vs fd $fdW1")
+    assert(math.abs(gradU0 - fdU0) < 1e-4, s"u grad $gradU0 vs fd $fdU0")
+    assert(math.abs(gradB - fdB) < 1e-4, s"b grad $gradB vs fd $fdB")
+    // training lowers the loss vs the initial parameters
+    val trained = Blueprint.fitEmbeddingGD(df, "code", "feat", "y",
+      card = 3, dim = 2, nFeat = 1, steps = 50, lr = 0.5, init = deepCopy(init))
+    assert(Blueprint.embeddingLogLoss(df, "code", "feat", "y", trained) <
+      Blueprint.embeddingLogLoss(df, "code", "feat", "y", init))
+    // pure CatEmbedder path (nFeat = 0, no feature column) also descends
+    val pure = Blueprint.fitEmbeddingGD(df, "code", null, "y",
+      card = 3, dim = 2, nFeat = 0, steps = 20, lr = 0.5)
+    assert(Blueprint.embeddingLogLoss(df, "code", null, "y", pure) <
+      Blueprint.embeddingLogLoss(df, "code", null, "y",
+        Blueprint.embInit(3, 2, 0)))
+    // shape validation fails fast
+    intercept[IllegalArgumentException] {
+      Blueprint.fitEmbeddingGD(df, "code", "feat", "y", card = 3, dim = 3,
+        nFeat = 1, steps = 1, lr = 0.1, init = init)
+    }
+  }
+
+  test("columnSelfAttention: matches the hand-computed k×k softmax row") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0)))
+      .toDF("t0", "t1", "t2")
+    val out = Blueprint.columnSelfAttention(
+      Seq(col("t0"), col("t1"), col("t2")), dim = 2)
+    val row = df.select(out.flatten.zipWithIndex.map {
+      case (c, ix) => c.as(s"o$ix")
+    }: _*).collect()(0)
+    // the same arithmetic computed by hand (plain softmax, scale 1/√2)
+    val x = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 1.0))
+    val sc = 1.0 / math.sqrt(2.0)
+    def att(a: Int, i: Int): Double = {
+      val e = (0 until 3).map(b =>
+        math.exp((0 until 2).map(j => x(a)(j) * x(b)(j)).sum * sc))
+      (0 until 3).map(b => e(b) / e.sum * x(b)(i)).sum
+    }
+    for (a <- 0 until 3; i <- 0 until 2)
+      assert(math.abs(row.getDouble(a * 2 + i) - att(a, i)) < 1e-12,
+        s"token $a component $i")
+    // attention weights sum to 1, so each attended vector is a convex
+    // combination of the tokens: components stay inside [0, 1] here
+    (0 until 6).foreach(ix => assert(row.getDouble(ix) >= 0.0 &&
+      row.getDouble(ix) <= 1.0))
+    intercept[IllegalArgumentException] {
+      Blueprint.columnSelfAttention(Seq.empty, dim = 2)
+    }
+  }
+
   test("metrics: accuracy and regression suite") {
     val df = Seq((1, 1, 2.0, 2.5), (0, 1, 4.0, 3.5), (1, 1, 6.0, 6.0))
       .toDF("pred", "y", "yhat", "ytrue")

@@ -1063,6 +1063,142 @@ private[graft] object QueriesML {
         round(e0/z0*x01 + e1/z0*x11 + e2/z0*x21, 6) AS cls2
       FROM z ORDER BY l_orderkey, l_linenumber"""))
 
+  /** bp13's oracle: the cross-attention GD recurrence unrolled per step —
+    * forward CTEs (scores, softmax, attended vector, residual), the
+    * row-local softmax-Jacobian CTEs (`g_b`, `Σ α·g`, `ds_b`), ONE sum
+    * CTE (exactly [[graft.pipeline.Blueprint.fitCrossAttnGD]]'s single
+    * aggregate pass), then the update CTE. dim=2, k=2 hard-coded like
+    * [[fitMlpOracle]]; init interpolates from the shared crossAttnInit. */
+  private[graft] def fitCrossAttnOracle(steps: Int, lr: Double): String = {
+    val init = graft.pipeline.Blueprint.crossAttnInit(2)
+    val chain = (1 to steps).map { k =>
+      s"""p$k AS (SELECT d.*, w.*,
+          exp((x10*w.q1 + x11*w.q2)*sc) AS e1,
+          exp((x20*w.q1 + x21*w.q2)*sc) AS e2
+        FROM d, w${k - 1} w),
+      a$k AS (SELECT *, e1 + e2 AS z FROM p$k),
+      f$k AS (SELECT *, e1/z*x10 + e2/z*x20 AS a1,
+          e1/z*x11 + e2/z*x21 AS a2 FROM a$k),
+      r$k AS (SELECT *,
+          1.0/(1.0+exp(-(a1*w1 + a2*w2 + b))) - y AS dm FROM f$k),
+      g$k AS (SELECT *, dm*(w1*x10 + w2*x11) AS g1,
+          dm*(w1*x20 + w2*x21) AS g2 FROM r$k),
+      h$k AS (SELECT *, e1/z*g1 + e2/z*g2 AS sg FROM g$k),
+      s$k AS (SELECT
+          sum((e1/z*(g1 - sg)*x10 + e2/z*(g2 - sg)*x20)*sc) AS gq1,
+          sum((e1/z*(g1 - sg)*x11 + e2/z*(g2 - sg)*x21)*sc) AS gq2,
+          sum(dm*a1) AS gw1, sum(dm*a2) AS gw2, sum(dm) AS gb FROM h$k),
+      w$k AS (SELECT w.q1 - $lr*(s.gq1/n.n) AS q1,
+          w.q2 - $lr*(s.gq2/n.n) AS q2,
+          w.w1 - $lr*(s.gw1/n.n) AS w1, w.w2 - $lr*(s.gw2/n.n) AS w2,
+          w.b - $lr*(s.gb/n.n) AS b
+        FROM w${k - 1} w, s$k s, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT
+        l_quantity::DOUBLE/50 AS x10, l_linenumber::DOUBLE/7 AS x11,
+        l_discount::DOUBLE AS x20, l_tax::DOUBLE AS x21,
+        CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        1/sqrt(2.0) AS sc FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      w0 AS (SELECT ${init.q(0)}::DOUBLE AS q1, ${init.q(1)}::DOUBLE AS q2,
+        ${init.w(0)}::DOUBLE AS w1, ${init.w(1)}::DOUBLE AS w2,
+        ${init.b}::DOUBLE AS b),
+      $chain
+      SELECT round(q1, 6) AS q1, round(q2, 6) AS q2,
+        round(w1, 6) AS w_a1, round(w2, 6) AS w_a2, round(b, 6) AS bias
+      FROM w$steps"""
+  }
+
+  /** Trainable attention readout (the reference's transformer readout
+    * trained end-to-end): a learned query vector attends over each row's
+    * two feature tokens, logistic readout on the attended vector, 2 GD
+    * steps. Every gradient — including the one through the softmax
+    * Jacobian — is a per-row codegen expression, so each step is ONE
+    * distributed aggregate pass: no join, no scatter, the cheapest
+    * trainable operator in the library. */
+  private[graft] val qFitCrossAttn = Q("bp13_fit_cross_attn",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity") / 50, col("l_linenumber").cast("double") / 7)
+          .as("t1"),
+        array(col("l_discount"), col("l_tax")).as("t2"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitCrossAttnGD(li, Seq("t1", "t2"), "y", dim = 2,
+        steps = 2, lr = 0.1)
+      import s.implicits._
+      Seq((p.q(0), p.q(1), p.w(0), p.w(1), p.b))
+        .toDF("__q1", "__q2", "__w1", "__w2", "__b")
+        .select(round(col("__q1"), 6).as("q1"), round(col("__q2"), 6).as("q2"),
+          round(col("__w1"), 6).as("w_a1"), round(col("__w2"), 6).as("w_a2"),
+          round(col("__b"), 6).as("bias"))
+    },
+    Some(fitCrossAttnOracle(steps = 2, lr = 0.1)))
+
+  /** The reference's DBTransformer FORWARD end-to-end as one dataflow
+    * (`nn/models/transformer.py:96-110`: embed each column to a token →
+    * self-attention over the row's tokens → take token 0 → `out_lin` →
+    * class softmax), at deterministic "trained" weights so the whole
+    * model restates in SQL. Per lineitem row: the CatEmbedder token
+    * (bp12's lookup-join device over the 3-code return flag at the
+    * shared embInit table), two NumEmbedder tokens (`num_embedder.py:
+    * 10-33`: Linear(1, dim) per numeric column), [[graft.pipeline
+    * .Blueprint.columnSelfAttention]] over the 3 tokens, the attended
+    * CLS through a 2-class linear head + softmax. ONE broadcast join +
+    * ONE codegen projection — the model forward runs at scan speed at
+    * any corpus size. */
+  private[graft] val qTransformerForward = Q("dbt1_transformer_forward",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val E = Blueprint.embInit(card = 3, dim = 2, nFeat = 0).e
+      import s.implicits._
+      val embDf = (0 until 3).map(c => (c, E(c)(0), E(c)(1)))
+        .toDF("__code", "__e1", "__e2")
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 1).otherwise(2).as("__code"),
+        (col("l_quantity") / 50).as("__x1"), col("l_discount").as("__x2"))
+      val joined = li.join(broadcast(embDf), "__code")
+      val t0 = array(col("__e1"), col("__e2"))
+      val t1 = array(col("__x1") * lit(0.8) + lit(0.1),
+        col("__x1") * lit(-0.4) + lit(0.2))
+      val t2 = array(col("__x2") * lit(-0.6),
+        col("__x2") * lit(0.3) + lit(-0.1))
+      val o = Blueprint.columnSelfAttention(Seq(t0, t1, t2), dim = 2)(0)
+      val s0 = o(0) * lit(1.0) + o(1) * lit(-1.0) + lit(0.05)
+      val s1 = o(0) * lit(-0.5) + o(1) * lit(0.5) + lit(-0.05)
+      joined.select(col("l_orderkey"), col("l_linenumber"),
+        round(exp(s0) / (exp(s0) + exp(s1)), 6).as("p_class0"),
+        round(exp(s1) / (exp(s0) + exp(s1)), 6).as("p_class1"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(s"""WITH ev AS (SELECT * FROM (VALUES
+        (0, 0.05::DOUBLE, -0.05::DOUBLE),
+        (1, ${0.05 * 2}::DOUBLE, ${-0.05 * 2}::DOUBLE),
+        (2, ${0.05 * 3}::DOUBLE, ${-0.05 * 3}::DOUBLE)) AS t(c, e1, e2)),
+      d AS (SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_returnflag = 'A' THEN 0
+          WHEN l_returnflag = 'N' THEN 1 ELSE 2 END AS c,
+        l_quantity::DOUBLE/50 AS x1, l_discount::DOUBLE AS x2,
+        1/sqrt(2.0) AS sc FROM lineitem),
+      tk AS (SELECT d.*, e.e1 AS t00, e.e2 AS t01,
+        x1*0.8 + 0.1 AS t10, x1*(-0.4) + 0.2 AS t11,
+        x2*(-0.6) AS t20, x2*0.3 + (-0.1) AS t21
+        FROM d JOIN ev e ON d.c = e.c),
+      at AS (SELECT *, exp((t00*t00 + t01*t01)*sc) AS e0,
+        exp((t00*t10 + t01*t11)*sc) AS ee1,
+        exp((t00*t20 + t01*t21)*sc) AS ee2 FROM tk),
+      zz AS (SELECT *, e0 + ee1 + ee2 AS z FROM at),
+      oo AS (SELECT *, e0/z*t00 + ee1/z*t10 + ee2/z*t20 AS o1,
+        e0/z*t01 + ee1/z*t11 + ee2/z*t21 AS o2 FROM zz),
+      sl AS (SELECT *, o1*1.0 + o2*(-1.0) + 0.05 AS s0,
+        o1*(-0.5) + o2*0.5 + (-0.05) AS s1 FROM oo)
+      SELECT l_orderkey, l_linenumber,
+        round(exp(s0)/(exp(s0) + exp(s1)), 6) AS p_class0,
+        round(exp(s1)/(exp(s0) + exp(s1)), 6) AS p_class1
+      FROM sl ORDER BY l_orderkey, l_linenumber"""))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private[graft] val qEmbedStub = Q("t4_text_embed_stub",
@@ -1224,6 +1360,8 @@ private[graft] object QueriesML {
     qSampledTrainStep,
     qFitEmbedding,
     qColumnAttention,
+    qFitCrossAttn,
+    qTransformerForward,
     qEmbedStub,
     qEmbedTable,
     qDuration,

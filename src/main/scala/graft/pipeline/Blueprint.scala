@@ -1294,6 +1294,105 @@ object Blueprint {
     }.toSeq
   }
 
+  /** Parameters of the trainable cross-attention readout: `q` = the
+    * learned query (the trainable CLS token), `w` = readout over the
+    * attended vector, `b` = bias. */
+  final case class CrossAttnParams(q: Array[Double], w: Array[Double],
+      b: Double)
+
+  /** Deterministic default [[CrossAttnParams]] init (nonzero q so the
+    * softmax is not flat at step 0; shared by the bp13 oracle). */
+  def crossAttnInit(dim: Int): CrossAttnParams = CrossAttnParams(
+    Array.tabulate(dim)(i => 0.1 * (i + 1) * (if (i % 2 == 0) 1 else -1)),
+    Array.tabulate(dim)(i => 0.1 * (i + 1)), 0.0)
+
+  /** Gradient training THROUGH [[columnSelfAttention]]'s softmax — the
+    * reference's transformer readout made trainable: a LEARNED query
+    * vector (the trainable CLS embedding, exactly the `x_i` side of
+    * `TransformerGNN.message`'s `MultiheadAttention(x_i, x_c, x_c)`,
+    * `nn/models/transformer.py:32-38`) attends over each row's k column
+    * tokens, and a logistic readout scores the attended vector:
+    *
+    *   s_b = (Σ_i q_i·x_b[i]) / √dim      α = softmax_b(s)
+    *   a_i = Σ_b α_b·x_b[i]               p = σ(Σ_i a_i·w_i + b)
+    *
+    * The softmax Jacobian collapses row-locally (the bp8 device with no
+    * aggregation in sight): with value-side score gradients
+    * `g_b = dm·(Σ_i w_i·x_b[i])`, `∂L/∂s_b = α_b·(g_b − Σ_c α_c·g_c)`,
+    * and `∂L/∂q_i = Σ_b ∂L/∂s_b · x_b[i]/√dim`. EVERY gradient is a
+    * per-row codegen expression, so a GD step is ONE distributed
+    * aggregate pass (2·dim + 2 sums, map-side partial agg) — no join, no
+    * scatter, no per-step checkpoint; parameters re-enter the next step
+    * as literals. The cheapest trainable operator in the library, at any
+    * corpus size.
+    *
+    * Plain softmax (no max-subtraction) so the SQL restatement is
+    * term-for-term; callers keep token dot products bounded (normalized
+    * features), as in [[columnSelfAttention]]. */
+  def fitCrossAttnGD(df: DataFrame, tokenCols: Seq[String], yCol: String,
+      dim: Int, steps: Int, lr: Double,
+      init: CrossAttnParams = null): CrossAttnParams = {
+    require(tokenCols.nonEmpty && dim >= 1, "need tokens and a dimension")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    val p0 = if (init != null) init else crossAttnInit(dim)
+    require(p0.q.length == dim && p0.w.length == dim, "init shape mismatch")
+    val k = tokenCols.length
+    val q = p0.q.clone(); val w = p0.w.clone(); var b = p0.b
+    val x = (bi: Int, i: Int) => element_at(col(tokenCols(bi)), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    (1 to steps).foreach { _ =>
+      val e = (0 until k).map(bi =>
+        exp((0 until dim).map(i => x(bi, i) * lit(q(i))).reduce(_ + _) * lit(scale)))
+      val z = e.reduce(_ + _)
+      val a = (0 until dim).map(i =>
+        (0 until k).map(bi => e(bi) / z * x(bi, i)).reduce(_ + _))
+      val dm = sig((0 until dim).map(i => a(i) * lit(w(i))).reduce(_ + _) + lit(b)) - y
+      val g = (0 until k).map(bi =>
+        dm * (0 until dim).map(i => lit(w(i)) * x(bi, i)).reduce(_ + _))
+      val sumg = (0 until k).map(bi => e(bi) / z * g(bi)).reduce(_ + _)
+      val ds = (0 until k).map(bi => e(bi) / z * (g(bi) - sumg))
+      val sums =
+        (0 until dim).map(i => sum(
+          (0 until k).map(bi => ds(bi) * x(bi, i)).reduce(_ + _) * lit(scale))
+          .as(s"gq_$i")) ++
+        (0 until dim).map(i => sum(dm * a(i)).as(s"gw_$i")) ++
+        Seq(sum(dm).as("gb"), count(lit(1)).cast("double").as("n"))
+      val row = df.agg(sums.head, sums.tail: _*).collect()(0)
+      def gr(name: String) = row.getDouble(row.fieldIndex(name))
+      val n = gr("n")
+      require(n > 0, "cannot fit on an empty DataFrame")
+      (0 until dim).foreach { i =>
+        q(i) = q(i) - lr * (gr(s"gq_$i") / n)
+        w(i) = w(i) - lr * (gr(s"gw_$i") / n)
+      }
+      b = b - lr * (gr("gb") / n)
+    }
+    CrossAttnParams(q, w, b)
+  }
+
+  /** Mean logistic loss of [[fitCrossAttnGD]]'s model — one aggregate;
+    * the finite-difference anchor proving the analytic gradient really
+    * flows through the row-local softmax. */
+  def crossAttnLogLoss(df: DataFrame, tokenCols: Seq[String], yCol: String,
+      p: CrossAttnParams): Double = {
+    val dim = p.q.length; val k = tokenCols.length
+    val x = (bi: Int, i: Int) => element_at(col(tokenCols(bi)), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val e = (0 until k).map(bi =>
+      exp((0 until dim).map(i => x(bi, i) * lit(p.q(i))).reduce(_ + _) * lit(scale)))
+    val z = e.reduce(_ + _)
+    val a = (0 until dim).map(i =>
+      (0 until k).map(bi => e(bi) / z * x(bi, i)).reduce(_ + _))
+    val m = (0 until dim).map(i => a(i) * lit(p.w(i))).reduce(_ + _) + lit(p.b)
+    val pr = lit(1.0) / (lit(1.0) + exp(-m))
+    df.agg(avg(-(y * log(pr) + (lit(1.0) - y) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
+  }
+
   /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:
     * one ridge regression per class against its 0/1 indicator (a standard
     * ridge classifier — argmax of the per-class scores predicts). All

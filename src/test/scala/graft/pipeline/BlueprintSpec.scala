@@ -649,6 +649,50 @@ class BlueprintSpec extends SparkSpec {
     }
   }
 
+  test("fitCrossAttnGD: gradient flows through the row-local softmax; loss falls") {
+    val data = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(0.5, 0.5), Array(1.0, 0.0), 1.0),
+      (Array(0.2, 0.8), Array(0.3, 0.1), 1.0),
+      (Array(0.9, 0.1), Array(0.4, 0.6), 0.0))
+    val df = data.toDF("t1", "t2", "y")
+    val toks = Seq("t1", "t2")
+    val init = Blueprint.crossAttnInit(2)
+    def deepCopy(p: Blueprint.CrossAttnParams) =
+      Blueprint.CrossAttnParams(p.q.clone(), p.w.clone(), p.b)
+    val lr = 1e-3
+    val stepped = Blueprint.fitCrossAttnGD(df, toks, "y", dim = 2,
+      steps = 1, lr = lr, init = deepCopy(init))
+    val gradQ0 = (init.q(0) - stepped.q(0)) / lr
+    val gradW1 = (init.w(1) - stepped.w(1)) / lr
+    val gradB = (init.b - stepped.b) / lr
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.CrossAttnParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.crossAttnLogLoss(df, toks, "y", p)
+    }
+    val fdQ0 = (lossWith(_.q(0) += eps) - lossWith(_.q(0) -= eps)) / (2 * eps)
+    val fdW1 = (lossWith(_.w(1) += eps) - lossWith(_.w(1) -= eps)) / (2 * eps)
+    def lossAt(p: Blueprint.CrossAttnParams) =
+      Blueprint.crossAttnLogLoss(df, toks, "y", p)
+    val fdB = (lossAt(deepCopy(init).copy(b = init.b + eps)) -
+      lossAt(deepCopy(init).copy(b = init.b - eps))) / (2 * eps)
+    // the q gradient must be genuinely nonzero — a flat softmax or a
+    // dropped Jacobian term would zero it silently
+    assert(math.abs(fdQ0) > 1e-4, s"test fixture gives trivial q gradient $fdQ0")
+    assert(math.abs(gradQ0 - fdQ0) < 1e-4, s"q grad $gradQ0 vs fd $fdQ0")
+    assert(math.abs(gradW1 - fdW1) < 1e-4, s"w grad $gradW1 vs fd $fdW1")
+    assert(math.abs(gradB - fdB) < 1e-4, s"b grad $gradB vs fd $fdB")
+    val trained = Blueprint.fitCrossAttnGD(df, toks, "y", dim = 2,
+      steps = 60, lr = 0.5, init = deepCopy(init))
+    assert(Blueprint.crossAttnLogLoss(df, toks, "y", trained) <
+      Blueprint.crossAttnLogLoss(df, toks, "y", init))
+    intercept[IllegalArgumentException] {
+      Blueprint.fitCrossAttnGD(df, toks, "y", dim = 3, steps = 1, lr = 0.1,
+        init = init)
+    }
+  }
+
   test("metrics: accuracy and regression suite") {
     val df = Seq((1, 1, 2.0, 2.5), (0, 1, 4.0, 3.5), (1, 1, 6.0, 6.0))
       .toDF("pred", "y", "yhat", "ytrue")

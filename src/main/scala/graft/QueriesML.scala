@@ -1199,6 +1199,130 @@ private[graft] object QueriesML {
         round(exp(s1)/(exp(s0) + exp(s1)), 6) AS p_class1
       FROM sl ORDER BY l_orderkey, l_linenumber"""))
 
+  /** bp14's oracle: the full end-to-end transformer GD unrolled — per
+    * step, the forward CTE chain (tokens from the table join + the two
+    * Linear(1,2) embedders, attention softmax, attended vector, class
+    * softmax) restating [[graft.pipeline.Blueprint.transformerForwardStaged]]
+    * stage for stage, then the backward chain (class residuals, dO, the
+    * attention-softmax Jacobian, the three token-gradient paths), ONE
+    * grouped-gradient CTE (materialized — it feeds both the readout fold
+    * and the table update), the fold CTE, and the two update CTEs. All
+    * weights interpolate from the shared transformerInit. dim=2, two
+    * numeric columns, two classes hard-coded like [[fitMlpOracle]]. */
+  private[graft] def fitTransformerOracle(steps: Int, lr: Double): String = {
+    val init = graft.pipeline.Blueprint.transformerInit(
+      card = 3, dim = 2, nNum = 2, nClass = 2)
+    val eVals = (0 until 3)
+      .map(c => s"($c, ${init.e(c)(0)}::DOUBLE, ${init.e(c)(1)}::DOUBLE)")
+      .mkString(", ")
+    val w0 = s"""SELECT ${init.a(0)(0)}::DOUBLE AS a10, ${init.a(0)(1)}::DOUBLE AS a11,
+        ${init.a(1)(0)}::DOUBLE AS a20, ${init.a(1)(1)}::DOUBLE AS a21,
+        ${init.c(0)(0)}::DOUBLE AS c10, ${init.c(0)(1)}::DOUBLE AS c11,
+        ${init.c(1)(0)}::DOUBLE AS c20, ${init.c(1)(1)}::DOUBLE AS c21,
+        ${init.wOut(0)(0)}::DOUBLE AS w00, ${init.wOut(0)(1)}::DOUBLE AS w01,
+        ${init.wOut(1)(0)}::DOUBLE AS w10, ${init.wOut(1)(1)}::DOUBLE AS w11,
+        ${init.bOut(0)}::DOUBLE AS b0, ${init.bOut(1)}::DOUBLE AS b1"""
+    val chain = (1 to steps).map { k =>
+      s"""t$k AS (SELECT d.*, w.*, e.e1 AS t00, e.e2 AS t01,
+          x1*w.a10 + w.c10 AS t10, x1*w.a11 + w.c11 AS t11,
+          x2*w.a20 + w.c20 AS t20, x2*w.a21 + w.c21 AS t21
+        FROM d JOIN e${k - 1} e ON d.c = e.c, w${k - 1} w),
+      x$k AS (SELECT *, exp((t00*t00 + t01*t01)*sc) AS ex0,
+          exp((t00*t10 + t01*t11)*sc) AS ex1,
+          exp((t00*t20 + t01*t21)*sc) AS ex2 FROM t$k),
+      z$k AS (SELECT *, ex0 + ex1 + ex2 AS z FROM x$k),
+      al$k AS (SELECT *, ex0/z AS al0, ex1/z AS al1, ex2/z AS al2 FROM z$k),
+      o$k AS (SELECT *, al0*t00 + al1*t10 + al2*t20 AS o0,
+          al0*t01 + al1*t11 + al2*t21 AS o1 FROM al$k),
+      u$k AS (SELECT *, o0*w00 + o1*w01 + b0 AS u0,
+          o0*w10 + o1*w11 + b1 AS u1 FROM o$k),
+      eu$k AS (SELECT *, exp(u0) AS eu0, exp(u1) AS eu1 FROM u$k),
+      zc$k AS (SELECT *, eu0 + eu1 AS zc FROM eu$k),
+      du$k AS (SELECT *,
+          eu0/zc - (CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END) AS du0,
+          eu1/zc - (CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) AS du1 FROM zc$k),
+      dq$k AS (SELECT *, du0*w00 + du1*w10 AS do0,
+          du0*w01 + du1*w11 AS do1 FROM du$k),
+      da$k AS (SELECT *, do0*t00 + do1*t01 AS da0,
+          do0*t10 + do1*t11 AS da1, do0*t20 + do1*t21 AS da2 FROM dq$k),
+      sa$k AS (SELECT *, al0*da0 + al1*da1 + al2*da2 AS sad FROM da$k),
+      ds$k AS (SELECT *, al0*(da0 - sad) AS ds0, al1*(da1 - sad) AS ds1,
+          al2*(da2 - sad) AS ds2 FROM sa$k),
+      dt$k AS (SELECT *,
+          al0*do0 + (ds0*2.0*t00 + (ds1*t10 + ds2*t20))*sc AS dt00,
+          al0*do1 + (ds0*2.0*t01 + (ds1*t11 + ds2*t21))*sc AS dt01,
+          al1*do0 + ds1*t00*sc AS dt10, al1*do1 + ds1*t01*sc AS dt11,
+          al2*do0 + ds2*t00*sc AS dt20, al2*do1 + ds2*t01*sc AS dt21
+        FROM ds$k),
+      g$k AS MATERIALIZED (SELECT c,
+          sum(dt00) AS ge0, sum(dt01) AS ge1,
+          sum(dt10*x1) AS ga10, sum(dt11*x1) AS ga11,
+          sum(dt20*x2) AS ga20, sum(dt21*x2) AS ga21,
+          sum(dt10) AS gc10, sum(dt11) AS gc11,
+          sum(dt20) AS gc20, sum(dt21) AS gc21,
+          sum(du0*o0) AS gw00, sum(du0*o1) AS gw01,
+          sum(du1*o0) AS gw10, sum(du1*o1) AS gw11,
+          sum(du0) AS gb0, sum(du1) AS gb1
+        FROM dt$k GROUP BY c),
+      r$k AS (SELECT sum(ga10) AS ga10, sum(ga11) AS ga11,
+          sum(ga20) AS ga20, sum(ga21) AS ga21,
+          sum(gc10) AS gc10, sum(gc11) AS gc11,
+          sum(gc20) AS gc20, sum(gc21) AS gc21,
+          sum(gw00) AS gw00, sum(gw01) AS gw01,
+          sum(gw10) AS gw10, sum(gw11) AS gw11,
+          sum(gb0) AS gb0, sum(gb1) AS gb1 FROM g$k),
+      e$k AS (SELECT e.c,
+          e.e1 - $lr*(coalesce(g.ge0, 0.0)/n.n) AS e1,
+          e.e2 - $lr*(coalesce(g.ge1, 0.0)/n.n) AS e2
+        FROM e${k - 1} e LEFT JOIN g$k g ON e.c = g.c, n),
+      w$k AS (SELECT w.a10 - $lr*(r.ga10/n.n) AS a10,
+          w.a11 - $lr*(r.ga11/n.n) AS a11,
+          w.a20 - $lr*(r.ga20/n.n) AS a20, w.a21 - $lr*(r.ga21/n.n) AS a21,
+          w.c10 - $lr*(r.gc10/n.n) AS c10, w.c11 - $lr*(r.gc11/n.n) AS c11,
+          w.c20 - $lr*(r.gc20/n.n) AS c20, w.c21 - $lr*(r.gc21/n.n) AS c21,
+          w.w00 - $lr*(r.gw00/n.n) AS w00, w.w01 - $lr*(r.gw01/n.n) AS w01,
+          w.w10 - $lr*(r.gw10/n.n) AS w10, w.w11 - $lr*(r.gw11/n.n) AS w11,
+          w.b0 - $lr*(r.gb0/n.n) AS b0, w.b1 - $lr*(r.gb1/n.n) AS b1
+        FROM w${k - 1} w, r$k r, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'A' THEN 0
+          WHEN l_returnflag = 'N' THEN 1 ELSE 2 END AS c,
+        l_quantity::DOUBLE/50 AS x1, l_discount::DOUBLE AS x2,
+        CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END AS y,
+        1/sqrt(2.0) AS sc FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      e0 AS (SELECT * FROM (VALUES $eVals) AS tv(c, e1, e2)),
+      w0 AS ($w0),
+      $chain
+      SELECT c AS code, round(e1, 6) AS e1, round(e2, 6) AS e2
+      FROM e$steps ORDER BY c"""
+  }
+
+  /** The reference's DBTransformer trained END-TO-END (bp14): embedding
+    * table + two numeric embedders + self-attention + class head, all
+    * gradients in one groupBy(code) pass per step; 2 steps over
+    * lineitem. The trained table rows are emitted — every other
+    * parameter update feeds them transitively through step 2's
+    * attention. */
+  private[graft] val qFitTransformer = Q("bp14_fit_transformer",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 1).otherwise(2).as("code"),
+        (col("l_quantity") / 50).as("x1"), col("l_discount").as("x2"),
+        when(col("l_linestatus") === "F", 0).otherwise(1).as("y"))
+      val p = Blueprint.fitTransformerGD(li, "code", Seq("x1", "x2"), "y",
+        card = 3, dim = 2, nClass = 2, steps = 2, lr = 0.1)
+      import s.implicits._
+      (0 until 3).map(c => (c, p.e(c)(0), p.e(c)(1)))
+        .toDF("code", "__e1", "__e2")
+        .select(col("code"), round(col("__e1"), 6).as("e1"),
+          round(col("__e2"), 6).as("e2"))
+        .orderBy("code")
+    },
+    Some(fitTransformerOracle(steps = 2, lr = 0.1)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private[graft] val qEmbedStub = Q("t4_text_embed_stub",
@@ -1362,6 +1486,7 @@ private[graft] object QueriesML {
     qColumnAttention,
     qFitCrossAttn,
     qTransformerForward,
+    qFitTransformer,
     qEmbedStub,
     qEmbedTable,
     qDuration,

@@ -1393,6 +1393,220 @@ object Blueprint {
       .collect()(0).getDouble(0)
   }
 
+  /** Parameters of the end-to-end trainable DBTransformer: `e` = the
+    * card×dim categorical embedding table (token 0), `a`/`c` = the
+    * Linear(1, dim) weight/bias of each numeric column's embedder
+    * (token m+1), `wOut`/`bOut` = the nClass×dim class head. */
+  final case class TransformerParams(e: Array[Array[Double]],
+      a: Array[Array[Double]], c: Array[Array[Double]],
+      wOut: Array[Array[Double]], bOut: Array[Double])
+
+  /** Deterministic default [[TransformerParams]] init — every block
+    * nonzero and class-asymmetric so no gradient path is dead at step 0;
+    * shared by the bp14 oracle generator. */
+  def transformerInit(card: Int, dim: Int, nNum: Int,
+      nClass: Int): TransformerParams = TransformerParams(
+    Array.tabulate(card, dim)((cd, i) =>
+      0.05 * (cd + 1) * (if (i % 2 == 0) 1 else -1)),
+    Array.tabulate(nNum, dim)((m, j) =>
+      0.1 * (m + 1) * (j + 1) * (if (j % 2 == 0) 1 else -1)),
+    Array.tabulate(nNum, dim)((m, j) => 0.05 * (m + 1) * (if (j % 2 == 0) -1 else 1)),
+    Array.tabulate(nClass, dim)((k, i) =>
+      0.1 * (k + 1) * (if ((k + i) % 2 == 0) 1 else -1)),
+    Array.fill(nClass)(0.0))
+
+  /** The row-local forward of [[fitTransformerGD]]'s model as a STAGED
+    * projection chain over the lookup-joined frame: each intermediate
+    * (token components, score exponentials, softmax weights, attended
+    * vector, class probabilities) lands as a NAMED column computed once
+    * per row, the dataflow form of the oracle's CTE chain. Inlining the
+    * same arithmetic as raw expressions duplicates each shared subtree
+    * at every use site — the gradient sums then carry the forward tens
+    * of times over and plan analysis alone dominates the step (measured
+    * minutes per step at dim=2, k=3). Catalyst keeps the stages apart
+    * (CollapseProject refuses to duplicate non-cheap expressions
+    * referenced more than once), so codegen evaluates the DAG, not the
+    * tree. Shared by the fit loop and [[transformerLogLoss]] so forward
+    * and backward can never drift apart.
+    *
+    * Emits: `__t{b}_{j}` (token b component j; b=0 the embedding),
+    * `__ex{b}`, `__z`, `__al{b}` (softmax), `__o{i}` (attended),
+    * `__u{k}`, `__eu{k}`, `__zc`, `__pr{k}` (class softmax). */
+  private def transformerForwardStaged(joined: DataFrame,
+      p: TransformerParams, numCols: Seq[String]): DataFrame = {
+    val dim = p.e.head.length; val nNum = p.a.length
+    val nClass = p.wOut.length; val k = 1 + nNum
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    joined
+      .withColumns((
+        (0 until dim).map(j => s"__t0_$j" -> element_at(col("__emb"), j + 1)) ++
+        (for (m <- 0 until nNum; j <- 0 until dim) yield s"__t${m + 1}_$j" ->
+          (col(numCols(m)).cast("double") * lit(p.a(m)(j)) + lit(p.c(m)(j))))).toMap)
+      .withColumns((0 until k).map(b => s"__ex$b" ->
+        exp((0 until dim).map(j => col(s"__t0_$j") * col(s"__t${b}_$j"))
+          .reduce(_ + _) * lit(scale))).toMap)
+      .withColumn("__z", (0 until k).map(b => col(s"__ex$b")).reduce(_ + _))
+      .withColumns((0 until k).map(b =>
+        s"__al$b" -> col(s"__ex$b") / col("__z")).toMap)
+      .withColumns((0 until dim).map(i => s"__o$i" ->
+        (0 until k).map(b => col(s"__al$b") * col(s"__t${b}_$i"))
+          .reduce(_ + _)).toMap)
+      .withColumns((0 until nClass).map(kk => s"__u$kk" ->
+        ((0 until dim).map(i => col(s"__o$i") * lit(p.wOut(kk)(i)))
+          .reduce(_ + _) + lit(p.bOut(kk)))).toMap)
+      .withColumns((0 until nClass).map(kk =>
+        s"__eu$kk" -> exp(col(s"__u$kk"))).toMap)
+      .withColumn("__zc", (0 until nClass).map(kk => col(s"__eu$kk")).reduce(_ + _))
+      .withColumns((0 until nClass).map(kk =>
+        s"__pr$kk" -> col(s"__eu$kk") / col("__zc")).toMap)
+  }
+
+  /** The reference's DBTransformer trained END-TO-END
+    * (`nn/models/transformer.py:63-110`: column embedders → per-row
+    * self-attention over the tokens → token-0 readout → `out_lin` →
+    * class softmax, all trained jointly by the experiment loop): a
+    * card×dim categorical embedding table (token 0 — the readout
+    * token), one Linear(1, dim) embedder per numeric column
+    * (`num_embedder.py:10-33`), single-head self-attention with
+    * Q=K=V=tokens, an nClass linear head, softmax cross-entropy.
+    *
+    * The entire backward pass is row-local until the very last move:
+    * class-softmax residuals `du_k = p_k − 1[y=k]` flow back through
+    * the head (`do_i = Σ_k du_k·W[k][i]`), through the attention
+    * softmax Jacobian (`ds_b = α_b·(dα_b − Σ_c α_c·dα_c)` with
+    * `dα_b = Σ_i do_i·t_b[i]`), and into every token along BOTH paths —
+    * value (`α_b·do_j`) and score: token 0 is the query of every score
+    * AND its own key (`∂s_0/∂t_0[j] = 2·t_0[j]·√dim⁻¹`), the numeric
+    * tokens are keys of their own score only. Token gradients then fold
+    * into parameters: the table's is the scatter-add per code, the
+    * numeric embedders' and the head's are plain sums — ALL of which
+    * ride ONE groupBy(code) aggregate per step (per-code partial sums,
+    * driver-folded), the bp12 economy for the full model. At 100 TB a
+    * training step shuffles card rows, nothing else.
+    *
+    * Plain softmaxes (no max-subtraction) for term-for-term SQL
+    * restatement; callers keep features normalized. Codes outside
+    * [0, card) drop out of the lookup join (dangling-FK convention).
+    * Op order pinned: all gradients from the step's incoming
+    * parameters, then `θ − lr·(g/n)`. */
+  def fitTransformerGD(df: DataFrame, codeCol: String, numCols: Seq[String],
+      yCol: String, card: Int, dim: Int, nClass: Int, steps: Int, lr: Double,
+      init: TransformerParams = null): TransformerParams = {
+    require(card >= 1 && dim >= 1 && nClass >= 2, "need codes, dims, 2+ classes")
+    require(steps >= 1 && lr > 0, "need steps >= 1 and lr > 0")
+    val nNum = numCols.length
+    val p0 = if (init != null) init else transformerInit(card, dim, nNum, nClass)
+    require(p0.e.length == card && p0.e.forall(_.length == dim) &&
+      p0.a.length == nNum && p0.a.forall(_.length == dim) &&
+      p0.c.length == nNum && p0.c.forall(_.length == dim) &&
+      p0.wOut.length == nClass && p0.wOut.forall(_.length == dim) &&
+      p0.bOut.length == nClass, "init shape mismatch")
+    val e = p0.e.map(_.clone()); val a = p0.a.map(_.clone())
+    val cc = p0.c.map(_.clone()); val wOut = p0.wOut.map(_.clone())
+    val bOut = p0.bOut.clone()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val k = 1 + nNum
+    (1 to steps).foreach { _ =>
+      val cur = TransformerParams(e.map(_.clone()), a.map(_.clone()),
+        cc.map(_.clone()), wOut.map(_.clone()), bOut.clone())
+      val embDf = e.zipWithIndex.map { case (row, cd) => (cd, row) }.toSeq
+        .toDF("__code", "__emb")
+      val joined = df.join(broadcast(embDf),
+        col(codeCol).cast("int") === col("__code"))
+      val y = col(yCol).cast("int")
+      // backward stages continue the forward's projection chain — every
+      // adjoint lands as a named column computed once per row
+      val back = transformerForwardStaged(joined, cur, numCols)
+        .withColumns((0 until nClass).map(kk => s"__du$kk" ->
+          (col(s"__pr$kk") - when(y === kk, 1.0).otherwise(0.0))).toMap)
+        .withColumns((0 until dim).map(i => s"__dO$i" ->
+          (0 until nClass).map(kk => col(s"__du$kk") * lit(cur.wOut(kk)(i)))
+            .reduce(_ + _)).toMap)
+        .withColumns((0 until k).map(b => s"__dAl$b" ->
+          (0 until dim).map(i => col(s"__dO$i") * col(s"__t${b}_$i"))
+            .reduce(_ + _)).toMap)
+        .withColumn("__sad",
+          (0 until k).map(b => col(s"__al$b") * col(s"__dAl$b")).reduce(_ + _))
+        .withColumns((0 until k).map(b => s"__dS$b" ->
+          col(s"__al$b") * (col(s"__dAl$b") - col("__sad"))).toMap)
+        // token gradients: value path + score paths (token 0 is the query
+        // of every score and its own key; token b>=1 keys only s_b)
+        .withColumns((
+          (0 until dim).map(j => s"__dT0_$j" ->
+            (col("__al0") * col(s"__dO$j") +
+              (col("__dS0") * lit(2.0) * col(s"__t0_$j") +
+                (1 until k).map(b => col(s"__dS$b") * col(s"__t${b}_$j"))
+                  .reduce(_ + _)) * lit(scale))) ++
+          (for (m <- 0 until nNum; j <- 0 until dim) yield s"__dT${m + 1}_$j" ->
+            (col(s"__al${m + 1}") * col(s"__dO$j") +
+              col(s"__dS${m + 1}") * col(s"__t0_$j") * lit(scale)))).toMap)
+      // ONE grouped pass: per-code partial sums of every gradient
+      val x = (m: Int) => col(numCols(m)).cast("double")
+      val sums =
+        (0 until dim).map(j => sum(col(s"__dT0_$j")).as(s"ge_$j")) ++
+        (for (m <- 0 until nNum; j <- 0 until dim)
+          yield sum(col(s"__dT${m + 1}_$j") * x(m)).as(s"ga_${m}_$j")) ++
+        (for (m <- 0 until nNum; j <- 0 until dim)
+          yield sum(col(s"__dT${m + 1}_$j")).as(s"gc_${m}_$j")) ++
+        (for (kk <- 0 until nClass; i <- 0 until dim)
+          yield sum(col(s"__du$kk") * col(s"__o$i")).as(s"gw_${kk}_$i")) ++
+        (0 until nClass).map(kk => sum(col(s"__du$kk")).as(s"gb_$kk")) ++
+        Seq(count(lit(1)).cast("double").as("__n"))
+      val rows = back.groupBy(col("__code")).agg(sums.head, sums.tail: _*)
+        .collect()
+      var n = 0.0
+      val gE = Array.fill(card, dim)(0.0)
+      val gA = Array.fill(nNum, dim)(0.0); val gC = Array.fill(nNum, dim)(0.0)
+      val gW = Array.fill(nClass, dim)(0.0); val gB = Array.fill(nClass)(0.0)
+      rows.foreach { r =>
+        def g(name: String) = r.getDouble(r.fieldIndex(name))
+        val cd = r.getInt(r.fieldIndex("__code"))
+        n += g("__n")
+        (0 until dim).foreach(j => gE(cd)(j) = g(s"ge_$j"))
+        for (m <- 0 until nNum; j <- 0 until dim) {
+          gA(m)(j) += g(s"ga_${m}_$j"); gC(m)(j) += g(s"gc_${m}_$j")
+        }
+        for (kk <- 0 until nClass) {
+          gB(kk) += g(s"gb_$kk")
+          (0 until dim).foreach(i => gW(kk)(i) += g(s"gw_${kk}_$i"))
+        }
+      }
+      require(n > 0, "no row carries a code inside [0, card)")
+      for (cd <- 0 until card; j <- 0 until dim)
+        e(cd)(j) = e(cd)(j) - lr * (gE(cd)(j) / n)
+      for (m <- 0 until nNum; j <- 0 until dim) {
+        a(m)(j) = a(m)(j) - lr * (gA(m)(j) / n)
+        cc(m)(j) = cc(m)(j) - lr * (gC(m)(j) / n)
+      }
+      for (kk <- 0 until nClass) {
+        (0 until dim).foreach(i => wOut(kk)(i) = wOut(kk)(i) - lr * (gW(kk)(i) / n))
+        bOut(kk) = bOut(kk) - lr * (gB(kk) / n)
+      }
+    }
+    TransformerParams(e, a, cc, wOut, bOut)
+  }
+
+  /** Mean softmax cross-entropy of [[fitTransformerGD]]'s model — one
+    * lookup join + one aggregate; the finite-difference anchor for the
+    * full end-to-end gradient. */
+  def transformerLogLoss(df: DataFrame, codeCol: String,
+      numCols: Seq[String], yCol: String, p: TransformerParams): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nClass = p.wOut.length
+    val embDf = p.e.zipWithIndex.map { case (row, cd) => (cd, row) }.toSeq
+      .toDF("__code", "__emb")
+    val joined = df.join(broadcast(embDf),
+      col(codeCol).cast("int") === col("__code"))
+    val y = col(yCol).cast("int")
+    val py = (0 until nClass).map(kk =>
+      when(y === kk, col(s"__pr$kk")).otherwise(lit(0.0))).reduce(_ + _)
+    transformerForwardStaged(joined, p, numCols)
+      .agg(avg(-log(py))).collect()(0).getDouble(0)
+  }
+
   /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:
     * one ridge regression per class against its 0/1 indicator (a standard
     * ridge classifier — argmax of the per-class scores predicts). All

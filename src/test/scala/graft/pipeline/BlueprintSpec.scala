@@ -693,6 +693,57 @@ class BlueprintSpec extends SparkSpec {
     }
   }
 
+  test("fitTransformerGD: end-to-end gradient (table, embedders, head) matches finite differences; loss falls") {
+    // codes 0-2; two numeric columns; 2 classes; code 9 dangles (inert)
+    val data = Seq((0, 0.2, 0.7, 0), (0, 0.9, 0.1, 1), (1, 0.4, 0.4, 1),
+      (1, 0.8, 0.6, 0), (2, 0.1, 0.9, 1), (2, 0.5, 0.3, 0), (9, 9.0, 9.0, 1))
+    val df = data.toDF("code", "x1", "x2", "y")
+    val nums = Seq("x1", "x2")
+    val init = Blueprint.transformerInit(card = 3, dim = 2, nNum = 2, nClass = 2)
+    def deepCopy(p: Blueprint.TransformerParams) = Blueprint.TransformerParams(
+      p.e.map(_.clone()), p.a.map(_.clone()), p.c.map(_.clone()),
+      p.wOut.map(_.clone()), p.bOut.clone())
+    val lr = 1e-3
+    val stepped = Blueprint.fitTransformerGD(df, "code", nums, "y",
+      card = 3, dim = 2, nClass = 2, steps = 1, lr = lr, init = deepCopy(init))
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.TransformerParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.transformerLogLoss(df, "code", nums, "y", p)
+    }
+    // the embedding gradient exercises ALL THREE attention paths at once
+    // (token 0 is every score's query, its own key, and a value) — the
+    // single strongest check on the Jacobian derivation
+    val checks: Seq[(String, Double, Blueprint.TransformerParams => Unit,
+        Blueprint.TransformerParams => Unit)] = Seq(
+      ("e(1)(0)", (init.e(1)(0) - stepped.e(1)(0)) / lr,
+        p => p.e(1)(0) += eps, p => p.e(1)(0) -= eps),
+      ("e(0)(1)", (init.e(0)(1) - stepped.e(0)(1)) / lr,
+        p => p.e(0)(1) += eps, p => p.e(0)(1) -= eps),
+      ("a(0)(1)", (init.a(0)(1) - stepped.a(0)(1)) / lr,
+        p => p.a(0)(1) += eps, p => p.a(0)(1) -= eps),
+      ("c(1)(0)", (init.c(1)(0) - stepped.c(1)(0)) / lr,
+        p => p.c(1)(0) += eps, p => p.c(1)(0) -= eps),
+      ("wOut(1)(0)", (init.wOut(1)(0) - stepped.wOut(1)(0)) / lr,
+        p => p.wOut(1)(0) += eps, p => p.wOut(1)(0) -= eps),
+      ("bOut(0)", (init.bOut(0) - stepped.bOut(0)) / lr,
+        p => p.bOut(0) += eps, p => p.bOut(0) -= eps))
+    checks.foreach { case (name, analytic, up, down) =>
+      val fd = (lossWith(up) - lossWith(down)) / (2 * eps)
+      assert(math.abs(fd) > 1e-5, s"$name: fixture gives trivial gradient $fd")
+      assert(math.abs(analytic - fd) < 1e-4, s"$name grad $analytic vs fd $fd")
+    }
+    // training lowers the loss
+    val trained = Blueprint.fitTransformerGD(df, "code", nums, "y",
+      card = 3, dim = 2, nClass = 2, steps = 50, lr = 0.5, init = deepCopy(init))
+    assert(Blueprint.transformerLogLoss(df, "code", nums, "y", trained) <
+      Blueprint.transformerLogLoss(df, "code", nums, "y", init))
+    intercept[IllegalArgumentException] {
+      Blueprint.fitTransformerGD(df, "code", nums, "y", card = 2, dim = 2,
+        nClass = 2, steps = 1, lr = 0.1, init = init)
+    }
+  }
+
   test("metrics: accuracy and regression suite") {
     val df = Seq((1, 1, 2.0, 2.5), (0, 1, 4.0, 3.5), (1, 1, 6.0, 6.0))
       .toDF("pred", "y", "yhat", "ytrue")

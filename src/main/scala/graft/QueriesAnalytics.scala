@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.VectorAgg
-import graft.analyze.{Associations, Behavior, DistinctCounter, Olap, Quantiles, Sketches}
+import graft.analyze.{Associations, Behavior, DistinctCounter, Olap, Quantiles, Sketches, Stats}
 import graft.functions.ZOrder
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
 import graft.convert.{CategoricalCodes, Converters, TableConverter}
@@ -1757,9 +1757,130 @@ private[graft] object QueriesAnalytics {
           WHERE d.dist < 3)
       SELECT id, min(dist) AS dist FROM d GROUP BY 1 ORDER BY id"""))
 
+  // Inferential statistics (round 13) — the audit tests run before
+  // trusting a data change. Each reduces to one aggregation pass of
+  // exact power sums / contingency counts; the closing arithmetic
+  // restates in SQL term for term.
+  // ====================================================================
+
+  /** Welch's t-test: did returned line items ship different quantities
+    * than never-returned ones? One grouped pass (n, Σx, Σx²) per side;
+    * sample variance, t, and Welch–Satterthwaite df from the sums. */
+  private[graft] val qWelch = Q("ab1_welch_ttest",
+    (s, d) => Stats.welchTTest(t(s, d, "lineitem"), "l_returnflag",
+      "l_quantity", "R", "N"),
+    Some("""WITH g AS (SELECT l_returnflag AS gg, count(l_quantity) AS n,
+          sum(l_quantity::DOUBLE) AS s1,
+          sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS s2
+        FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      j AS (SELECT a.n AS n1, b.n AS n2, a.s1 AS s11, b.s1 AS s12,
+          a.s2 AS s21, b.s2 AS s22
+        FROM (SELECT * FROM g WHERE gg = 'R') a,
+          (SELECT * FROM g WHERE gg = 'N') b),
+      m AS (SELECT n1, n2, s11/n1::DOUBLE AS m1, s12/n2::DOUBLE AS m2,
+        (s21 - s11*s11/n1::DOUBLE)/(n1::DOUBLE - 1.0) AS v1,
+        (s22 - s12*s12/n2::DOUBLE)/(n2::DOUBLE - 1.0) AS v2 FROM j),
+      se AS (SELECT *, v1/n1::DOUBLE AS se1, v2/n2::DOUBLE AS se2 FROM m)
+      SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+        round((m1 - m2)/sqrt(se1 + se2), 6) AS t_stat,
+        round((se1 + se2)*(se1 + se2)/(se1*se1/(n1::DOUBLE - 1.0)
+          + se2*se2/(n2::DOUBLE - 1.0)), 6) AS df
+      FROM se"""))
+
+  /** Chi-square independence of return flag × line status — the
+    * categorical-drift audit. One cell count (cardinality-bounded
+    * shuffle); marginals re-aggregated from the cells. TPC-H couples
+    * the two columns hard, so the statistic is decisively large. */
+  private[graft] val qChi2 = Q("chi1_chi2_independence",
+    (s, d) => Stats.chiSquareIndependence(t(s, d, "lineitem"),
+      "l_returnflag", "l_linestatus"),
+    Some("""WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+          count(*) AS o FROM lineitem GROUP BY 1, 2),
+      ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+      cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+      tt AS (SELECT sum(o) AS t, count(DISTINCT a) AS ka,
+        count(DISTINCT b) AS kb FROM cells),
+      x AS (SELECT (o::DOUBLE - ra::DOUBLE*cb::DOUBLE/t::DOUBLE)
+          * (o::DOUBLE - ra::DOUBLE*cb::DOUBLE/t::DOUBLE)
+          / (ra::DOUBLE*cb::DOUBLE/t::DOUBLE) AS cell, ka, kb
+        FROM cells JOIN ra USING (a) JOIN cb USING (b), tt)
+      SELECT count(*)::BIGINT AS n_cells, ((ka - 1)*(kb - 1))::BIGINT AS dof,
+        round(sum(cell), 6) AS chi2
+      FROM x GROUP BY ka, kb"""))
+
+  /** pca1's oracle: the covariance power sums in one aggregate, the d×d
+    * covariance entries, then `iters` power-iteration steps unrolled as
+    * scalar CTE arithmetic — identical IEEE ops in identical order to
+    * [[graft.analyze.Stats.topComponent]]'s driver loop, so the values
+    * agree bit-for-bit before the round-6 contract. */
+  private[graft] def pcaOracle(iters: Int): String = {
+    val d = 4
+    def cn(i: Int, j: Int) = if (i <= j) s"c$i$j" else s"c$j$i"
+    val sumsSql = (0 until d).map(i => s"sum(x$i) AS s$i").mkString(", ") +
+      ", " + (for (i <- 0 until d; j <- i until d)
+        yield s"sum(x$i*x$j) AS p$i$j").mkString(", ")
+    val covSql = (for (i <- 0 until d; j <- i until d)
+      yield s"p$i$j/n - (s$i/n)*(s$j/n) AS c$i$j").mkString(",\n        ")
+    val iterChain = (1 to iters).map { k =>
+      val ws = (0 until d).map(i =>
+        (0 until d).map(j => s"${cn(i, j)}*v.v$j").mkString(" + ") +
+          s" AS w$i").mkString(",\n          ")
+      val norm = (0 until d).map(i => s"w$i*w$i").mkString(" + ")
+      val vs = (0 until d).map(i =>
+        s"w$i/sqrt($norm) AS v$i").mkString(",\n          ")
+      s"""w$k AS (SELECT c.*, $ws FROM c, v${k - 1} v),
+      v$k AS (SELECT $vs FROM w$k)"""
+    }.mkString(",\n      ")
+    val avs = (0 until d).map(i =>
+      (0 until d).map(j => s"${cn(i, j)}*v.v$j").mkString(" + ") +
+        s" AS a$i").mkString(",\n          ")
+    val lam = (0 until d).map(i => s"v.v$i*a.a$i").mkString(" + ")
+    s"""WITH dd AS (SELECT l_quantity::DOUBLE/50 AS x0,
+        l_discount::DOUBLE AS x1, l_tax::DOUBLE AS x2,
+        l_linenumber::DOUBLE/7 AS x3 FROM lineitem),
+      s AS (SELECT count(*)::DOUBLE AS n, $sumsSql FROM dd),
+      c AS (SELECT n, $covSql FROM s),
+      v0 AS (SELECT ${(0 until d).map(i => s"0.5 AS v$i").mkString(", ")}),
+      $iterChain,
+      av AS (SELECT $avs FROM c, v$iters v),
+      fin AS (SELECT $lam AS lambda,
+        ${(0 until d).map(i => s"v.v$i").mkString(", ")},
+        CASE WHEN v.v0 < 0 THEN -1.0 ELSE 1.0 END AS sg
+        FROM v$iters v, av a)
+      SELECT round(lambda, 6) AS eigenvalue,
+        ${(0 until d).map(i => s"round(v$i*sg, 6) AS pc${i + 1}").mkString(", ")}
+      FROM fin"""
+  }
+
+  /** Distributed PCA, top component: the 4×4 covariance of the
+    * normalized lineitem features from ONE power-sum aggregate (the data
+    * never moves — d(d+3)/2 running sums with map-side combine), then 3
+    * fixed power-iteration steps on the driver; Rayleigh eigenvalue,
+    * sign fixed by the first coordinate. At 100 TB the cost is one scan;
+    * the iteration is d² driver flops per step. */
+  private[graft] val qPca = Q("pca1_top_component",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(
+        (col("l_quantity") / 50).as("x0"), col("l_discount").as("x1"),
+        col("l_tax").as("x2"),
+        (col("l_linenumber").cast("double") / 7).as("x3"))
+      val (_, _, cov) = Stats.covarianceMatrix(li, Seq("x0", "x1", "x2", "x3"))
+      val (lambda, v) = Stats.topComponent(cov, iters = 3)
+      import s.implicits._
+      Seq((lambda, v(0), v(1), v(2), v(3)))
+        .toDF("__l", "__v1", "__v2", "__v3", "__v4")
+        .select(round(col("__l"), 6).as("eigenvalue"),
+          round(col("__v1"), 6).as("pc1"), round(col("__v2"), 6).as("pc2"),
+          round(col("__v3"), 6).as("pc3"), round(col("__v4"), 6).as("pc4"))
+    },
+    Some(pcaOracle(iters = 3)))
+
   // ====================================================================
 
   private[graft] val all: Seq[Q] = Seq(
+    qWelch,
+    qChi2,
+    qPca,
     qHllVocab,
     qHllMerge,
     qKmvDistinct,

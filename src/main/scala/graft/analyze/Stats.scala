@@ -1,0 +1,125 @@
+package graft.analyze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inferential statistics over distributed data — the audit tests a
+  * pipeline runs before trusting a data change (did the new crawl shift
+  * quality scores? are two categorical columns independent? what single
+  * direction explains the feature variance?). Every statistic reduces to
+  * power sums / contingency counts gathered in ONE aggregation pass with
+  * map-side partial aggregation, so at 100 TB each test costs one scan;
+  * the closing arithmetic is driver- or single-row-side and restates in
+  * SQL term for term ([[Moments]]' exact-power-sum device throughout:
+  * integer-valued inputs keep every sum exact, all rounding happens in
+  * one final step).
+  */
+object Stats {
+
+  /** Welch's two-sample t-test (unequal variances) between the rows of
+    * `groupCol == g1` and `groupCol == g2`. One grouped aggregation pass;
+    * sample variance from exact sums as `(Σx² − (Σx)²/n) / (n−1)`, the
+    * t statistic `(m1−m2)/√(v1/n1 + v2/n2)`, and the Welch–Satterthwaite
+    * degrees of freedom. Output columns: n1, n2, mean1, mean2, t_stat,
+    * df (one row, rounded to 6). */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      g1: String, g2: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val g = df.filter(col(groupCol).isin(g1, g2))
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(x).as("__n"), sum(x).as("__s1"), sum(x * x).as("__s2"))
+    def side(gv: String, suffix: String) = g.filter(col("__g") === gv)
+      .select(col("__n").as(s"n$suffix"), col("__s1").as(s"s1$suffix"),
+        col("__s2").as(s"s2$suffix"))
+    val j = side(g1, "1").crossJoin(side(g2, "2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val m1 = col("s11") / n1; val m2 = col("s12") / n2
+    val v1 = (col("s21") - col("s11") * col("s11") / n1) / (n1 - lit(1.0))
+    val v2 = (col("s22") - col("s12") * col("s12") / n2) / (n2 - lit(1.0))
+    val se1 = v1 / n1; val se2 = v2 / n2
+    val tStat = (m1 - m2) / sqrt(se1 + se2)
+    val dfW = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1 - lit(1.0)) + se2 * se2 / (n2 - lit(1.0)))
+    j.select(col("n1"), col("n2"), round(m1, 6).as("mean1"),
+      round(m2, 6).as("mean2"), round(tStat, 6).as("t_stat"),
+      round(dfW, 6).as("df"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: one groupBy(a, b) count (cardinality-bounded shuffle), the
+    * marginals re-aggregated FROM the cells (no second scan), expected
+    * counts `row·col/total`, and `χ² = Σ (obs−exp)²/exp`. Output: one
+    * row (n_cells, dof, chi2 rounded to 6). */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val withA = cells.join(
+      cells.groupBy("__a").agg(sum(col("__o")).as("__ra")), "__a")
+    val withB = withA.join(
+      cells.groupBy("__b").agg(sum(col("__o")).as("__cb")), "__b")
+    val tot = cells.agg(sum(col("__o")).as("__t"),
+      countDistinct(col("__a")).as("__ka"),
+      countDistinct(col("__b")).as("__kb"))
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__t").cast("double")
+    withB.crossJoin(broadcast(tot))
+      .select(((col("__o").cast("double") - e) * (col("__o").cast("double") - e) / e)
+        .as("__cell"), col("__ka"), col("__kb"))
+      .groupBy(col("__ka"), col("__kb"))
+      .agg(count(lit(1)).as("n_cells"), round(sum(col("__cell")), 6).as("chi2"))
+      .select(col("n_cells"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"), col("chi2"))
+  }
+
+  /** The d×d covariance matrix (population) of the numeric columns from
+    * ONE aggregation pass over raw power sums: `cov(i,j) = Σxᵢxⱼ/n −
+    * mᵢ·mⱼ`. Returns (n, means, cov) driver-side — d is the FEATURE
+    * count (small); the data never moves beyond d(d+3)/2 running sums. */
+  def covarianceMatrix(df: DataFrame,
+      cols: Seq[String]): (Double, Array[Double], Array[Array[Double]]) = {
+    val d = cols.length
+    require(d >= 1, "need at least one column")
+    val x = (i: Int) => col(cols(i)).cast("double")
+    val sums = Seq(count(lit(1)).cast("double").as("n")) ++
+      (0 until d).map(i => sum(x(i)).as(s"s_$i")) ++
+      (for (i <- 0 until d; j <- i until d)
+        yield sum(x(i) * x(j)).as(s"p_${i}_$j"))
+    val r = df.agg(sums.head, sums.tail: _*).head()
+    def g(name: String) = r.getDouble(r.fieldIndex(name))
+    val n = g("n")
+    require(n >= 2, "need at least two rows")
+    val m = Array.tabulate(d)(i => g(s"s_$i") / n)
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      cov(i)(j) = g(s"p_${i}_$j") / n - m(i) * m(j)
+      cov(j)(i) = cov(i)(j)
+    }
+    (n, m, cov)
+  }
+
+  /** Top principal component by `iters` fixed power-iteration steps from
+    * the deterministic start v₀ = (1, …, 1)/√d — matrix·vector products
+    * on the driver-side d×d covariance, normalized each step; returns
+    * (eigenvalue by Rayleigh quotient, component with its first
+    * coordinate forced non-negative so the sign is well-defined). A
+    * FIXED iteration count (not a convergence test) keeps the recurrence
+    * restatable in SQL. */
+  def topComponent(cov: Array[Array[Double]],
+      iters: Int): (Double, Array[Double]) = {
+    val d = cov.length
+    require(iters >= 1, "need at least one iteration")
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(c => c * c).sum)
+      require(norm > 0, "covariance annihilated the iterate")
+      v = w.map(_ / norm)
+    }
+    val av = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+    val lambda = (0 until d).map(i => v(i) * av(i)).sum
+    val sign = if (v(0) < 0) -1.0 else 1.0
+    (lambda, v.map(_ * sign))
+  }
+}

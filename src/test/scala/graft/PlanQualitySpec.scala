@@ -48,7 +48,9 @@ class PlanQualitySpec extends SparkSpec {
     // sketch estimate × 1-ROW exact-count aggregate (crossJoin of scalars)
     "hll2_sketch_merge", "kmv1_distinct_est", "kmv2_jaccard_est",
     "mb1_association_rules", // pair stats × 1-ROW n_baskets aggregate
-    "jc1_joinsize_est") // sampled sum × 1-ROW exact-sum aggregate
+    "jc1_joinsize_est", // sampled sum × 1-ROW exact-sum aggregate
+    "ab1_welch_ttest", // the two 1-ROW group-stat sides cross-joined
+    "chi1_chi2_independence") // contingency cells × 1-ROW totals aggregate
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

@@ -1,0 +1,67 @@
+package graft.analyze
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("welchTTest matches the hand-computed statistic") {
+    // group A: 1,2,3 (mean 2, var 1); group B: 4,6 (mean 5, var 2)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 6.0),
+      ("c", 99.0)) // other groups must be ignored
+      .toDF("g", "x")
+    val r = Stats.welchTTest(df, "g", "x", "a", "b").collect()(0)
+    assert(r.getLong(r.fieldIndex("n1")) == 3L)
+    assert(r.getLong(r.fieldIndex("n2")) == 2L)
+    assert(r.getDouble(r.fieldIndex("mean1")) == 2.0)
+    assert(r.getDouble(r.fieldIndex("mean2")) == 5.0)
+    // se = 1/3 + 2/2 = 4/3; t = -3/sqrt(4/3); df = (4/3)^2/((1/3)^2/2 + 1^2/1)
+    val t = -3.0 / math.sqrt(4.0 / 3.0)
+    val dfW = math.pow(4.0 / 3.0, 2) / ((1.0 / 9.0) / 2.0 + 1.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_stat")) - t) < 1e-6)
+    assert(math.abs(r.getDouble(r.fieldIndex("df")) - dfW) < 1e-6)
+  }
+
+  test("chiSquareIndependence: zero on an exactly independent table, hand value otherwise") {
+    // perfectly independent 2x2: counts proportional to row*col margins
+    val indep = Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("x", "v")) ++
+      Seq.fill(2)(("y", "u")) ++ Seq.fill(2)(("y", "v"))
+    val r0 = Stats.chiSquareIndependence(indep.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r0.getLong(r0.fieldIndex("n_cells")) == 4L)
+    assert(r0.getLong(r0.fieldIndex("dof")) == 1L)
+    assert(r0.getDouble(r0.fieldIndex("chi2")) == 0.0)
+    // classic 2x2: cells (10,20 / 30,40); chi2 = 100/21*... hand: n=100,
+    // e11=12, e12=18, e21=28, e22=42 -> sum((o-e)^2/e) = 4/12+4/18+4/28+4/42
+    val dep = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(40)(("y", "v"))
+    val r1 = Stats.chiSquareIndependence(dep.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    val expected = 4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42
+    assert(math.abs(r1.getDouble(r1.fieldIndex("chi2")) - expected) < 1e-6)
+  }
+
+  test("covarianceMatrix + topComponent recover a planted dominant direction") {
+    // points along (1, 1)/sqrt(2) with small orthogonal noise: the top
+    // component must align with the diagonal and carry most variance
+    val pts = Seq((0.0, 0.0), (1.0, 1.2), (2.0, 1.8), (3.0, 3.1),
+      (4.0, 4.0), (5.0, 4.9))
+    val df = pts.toDF("x0", "x1")
+    val (n, m, cov) = Stats.covarianceMatrix(df, Seq("x0", "x1"))
+    assert(n == 6.0)
+    assert(math.abs(m(0) - 2.5) < 1e-12)
+    assert(cov(0)(1) == cov(1)(0))
+    val (lambda, v) = Stats.topComponent(cov, iters = 20)
+    assert(v(0) > 0) // sign fixed
+    assert(math.abs(v(0) - v(1)) < 0.05, s"diagonal direction, got ${v.toSeq}")
+    assert(math.abs(v(0) * v(0) + v(1) * v(1) - 1.0) < 1e-12) // unit norm
+    // Rayleigh eigenvalue ~ total variance along the diagonal
+    assert(lambda > cov(0)(0), "dominant eigenvalue exceeds marginal variance")
+    // hand check on a diagonal matrix: top component is the larger axis
+    val (l2, v2) = Stats.topComponent(Array(Array(4.0, 0.0), Array(0.0, 1.0)),
+      iters = 30)
+    assert(math.abs(l2 - 4.0) < 1e-9)
+    assert(math.abs(math.abs(v2(0)) - 1.0) < 1e-9)
+    intercept[IllegalArgumentException] { Stats.topComponent(cov, iters = 0) }
+  }
+}

@@ -1875,12 +1875,28 @@ private[graft] object QueriesAnalytics {
     },
     Some(pcaOracle(iters = 3)))
 
+  /** Benford first-digit audit of order totals — the fabricated-data /
+    * unit-mixing smell test. Digits extracted from exact integer CENTS
+    * (integer→string is exact cross-engine; float formatting is not). */
+  private[graft] val qBenford = Q("dq8_benford",
+    (s, d) => Stats.benford(t(s, d, "orders"),
+      round(col("o_totalprice") * 100).cast("long")),
+    Some("""WITH c AS (SELECT substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+          AS VARCHAR), 1, 1)::INT AS digit FROM orders),
+      g AS (SELECT digit, count(*) AS n_obs FROM c WHERE digit >= 1 GROUP BY 1),
+      t AS (SELECT sum(n_obs) AS tt FROM g)
+      SELECT digit, n_obs,
+        round(n_obs::DOUBLE / tt::DOUBLE, 6) AS obs_ratio,
+        round(log10(1.0 + 1.0/digit::DOUBLE), 6) AS exp_ratio
+      FROM g, t ORDER BY digit"""))
+
   // ====================================================================
 
   private[graft] val all: Seq[Q] = Seq(
     qWelch,
     qChi2,
     qPca,
+    qBenford,
     qHllVocab,
     qHllMerge,
     qKmvDistinct,

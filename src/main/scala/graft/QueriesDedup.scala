@@ -440,6 +440,54 @@ private[graft] object QueriesDedup {
       SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 3
       ORDER BY query_id, neighbor_id"""))
 
+  /** Johnson–Lindenstrauss distortion audit: cosine error of the 64→16
+    * projection over every (query, neighbor) pair — the measurement the
+    * JL lemma actually bounds (distance/angle preservation), taken
+    * before committing to reduced-space ANN at scale. Top-k RECALL is
+    * deliberately NOT the metric here: the synthetic embeddings are
+    * near-orthogonal noise, so true top-3 gaps are ~1e-3 and no
+    * projection preserves that ranking (measured 0/15 at 8 dims, 2/15
+    * even at 48 of 64) — distortion is the property the operator
+    * guarantees. Both engines derive the SAME ±1 matrix from md5-nibble
+    * parity, so the projection restates verbatim. */
+  private[graft] val qProjectionDistortion = Q("rp1_projection_distortion",
+    (s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+        Similarity.jlProjection(col("embedding"), inDim = 64, outDim = 16)
+          .as("pv"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qf"),
+          col("pv").as("__qp"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cf"), col("pv").as("__cp"))
+      val err = abs(Similarity.cosine(col("__qp"), col("__cp")) -
+        Similarity.cosine(col("__qf"), col("__cf")))
+      c.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(err), 6).as("mean_abs_err"),
+          round(max(err), 6).as("max_abs_err"),
+          round(sqrt(avg(err * err)), 6).as("rmse"))
+    },
+    Some("""WITH pm AS (SELECT i.i, j.j, CASE WHEN strpos('02468ace',
+              substr(md5('rp:' || i.i || ':' || j.j), 1, 1)) > 0
+            THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) i,
+            (SELECT unnest(generate_series(0, 15)) AS j) j),
+        pv AS (SELECT vec_id, j, sum(s * embedding[i + 1]::DOUBLE)
+            * (1.0/sqrt(16.0)) AS y
+          FROM embeddings, pm GROUP BY 1, 2),
+        pl AS (SELECT vec_id, list(y ORDER BY j) AS v FROM pv GROUP BY 1),
+        b AS (SELECT e.vec_id, e.embedding, pl.v
+          FROM embeddings e JOIN pl ON e.vec_id = pl.vec_id),
+        pe AS (SELECT abs(list_cosine_similarity(a.v, c.v)
+            - list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[])) AS ae
+          FROM b a CROSS JOIN b c
+          WHERE a.vec_id < 5 AND a.vec_id != c.vec_id)
+      SELECT count(*)::BIGINT AS n_pairs, round(avg(ae), 6) AS mean_abs_err,
+        round(max(ae), 6) AS max_abs_err, round(sqrt(avg(ae*ae)), 6) AS rmse
+      FROM pe"""))
+
   /** Cosine range search: every neighbor above the similarity radius per
     * query — threshold cut, no top-k window at all. */
   private[graft] val qRangeSearch = Q("sim8_range_search",
@@ -625,6 +673,7 @@ private[graft] object QueriesDedup {
     qSemDedupAnchor,
     qEmbDedupAnchor,
     qBruteTopK,
+    qProjectionDistortion,
     qRangeSearch,
     qIvfTopK,
     qLshTopK,

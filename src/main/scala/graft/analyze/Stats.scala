@@ -72,6 +72,28 @@ object Stats {
         ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"), col("chi2"))
   }
 
+  /** Benford first-digit audit — the fabricated-data / unit-mixing smell
+    * test: observed first-significant-digit frequencies against Benford's
+    * law `P(d) = log10(1 + 1/d)`. `intCol` must be an exact INTEGER
+    * column (cents, counts): integer→string is exact on every engine
+    * where float formatting is not, so the digit extraction restates
+    * verbatim. Rows whose leading character is not 1-9 (zero, negative)
+    * are excluded. One grouped count + a 1-row total. */
+  def benford(df: DataFrame, intCol: Column): DataFrame = {
+    val digit = substring(intCol.cast("string"), 1, 1).cast("int")
+    val counts = df.select(digit.as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("__t").cast("double"), 6)
+          .as("obs_ratio"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("exp_ratio"))
+      .orderBy("digit")
+  }
+
   /** The d×d covariance matrix (population) of the numeric columns from
     * ONE aggregation pass over raw power sums: `cov(i,j) = Σxᵢxⱼ/n −
     * mᵢ·mⱼ`. Returns (n, means, cov) driver-side — d is the FEATURE

@@ -52,6 +52,43 @@ object Similarity {
   def unit(vec: Column, nrm: Column): Column =
     transform(vec, x => x.cast("double") / nrm)
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign for entry (i, j) of the
+    * seeded projection matrix — parity of the first md5 nibble of
+    * `"seed:i:j"` (the portable-coin device), identical in any engine
+    * with md5: even nibble (0,2,4,6,8,a,c,e) → +1. */
+  def jlSign(seed: String, i: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection: replaces `vecCol` with the
+    * outDim-vector `y_j = (Σ_i sign(i,j)·x_i)·√outDim⁻¹`, signs baked as
+    * plan literals (the d5 plane-literal device — Achlioptas 2001 showed
+    * ±1 entries suffice for the JL guarantee). ONE codegen projection,
+    * no shuffle, no UDF: at 100 TB the reduction runs at scan speed, so
+    * ANN candidate generation can work in the reduced space (outDim-cost
+    * dot products) and verify survivors in the original — rp1 measures
+    * exactly that recall on real data. */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+      seed: String = "rp"): DataFrame =
+    df.withColumn(vecCol, jlProjection(col(vecCol), inDim, outDim, seed))
+
+  /** The projection as a column expression — callers that need BOTH the
+    * original and the reduced vector in one pass (the rp1 distortion
+    * audit) select it beside the source column. */
+  def jlProjection(vec: Column, inDim: Int, outDim: Int,
+      seed: String = "rp"): Column = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"need 1 <= outDim <= inDim, got $inDim -> $outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { j =>
+      (0 until inDim).map(i =>
+        element_at(vec, i + 1).cast("double") * lit(jlSign(seed, i, j)))
+        .reduce(_ + _) * lit(scale)
+    }: _*)
+  }
+
   /** Brute-force cosine top-k: every query row against the whole corpus.
     * The query side is broadcast (it is the small side by construction);
     * the corpus streams partition-parallel, so at 100 TB this is one

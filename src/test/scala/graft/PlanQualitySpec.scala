@@ -50,7 +50,9 @@ class PlanQualitySpec extends SparkSpec {
     "mb1_association_rules", // pair stats × 1-ROW n_baskets aggregate
     "jc1_joinsize_est", // sampled sum × 1-ROW exact-sum aggregate
     "ab1_welch_ttest", // the two 1-ROW group-stat sides cross-joined
-    "chi1_chi2_independence") // contingency cells × 1-ROW totals aggregate
+    "chi1_chi2_independence", // contingency cells × 1-ROW totals aggregate
+    "dq8_benford", // 9 digit counts × the 1-ROW total aggregate
+    "rp1_projection_distortion") // broadcast tiny query side, like sim1
 
   test("no registered query plans a cartesian product; nested-loop joins only where deliberate") {
     withStaticPlans {

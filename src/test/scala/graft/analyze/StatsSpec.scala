@@ -41,6 +41,19 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(r1.fieldIndex("chi2")) - expected) < 1e-6)
   }
 
+  test("benford: exact digit extraction, ratios, and non-positive exclusion") {
+    import org.apache.spark.sql.functions.col
+    // leading digits: 1 (x3), 2 (x1), 9 (x1); zero and negative excluded
+    val df = Seq(123L, 1L, 19999L, 2L, 9L, 0L, -5L).toDF("v")
+    val rows = Stats.benford(df, col("v")).collect()
+    val byDigit = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byDigit.keySet == Set(1, 2, 9))
+    assert(byDigit(1).getLong(1) == 3L)
+    assert(byDigit(1).getDouble(2) == 0.6)
+    assert(math.abs(byDigit(1).getDouble(3) - math.log10(2.0)) < 1e-6)
+    assert(math.abs(byDigit(9).getDouble(3) - math.log10(10.0 / 9)) < 1e-6)
+  }
+
   test("covarianceMatrix + topComponent recover a planted dominant direction") {
     // points along (1, 1)/sqrt(2) with small orthogonal noise: the top
     // component must align with the diagonal and carry most variance

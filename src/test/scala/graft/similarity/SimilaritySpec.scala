@@ -147,4 +147,31 @@ class SimilaritySpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Similarity.nPlanesFor(0, 16) }
   }
+
+  test("jlProjection: deterministic signs, norm preserved in expectation, identical vectors stay identical") {
+    // signs are a pure function of (seed, i, j)
+    assert(Similarity.jlSign("rp", 3, 5) == Similarity.jlSign("rp", 3, 5))
+    assert(Seq(Similarity.jlSign("rp", 0, 0)).forall(s => s == 1.0 || s == -1.0))
+    // sign table is balanced enough to be a real projection (not constant)
+    val signs = for (i <- 0 until 64; j <- 0 until 16)
+      yield Similarity.jlSign("rp", i, j)
+    assert(signs.count(_ > 0) > 300 && signs.count(_ < 0) > 300)
+    // project a few structured vectors: cosine(v, v) stays exactly 1 after
+    // projection (same vector -> same projected vector), and squared norm
+    // is preserved within JL tolerance for a dense vector
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val df = Seq((1L, v), (2L, v)).toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(df, "embedding", 64, 16)
+    val rows = proj.orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    assert(rows(0).length == 16)
+    assert(rows(0).toSeq == rows(1).toSeq)
+    val n0 = v.map(x => x * x).sum
+    val n1 = rows(0).map(x => x * x).sum
+    assert(math.abs(n1 - n0) / n0 < 0.75, s"norm $n0 -> $n1 outside JL slack")
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(df, "embedding", 16, 64)
+    }
+  }
 }

@@ -68,6 +68,31 @@ private[graft] object QueriesCore {
         .mkString("", " UNION ALL ", " ORDER BY table_name")
     })
 
+  /** Hive-partitioned write + PRUNED read: orders land partitioned by
+    * order year, the read filters one year, and the aggregate is
+    * hash-compared against the unpartitioned truth. The filter prunes
+    * directories at planning time (`PartitionFilters` on the scan,
+    * asserted in PartitionedSpec) — at 100 TB this skips the bytes
+    * entirely, where P5/q6's footer-level pushdown still lists and opens
+    * every file. Exact integer cents keep the sum drift-free. */
+  private[graft] val qPartitionPrune = Q("pp1_partition_prune",
+    (s, d) => {
+      val out = scratchDir("graft_part")
+      graft.sources.Partitioned.write(
+        t(s, d, "orders").withColumn("yr", year(col("o_orderdate"))),
+        out, Seq("yr"))
+      graft.sources.Partitioned.read(nanosOk(s), out)
+        .filter(col("yr") === 1995)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+        sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS cents
+      FROM orders WHERE year(o_orderdate) = 1995
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Full TPC-H Q1 shape: the classic pricing-summary aggregate battery —
     * one scan, map-side partial aggregation, 3-column read schema. */
   private[graft] val qAgg1 = Q("q1_agg",
@@ -599,6 +624,7 @@ private[graft] object QueriesCore {
     qScan,
     qCounts,
     qCopy,
+    qPartitionPrune,
     qAgg1,
     qQ5,
     qProject,

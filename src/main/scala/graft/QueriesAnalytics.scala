@@ -1875,6 +1875,49 @@ private[graft] object QueriesAnalytics {
     },
     Some(pcaOracle(iters = 3)))
 
+  /** The LLM corpus pipeline END-TO-END as one dataflow (the bp11 device
+    * applied to data curation): quality gate (T1's token count + punct
+    * ratio) → exact dedup keep (D1's min-id representative) → greedy
+    * sequence packing (PACK1's per-language prefix sum), reported as
+    * per-language sequence/doc/token counts. Each stage is a registered
+    * operator; composing them keeps the whole trajectory under the
+    * oracle — the "can a user run their actual pipeline" proof, not just
+    * its pieces. One scan + one dedup shuffle + one window. */
+  private[graft] val qCorpusPipeline = Q("pipe1_corpus_pipeline",
+    (s, d) => {
+      import graft.text.TextAnalysis
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val q = docs.filter(TextAnalysis.tokenCount(col("text")) >= 5 &&
+        TextAnalysis.punctRatio(col("text")) <= 0.2)
+      val keep = graft.dedup.Dedup.exactGroups(q, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val surv = q.join(keep, "doc_id")
+      val packed = graft.text.Chunker.packGreedy(surv, "doc_id", "text",
+        64, "lang")
+      packed.groupBy(col("lang"))
+        .agg(countDistinct(col("seq_id")).as("n_seqs"),
+          count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH q AS (SELECT doc_id, lang, text,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+        AND (CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(string_split(trim(text), ' ')) END) >= 5
+        AND (CASE WHEN length(text) = 0 THEN 0.0
+          ELSE (length(text) - length(translate(text, '.,!?;:''"()-', '')))::DOUBLE
+            / length(text) END) <= 0.2),
+      k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY lower(trim(text))),
+      s AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+      c AS (SELECT lang, doc_id, n_tokens,
+          (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS st
+        FROM s)
+      SELECT lang, count(DISTINCT st // 64)::BIGINT AS n_seqs,
+        count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   /** Benford first-digit audit of order totals — the fabricated-data /
     * unit-mixing smell test. Digits extracted from exact integer CENTS
     * (integer→string is exact cross-engine; float formatting is not). */
@@ -1897,6 +1940,7 @@ private[graft] object QueriesAnalytics {
     qChi2,
     qPca,
     qBenford,
+    qCorpusPipeline,
     qHllVocab,
     qHllMerge,
     qKmvDistinct,

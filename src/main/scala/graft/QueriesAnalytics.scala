@@ -1257,8 +1257,15 @@ private[graft] object QueriesAnalytics {
     * vertices of degree < k, repeat). Rounds past the fixpoint are
     * no-ops (the weak set is empty), so any `rounds` ≥ the actual peel
     * depth restates the fixpoint exactly; sf0.01 converges in 3 rounds
-    * (sf0.001 empties in 2), 8 leaves headroom. Pure integer degree
-    * counts — no rounding device needed. */
+    * (sf0.001 empties in 2), 10 leaves headroom. Pure integer degree
+    * counts — no rounding device needed.
+    *
+    * TRIAGE NOTE (ADVICE r13): the unroll depth is calibrated to the
+    * gate SFs above. If the driver ever runs the oracle at a larger SF
+    * and kc1 alone goes red, check the Spark log line
+    * `KCore(k=70): converged after N peel rounds` FIRST — N+1 > rounds
+    * means the oracle restated a pre-fixpoint state (an oracle-depth
+    * shortfall, not a Spark bug); bump `rounds` and re-run. */
   private[graft] def kCoreOracle(k: Int, rounds: Int): String = {
     // AS MATERIALIZED: without it DuckDB inlines each CTE at every use
     // site — e_{i-1} appears 3× per round, so the plan blows up 3^rounds
@@ -1297,7 +1304,7 @@ private[graft] object QueriesAnalytics {
       graft.graph.KCore.vertices(e, "u", "v", k = 70)
         .orderBy("id")
     },
-    Some(kCoreOracle(70, 8)))
+    Some(kCoreOracle(70, 10)))
 
   // Portable mergeable sketches (round 12) — incremental distinct stats:
   // build tiny register/bottom-k sketches once per shard, merge later
@@ -1800,10 +1807,13 @@ private[graft] object QueriesAnalytics {
       cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
       tt AS (SELECT sum(o) AS t, count(DISTINCT a) AS ka,
         count(DISTINCT b) AS kb FROM cells),
+      grid AS (SELECT ra.a, ra.ra, cb.b, cb.cb,
+          coalesce(c.o, 0) AS o
+        FROM ra CROSS JOIN cb LEFT JOIN cells c ON ra.a = c.a AND cb.b = c.b),
       x AS (SELECT (o::DOUBLE - ra::DOUBLE*cb::DOUBLE/t::DOUBLE)
           * (o::DOUBLE - ra::DOUBLE*cb::DOUBLE/t::DOUBLE)
           / (ra::DOUBLE*cb::DOUBLE/t::DOUBLE) AS cell, ka, kb
-        FROM cells JOIN ra USING (a) JOIN cb USING (b), tt)
+        FROM grid, tt)
       SELECT count(*)::BIGINT AS n_cells, ((ka - 1)*(kb - 1))::BIGINT AS dof,
         round(sum(cell), 6) AS chi2
       FROM x GROUP BY ka, kb"""))

@@ -28,6 +28,17 @@ object Stats {
     val g = df.filter(col(groupCol).isin(g1, g2))
       .groupBy(col(groupCol).as("__g"))
       .agg(count(x).as("__n"), sum(x).as("__s1"), sum(x * x).as("__s2"))
+    // Fail loudly on an absent/degenerate group: the crossJoin below would
+    // silently drop the result row, so a typo in g1/g2 looked like a
+    // successful zero-row run (ADVICE r13). The validation pass aggregates
+    // to at most two rows — bounded at any corpus size.
+    val seen = g.collect().map(r =>
+      r.get(0).toString -> r.getLong(r.fieldIndex("__n"))).toMap
+    Seq(g1, g2).foreach { gv =>
+      val n = seen.getOrElse(gv, 0L)
+      require(n >= 2, s"welchTTest: group '$gv' has $n non-null rows in " +
+        s"'$groupCol' (need >= 2 for a sample variance)")
+    }
     def side(gv: String, suffix: String) = g.filter(col("__g") === gv)
       .select(col("__n").as(s"n$suffix"), col("__s1").as(s"s1$suffix"),
         col("__s2").as(s"s2$suffix"))
@@ -48,22 +59,28 @@ object Stats {
   /** Pearson chi-square test of independence between two categorical
     * columns: one groupBy(a, b) count (cardinality-bounded shuffle), the
     * marginals re-aggregated FROM the cells (no second scan), expected
-    * counts `row·col/total`, and `χ² = Σ (obs−exp)²/exp`. Output: one
-    * row (n_cells, dof, chi2 rounded to 6). */
+    * counts `row·col/total`, and `χ² = Σ (obs−exp)²/exp` over the FULL
+    * ka×kb grid — a (a,b) combination never observed still contributes
+    * its expected count (the `(0−e)²/e = e` term Pearson's statistic
+    * requires; without it sparse tables understate χ² while
+    * dof=(ka−1)(kb−1) still assumes the complete grid — ADVICE r13). The
+    * grid is the crossJoin of the two marginal frames (cardinality², not
+    * data-sized) left-joined against the observed cells. Output: one
+    * row (n_cells = ka·kb, dof, chi2 rounded to 6). */
   def chiSquareIndependence(df: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
-    val withA = cells.join(
-      cells.groupBy("__a").agg(sum(col("__o")).as("__ra")), "__a")
-    val withB = withA.join(
-      cells.groupBy("__b").agg(sum(col("__o")).as("__cb")), "__b")
+    val ra = cells.groupBy("__a").agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy("__b").agg(sum(col("__o")).as("__cb"))
+    val full = ra.crossJoin(cb).join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
     val tot = cells.agg(sum(col("__o")).as("__t"),
       countDistinct(col("__a")).as("__ka"),
       countDistinct(col("__b")).as("__kb"))
     val e = col("__ra").cast("double") * col("__cb").cast("double") /
       col("__t").cast("double")
-    withB.crossJoin(broadcast(tot))
+    full.crossJoin(broadcast(tot))
       .select(((col("__o").cast("double") - e) * (col("__o").cast("double") - e) / e)
         .as("__cell"), col("__ka"), col("__kb"))
       .groupBy(col("__ka"), col("__kb"))
@@ -97,17 +114,25 @@ object Stats {
   /** The d×d covariance matrix (population) of the numeric columns from
     * ONE aggregation pass over raw power sums: `cov(i,j) = Σxᵢxⱼ/n −
     * mᵢ·mⱼ`. Returns (n, means, cov) driver-side — d is the FEATURE
-    * count (small); the data never moves beyond d(d+3)/2 running sums. */
+    * count (small); the data never moves beyond d(d+3)/2 running sums.
+    *
+    * COMPLETE-CASE: rows where ANY input column is null are excluded up
+    * front, so `n` counts exactly the rows the sums cover (mixing
+    * count(*) with null-skipping sums silently deflated every mean and
+    * covariance on nullable inputs — ADVICE r13). Pairwise-deletion
+    * covariance is deliberately not offered: it can produce non-PSD
+    * matrices, which would break [[topComponent]]'s power iteration. */
   def covarianceMatrix(df: DataFrame,
       cols: Seq[String]): (Double, Array[Double], Array[Array[Double]]) = {
     val d = cols.length
     require(d >= 1, "need at least one column")
+    val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
     val x = (i: Int) => col(cols(i)).cast("double")
     val sums = Seq(count(lit(1)).cast("double").as("n")) ++
       (0 until d).map(i => sum(x(i)).as(s"s_$i")) ++
       (for (i <- 0 until d; j <- i until d)
         yield sum(x(i) * x(j)).as(s"p_${i}_$j"))
-    val r = df.agg(sums.head, sums.tail: _*).head()
+    val r = complete.agg(sums.head, sums.tail: _*).head()
     def g(name: String) = r.getDouble(r.fieldIndex(name))
     val n = g("n")
     require(n >= 2, "need at least two rows")

@@ -1270,10 +1270,14 @@ object Blueprint {
     *
     * Everything is row-local k×k arithmetic — pure codegen column
     * expressions, NO shuffle, no UDF: at 100 TB this runs as a straight
-    * projection inside whole-stage codegen at scan speed. Plain softmax
-    * (no max-subtraction) so the SQL restatement is term-for-term
-    * identical; callers keep token dot products bounded (normalized
-    * features) exactly as a trained model would.
+    * projection inside whole-stage codegen at scan speed. The softmax is
+    * the numerically-stable form (row-local max subtracted before `exp`,
+    * the same two-pass device the trained variants bp8/bp14 use in their
+    * windowed aggregates): algebraically identical to the plain form —
+    * `exp(s−M)/Σexp(s−M) ≡ exp(s)/Σexp(s)` — so the SQL restatements
+    * keep the plain form term-for-term and round-6 absorbs the ulps,
+    * while learned projections feeding ±large scores (multi-head Q/K/V,
+    * [[mhaForwardStaged]]) can no longer overflow `exp`.
     *
     * @param tokens the k column embeddings, each an array column of
     *               length `dim`
@@ -1284,8 +1288,11 @@ object Blueprint {
     val k = tokens.length
     val x = (a: Int, i: Int) => element_at(tokens(a), i + 1).cast("double")
     val scale = 1.0 / math.sqrt(dim.toDouble)
-    val ex = Array.tabulate(k, k)((a, b) =>
-      exp((0 until dim).map(i => x(a, i) * x(b, i)).reduce(_ + _) * lit(scale)))
+    val s = Array.tabulate(k, k)((a, b) =>
+      (0 until dim).map(i => x(a, i) * x(b, i)).reduce(_ + _) * lit(scale))
+    val m = (0 until k).map(a =>
+      if (k == 1) s(a)(0) else greatest((0 until k).map(b => s(a)(b)): _*))
+    val ex = Array.tabulate(k, k)((a, b) => exp(s(a)(b) - m(a)))
     val z = (0 until k).map(a => (0 until k).map(b => ex(a)(b)).reduce(_ + _))
     (0 until k).map { a =>
       (0 until dim).map { i =>
@@ -1605,6 +1612,210 @@ object Blueprint {
       when(y === kk, col(s"__pr$kk")).otherwise(lit(0.0))).reduce(_ + _)
     transformerForwardStaged(joined, p, numCols)
       .agg(avg(-log(py))).collect()(0).getDouble(0)
+  }
+
+  /** Parameters of the multi-head attention readout with LEARNED
+    * projections (`torch.nn.MultiheadAttention` semantics,
+    * `nn/models/transformer.py:16-18`, `nn/layers/attenttion.py:5-13`:
+    * in-projections Q/K/V and an out-projection are always trained, and
+    * the experiment sweep searches `num_heads ∈ {2,4,8}`,
+    * `experiments/blueprint_mlflow.py:256,271,296`): per head g,
+    * `wq/wk/wv(g)` are the (dim/heads)×dim head projections; `wo` is the
+    * dim×dim output projection over the concatenated heads; `w`/`b` the
+    * logistic readout. */
+  final case class MhaParams(wq: Array[Array[Array[Double]]],
+      wk: Array[Array[Array[Double]]], wv: Array[Array[Array[Double]]],
+      wo: Array[Array[Double]], w: Array[Double], b: Double)
+
+  /** Deterministic default [[MhaParams]] init — every projection entry
+    * nonzero, head- and index-asymmetric (so no two heads start
+    * identical and no gradient path is dead at step 0); shared by the
+    * bp15/mha1 oracle generators. */
+  def mhaInit(dim: Int, heads: Int): MhaParams = {
+    require(heads >= 1 && dim % heads == 0, s"dim $dim must split into $heads heads")
+    val dh = dim / heads
+    def proj(off: Double) = Array.tabulate(heads, dh, dim)((g, r, c) =>
+      (off + 0.1 * (g + 1) + 0.05 * (r + 1) * (c + 1)) *
+        (if ((g + r + c) % 2 == 0) 1 else -1))
+    MhaParams(proj(0.2), proj(0.3), proj(0.4),
+      Array.tabulate(dim, dim)((i, j) =>
+        (0.15 + 0.05 * (i + 1) * (j + 1)) * (if ((i + j) % 2 == 0) 1 else -1)),
+      Array.tabulate(dim)(i => 0.1 * (i + 1) * (if (i % 2 == 0) 1 else -1)),
+      0.0)
+  }
+
+  /** The row-local multi-head attention forward as a STAGED projection
+    * chain (the [[transformerForwardStaged]] device — each intermediate
+    * is a NAMED column computed once per row, so codegen evaluates the
+    * DAG, not an exponentially-duplicated tree). Token 0 is the query
+    * token (the reference reads token 0 out, `transformer.py:106-110`);
+    * all k tokens are keys and values. Per head g (head dim dh):
+    *
+    *   q_r = Σ_c wq(g)(r)(c)·x₀[c]        k/v analogously per token b
+    *   s_b = Σ_r q_r·k_br / √dh           α = softmax_b(s)   (stable:
+    *                                       row max subtracted pre-exp)
+    *   ho_r = Σ_b α_b·v_br                o = concat_g(ho)
+    *   out_i = Σ_j wo(i)(j)·o_j
+    *
+    * Emits `__x{b}_{c}` (token components), `__q{g}_{r}`, `__k{g}_{b}_{r}`,
+    * `__v{g}_{b}_{r}`, `__s{g}_{b}`, `__al{g}_{b}` (softmax), `__o{j}`
+    * (concatenated heads), `__out{i}`. Pure codegen, NO shuffle — at
+    * 100 TB the forward runs inside whole-stage codegen at scan speed.
+    * Shared by [[fitMhaGD]], [[mhaLogLoss]] and the mha1 registry query
+    * so forward and backward can never drift apart. */
+  private[graft] def mhaForwardStaged(df: DataFrame, tokenCols: Seq[String],
+      p: MhaParams): DataFrame = {
+    val heads = p.wq.length; val dh = p.wq.head.length
+    val dim = p.wq.head.head.length; val k = tokenCols.length
+    val scaleH = 1.0 / math.sqrt(dh.toDouble)
+    val x = (b: Int, c: Int) => col(s"__x${b}_$c")
+    df.withColumns((for (b <- 0 until k; c <- 0 until dim)
+        yield s"__x${b}_$c" ->
+          element_at(col(tokenCols(b)), c + 1).cast("double")).toMap)
+      .withColumns((
+        (for (g <- 0 until heads; r <- 0 until dh) yield s"__q${g}_$r" ->
+          (0 until dim).map(c => x(0, c) * lit(p.wq(g)(r)(c))).reduce(_ + _)) ++
+        (for (g <- 0 until heads; b <- 0 until k; r <- 0 until dh)
+          yield s"__k${g}_${b}_$r" ->
+            (0 until dim).map(c => x(b, c) * lit(p.wk(g)(r)(c))).reduce(_ + _)) ++
+        (for (g <- 0 until heads; b <- 0 until k; r <- 0 until dh)
+          yield s"__v${g}_${b}_$r" ->
+            (0 until dim).map(c => x(b, c) * lit(p.wv(g)(r)(c))).reduce(_ + _))).toMap)
+      .withColumns((for (g <- 0 until heads; b <- 0 until k)
+        yield s"__s${g}_$b" ->
+          (0 until dh).map(r => col(s"__q${g}_$r") * col(s"__k${g}_${b}_$r"))
+            .reduce(_ + _) * lit(scaleH)).toMap)
+      .withColumns((0 until heads).map(g => s"__mx$g" -> (
+        if (k == 1) col(s"__s${g}_0")
+        else greatest((0 until k).map(b => col(s"__s${g}_$b")): _*))).toMap)
+      .withColumns((for (g <- 0 until heads; b <- 0 until k)
+        yield s"__e${g}_$b" -> exp(col(s"__s${g}_$b") - col(s"__mx$g"))).toMap)
+      .withColumns((0 until heads).map(g => s"__z$g" ->
+        (0 until k).map(b => col(s"__e${g}_$b")).reduce(_ + _)).toMap)
+      .withColumns((for (g <- 0 until heads; b <- 0 until k)
+        yield s"__al${g}_$b" -> col(s"__e${g}_$b") / col(s"__z$g")).toMap)
+      .withColumns((for (g <- 0 until heads; r <- 0 until dh)
+        yield s"__o${g * dh + r}" ->
+          (0 until k).map(b => col(s"__al${g}_$b") * col(s"__v${g}_${b}_$r"))
+            .reduce(_ + _)).toMap)
+      .withColumns((0 until dim).map(i => s"__out$i" ->
+        (0 until dim).map(j => col(s"__o$j") * lit(p.wo(i)(j))).reduce(_ + _)).toMap)
+  }
+
+  /** Multi-head attention with learned Q/K/V/output projections, trained
+    * end-to-end by GD — the last reference capability without an engine
+    * twin (the tuned model space searches `num_heads ∈ {2,4,8}`): token 0
+    * queries all k tokens through per-head learned projections, the
+    * concatenated head outputs pass the learned out-projection, and a
+    * logistic readout scores the result (mean BCE vs `yCol`).
+    *
+    * The entire backward is row-local (the bp13 softmax-Jacobian device,
+    * once per head): with `dout_i = dm·w_i`, `do_j = Σ_i wo(i)(j)·dout_i`,
+    * per head `dα_b = Σ_r da_r·v_br`, `ds_b = α_b(dα_b − Σ_c α_c dα_c)`,
+    * the projection gradients fold as flat sums — `∂wq(g)(r)(c) =
+    * (Σ_b ds_b·k_br)·√dh⁻¹·x₀[c]`, `∂wk(g)(r)(c) = q_r·√dh⁻¹·Σ_b ds_b·
+    * x_b[c]`, `∂wv(g)(r)(c) = Σ_b α_b·da_r·x_b[c]`. EVERY gradient is a
+    * per-row codegen expression, so a GD step is ONE distributed
+    * aggregate pass (no join, no scatter, map-side partial agg);
+    * parameters re-enter the next step as literals. The stable softmax
+    * (max-subtract, free in codegen) keeps large learned projections
+    * from overflowing `exp`; the softmax-normalized backward formulas
+    * read α directly, so stabilization costs the gradient nothing.
+    * Op order pinned: all gradients from the step's incoming parameters,
+    * then `θ − lr·(g/n)` — the SQL restatement is step-for-step. */
+  def fitMhaGD(df: DataFrame, tokenCols: Seq[String], yCol: String,
+      dim: Int, heads: Int, steps: Int, lr: Double,
+      init: MhaParams = null): MhaParams = {
+    require(tokenCols.nonEmpty && dim >= 1, "need tokens and a dimension")
+    require(heads >= 1 && dim % heads == 0, s"dim $dim must split into $heads heads")
+    require(steps >= 1 && lr > 0, "need steps >= 1 and lr > 0")
+    val dh = dim / heads; val k = tokenCols.length
+    val p0 = if (init != null) init else mhaInit(dim, heads)
+    require(p0.wq.length == heads && p0.wq.forall(h => h.length == dh &&
+        h.forall(_.length == dim)) &&
+      p0.wk.length == heads && p0.wv.length == heads &&
+      p0.wo.length == dim && p0.wo.forall(_.length == dim) &&
+      p0.w.length == dim, "init shape mismatch")
+    val wq = p0.wq.map(_.map(_.clone())); val wk = p0.wk.map(_.map(_.clone()))
+    val wv = p0.wv.map(_.map(_.clone())); val wo = p0.wo.map(_.clone())
+    val w = p0.w.clone(); var b = p0.b
+    val scaleH = 1.0 / math.sqrt(dh.toDouble)
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    (1 to steps).foreach { _ =>
+      val cur = MhaParams(wq.map(_.map(_.clone())), wk.map(_.map(_.clone())),
+        wv.map(_.map(_.clone())), wo.map(_.clone()), w.clone(), b)
+      // backward stages continue the forward's projection chain
+      val back = mhaForwardStaged(df, tokenCols, cur)
+        .withColumn("__dm", sig((0 until dim)
+          .map(i => col(s"__out$i") * lit(cur.w(i))).reduce(_ + _) + lit(cur.b)) - y)
+        .withColumns((0 until dim).map(i =>
+          s"__dout$i" -> col("__dm") * lit(cur.w(i))).toMap)
+        .withColumns((0 until dim).map(j => s"__do$j" ->
+          (0 until dim).map(i => col(s"__dout$i") * lit(cur.wo(i)(j)))
+            .reduce(_ + _)).toMap)
+        .withColumns((for (g <- 0 until heads; bb <- 0 until k)
+          yield s"__dal${g}_$bb" ->
+            (0 until dh).map(r => col(s"__do${g * dh + r}") *
+              col(s"__v${g}_${bb}_$r")).reduce(_ + _)).toMap)
+        .withColumns((0 until heads).map(g => s"__sad$g" ->
+          (0 until k).map(bb => col(s"__al${g}_$bb") * col(s"__dal${g}_$bb"))
+            .reduce(_ + _)).toMap)
+        .withColumns((for (g <- 0 until heads; bb <- 0 until k)
+          yield s"__ds${g}_$bb" ->
+            col(s"__al${g}_$bb") * (col(s"__dal${g}_$bb") - col(s"__sad$g"))).toMap)
+        .withColumns((for (g <- 0 until heads; r <- 0 until dh)
+          yield s"__dq${g}_$r" ->
+            (0 until k).map(bb => col(s"__ds${g}_$bb") * col(s"__k${g}_${bb}_$r"))
+              .reduce(_ + _) * lit(scaleH)).toMap)
+      val xB = (bb: Int, c: Int) => col(s"__x${bb}_$c")
+      // ONE aggregate pass: every projection gradient as a flat sum
+      val sums =
+        (for (g <- 0 until heads; r <- 0 until dh; c <- 0 until dim)
+          yield sum(col(s"__dq${g}_$r") * xB(0, c)).as(s"gq_${g}_${r}_$c")) ++
+        (for (g <- 0 until heads; r <- 0 until dh; c <- 0 until dim)
+          yield sum((0 until k).map(bb => col(s"__ds${g}_$bb") * xB(bb, c))
+            .reduce(_ + _) * col(s"__q${g}_$r") * lit(scaleH))
+            .as(s"gk_${g}_${r}_$c")) ++
+        (for (g <- 0 until heads; r <- 0 until dh; c <- 0 until dim)
+          yield sum((0 until k).map(bb => col(s"__al${g}_$bb") * xB(bb, c))
+            .reduce(_ + _) * col(s"__do${g * dh + r}"))
+            .as(s"gv_${g}_${r}_$c")) ++
+        (for (i <- 0 until dim; j <- 0 until dim)
+          yield sum(col(s"__dout$i") * col(s"__o$j")).as(s"go_${i}_$j")) ++
+        (0 until dim).map(i => sum(col("__dm") * col(s"__out$i")).as(s"gw_$i")) ++
+        Seq(sum(col("__dm")).as("gb"), count(lit(1)).cast("double").as("n"))
+      val row = back.agg(sums.head, sums.tail: _*).collect()(0)
+      def g(name: String) = row.getDouble(row.fieldIndex(name))
+      val n = g("n")
+      require(n > 0, "cannot fit on an empty DataFrame")
+      for (gg <- 0 until heads; r <- 0 until dh; c <- 0 until dim) {
+        wq(gg)(r)(c) -= lr * (g(s"gq_${gg}_${r}_$c") / n)
+        wk(gg)(r)(c) -= lr * (g(s"gk_${gg}_${r}_$c") / n)
+        wv(gg)(r)(c) -= lr * (g(s"gv_${gg}_${r}_$c") / n)
+      }
+      for (i <- 0 until dim; j <- 0 until dim)
+        wo(i)(j) -= lr * (g(s"go_${i}_$j") / n)
+      (0 until dim).foreach(i => w(i) -= lr * (g(s"gw_$i") / n))
+      b -= lr * (g("gb") / n)
+    }
+    MhaParams(wq, wk, wv, wo, w, b)
+  }
+
+  /** Mean logistic loss of [[fitMhaGD]]'s model — one aggregate over the
+    * shared staged forward; the finite-difference anchor proving the
+    * analytic gradient flows through every learned projection (Q, K, V,
+    * output) and both softmax paths. */
+  def mhaLogLoss(df: DataFrame, tokenCols: Seq[String], yCol: String,
+      p: MhaParams): Double = {
+    val dim = p.wo.length
+    val y = col(yCol).cast("double")
+    val m = (0 until dim).map(i => col(s"__out$i") * lit(p.w(i)))
+      .reduce(_ + _) + lit(p.b)
+    val pr = lit(1.0) / (lit(1.0) + exp(-m))
+    mhaForwardStaged(df, tokenCols, p)
+      .agg(avg(-(y * log(pr) + (lit(1.0) - y) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
   }
 
   /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:

@@ -41,6 +41,53 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(r1.fieldIndex("chi2")) - expected) < 1e-6)
   }
 
+  test("chiSquareIndependence: a never-observed cell still contributes its expected count") {
+    // sparse 2x2: (x,v) never occurs. Full grid: t=10, ra=(x:4, y:6),
+    // cb=(u:7, v:3); e(x,u)=2.8 e(x,v)=1.2 e(y,u)=4.2 e(y,v)=1.8;
+    // chi2 = (4-2.8)²/2.8 + (0-1.2)²/1.2 + (3-4.2)²/4.2 + (3-1.8)²/1.8
+    // — the (0−e)²/e = 1.2 term is what the observed-cells-only form
+    // silently dropped (ADVICE r13), with dof still claiming the grid.
+    val sparse = Seq.fill(4)(("x", "u")) ++
+      Seq.fill(3)(("y", "u")) ++ Seq.fill(3)(("y", "v"))
+    val r = Stats.chiSquareIndependence(sparse.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r.getLong(r.fieldIndex("n_cells")) == 4L, "full ka*kb grid")
+    assert(r.getLong(r.fieldIndex("dof")) == 1L)
+    val expected = math.pow(4 - 2.8, 2) / 2.8 + math.pow(0 - 1.2, 2) / 1.2 +
+      math.pow(3 - 4.2, 2) / 4.2 + math.pow(3 - 1.8, 2) / 1.8
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2")) - expected) < 1e-6)
+  }
+
+  test("welchTTest fails loudly on an absent or single-row group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0)).toDF("g", "x")
+    // absent group (the typo case): no silent zero-row result
+    val eAbsent = intercept[IllegalArgumentException] {
+      Stats.welchTTest(df, "g", "x", "a", "zzz")
+    }
+    assert(eAbsent.getMessage.contains("zzz"))
+    // single-row group: sample variance undefined
+    val eSingle = intercept[IllegalArgumentException] {
+      Stats.welchTTest(df, "g", "x", "a", "b")
+    }
+    assert(eSingle.getMessage.contains("'b'"))
+  }
+
+  test("covarianceMatrix is complete-case: null rows drop from n AND the sums") {
+    // same points as above plus a row with a null in x1 — the null row
+    // must not deflate the means (n counted it while the sums skipped it)
+    val pts: Seq[(Double, Option[Double])] = Seq((0.0, Some(0.0)),
+      (1.0, Some(1.2)), (2.0, Some(1.8)), (3.0, Some(3.1)),
+      (4.0, Some(4.0)), (5.0, Some(4.9)), (99.0, None))
+    val df = pts.toDF("x0", "x1")
+    val (n, m, cov) = Stats.covarianceMatrix(df, Seq("x0", "x1"))
+    assert(n == 6.0, s"null row excluded from n, got $n")
+    assert(math.abs(m(0) - 2.5) < 1e-12, "mean over complete rows only")
+    val clean = pts.collect { case (a, Some(b)) => (a, b) }
+    val mx = clean.map(_._1).sum / 6; val my = clean.map(_._2).sum / 6
+    val cxy = clean.map { case (a, b) => (a - mx) * (b - my) }.sum / 6
+    assert(math.abs(cov(0)(1) - cxy) < 1e-9)
+  }
+
   test("benford: exact digit extraction, ratios, and non-positive exclusion") {
     import org.apache.spark.sql.functions.col
     // leading digits: 1 (x3), 2 (x1), 9 (x1); zero and negative excluded

@@ -649,6 +649,104 @@ class BlueprintSpec extends SparkSpec {
     }
   }
 
+  test("columnSelfAttention: stable softmax survives ±50-magnitude tokens") {
+    // pre-stabilization this overflowed: scores reach 50·50·2/√2 ≈ 3536,
+    // exp(3536) = Inf and the softmax went NaN. The max-subtract keeps
+    // every exponent ≤ 0 and the output a convex combination of tokens.
+    val df = Seq((Array(50.0, -50.0), Array(-50.0, 50.0), Array(25.0, 25.0)))
+      .toDF("t0", "t1", "t2")
+    val out = Blueprint.columnSelfAttention(
+      Seq(col("t0"), col("t1"), col("t2")), dim = 2)
+    val row = df.select(out.flatten.zipWithIndex.map {
+      case (c, ix) => c.as(s"o$ix")
+    }: _*).collect()(0)
+    (0 until 6).foreach { ix =>
+      val v = row.getDouble(ix)
+      assert(!v.isNaN && !v.isInfinite, s"component $ix overflowed: $v")
+      assert(v >= -50.0 && v <= 50.0, s"component $ix outside the token hull: $v")
+    }
+    // at this magnitude the softmax is saturated: token 0 attends ~only
+    // itself (its self-score dwarfs the cross scores)
+    assert(math.abs(row.getDouble(0) - 50.0) < 1e-9)
+    assert(math.abs(row.getDouble(1) + 50.0) < 1e-9)
+  }
+
+  test("mhaForwardStaged at heads=1 identity projections reduces to columnSelfAttention token 0") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(0.5, -0.5), Array(0.25, 0.75))).toDF("t0", "t1")
+    val eye = Array.tabulate(2, 2)((i, j) => if (i == j) 1.0 else 0.0)
+    val p = Blueprint.MhaParams(Array(eye.map(_.clone())),
+      Array(eye.map(_.clone())), Array(eye.map(_.clone())),
+      eye.map(_.clone()), Array(0.0, 0.0), 0.0)
+    val staged = Blueprint.mhaForwardStaged(df, Seq("t0", "t1"), p)
+      .select(col("__out0"), col("__out1")).collect()
+    val csa = Blueprint.columnSelfAttention(Seq(col("t0"), col("t1")), dim = 2)(0)
+    val direct = df.select(csa(0).as("a"), csa(1).as("b")).collect()
+    staged.zip(direct).foreach { case (s, d) =>
+      assert(math.abs(s.getDouble(0) - d.getDouble(0)) < 1e-12)
+      assert(math.abs(s.getDouble(1) - d.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("fitMhaGD: every projection's gradient matches finite differences, per head; loss falls") {
+    val data = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(0.5, 0.5), Array(1.0, 0.0), 1.0),
+      (Array(0.2, 0.8), Array(0.3, 0.1), 1.0),
+      (Array(0.9, 0.1), Array(0.4, 0.6), 0.0),
+      (Array(0.1, 0.7), Array(0.8, 0.2), 1.0))
+    val df = data.toDF("t0", "t1", "y")
+    val toks = Seq("t0", "t1")
+    val init = Blueprint.mhaInit(dim = 2, heads = 2)
+    def deepCopy(p: Blueprint.MhaParams) = Blueprint.MhaParams(
+      p.wq.map(_.map(_.clone())), p.wk.map(_.map(_.clone())),
+      p.wv.map(_.map(_.clone())), p.wo.map(_.clone()), p.w.clone(), p.b)
+    val lr = 1e-3
+    val stepped = Blueprint.fitMhaGD(df, toks, "y", dim = 2, heads = 2,
+      steps = 1, lr = lr, init = deepCopy(init))
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.MhaParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.mhaLogLoss(df, toks, "y", p)
+    }
+    def check(label: String, grad: Double, plus: Blueprint.MhaParams => Unit,
+        minus: Blueprint.MhaParams => Unit): Unit = {
+      val fd = (lossWith(plus) - lossWith(minus)) / (2 * eps)
+      assert(math.abs(grad - fd) < 1e-4, s"$label grad $grad vs fd $fd")
+    }
+    // every projection matrix, BOTH heads (the per-head paths are
+    // independent — a sign slip in one head's slice hides in the other)
+    for (g <- 0 until 2; c <- 0 until 2) {
+      check(s"wq($g)(0)($c)", (init.wq(g)(0)(c) - stepped.wq(g)(0)(c)) / lr,
+        _.wq(g)(0)(c) += eps, _.wq(g)(0)(c) -= eps)
+      check(s"wk($g)(0)($c)", (init.wk(g)(0)(c) - stepped.wk(g)(0)(c)) / lr,
+        _.wk(g)(0)(c) += eps, _.wk(g)(0)(c) -= eps)
+      check(s"wv($g)(0)($c)", (init.wv(g)(0)(c) - stepped.wv(g)(0)(c)) / lr,
+        _.wv(g)(0)(c) += eps, _.wv(g)(0)(c) -= eps)
+    }
+    for (i <- 0 until 2; j <- 0 until 2)
+      check(s"wo($i)($j)", (init.wo(i)(j) - stepped.wo(i)(j)) / lr,
+        _.wo(i)(j) += eps, _.wo(i)(j) -= eps)
+    check("w(0)", (init.w(0) - stepped.w(0)) / lr, _.w(0) += eps, _.w(0) -= eps)
+    check("w(1)", (init.w(1) - stepped.w(1)) / lr, _.w(1) += eps, _.w(1) -= eps)
+    val gradB = (init.b - stepped.b) / lr
+    val fdBias = (Blueprint.mhaLogLoss(df, toks, "y",
+        deepCopy(init).copy(b = init.b + eps)) -
+      Blueprint.mhaLogLoss(df, toks, "y",
+        deepCopy(init).copy(b = init.b - eps))) / (2 * eps)
+    assert(math.abs(gradB - fdBias) < 1e-4, s"b grad $gradB vs fd $fdBias")
+    // training lowers the loss end to end
+    val trained = Blueprint.fitMhaGD(df, toks, "y", dim = 2, heads = 2,
+      steps = 60, lr = 0.5, init = deepCopy(init))
+    assert(Blueprint.mhaLogLoss(df, toks, "y", trained) <
+      Blueprint.mhaLogLoss(df, toks, "y", init))
+    // dim must split into heads
+    intercept[IllegalArgumentException] {
+      Blueprint.fitMhaGD(df, toks, "y", dim = 3, heads = 2, steps = 1, lr = 0.1)
+    }
+  }
+
   test("fitCrossAttnGD: gradient flows through the row-local softmax; loss falls") {
     val data = Seq(
       (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),

@@ -1323,6 +1323,183 @@ private[graft] object QueriesML {
     },
     Some(fitTransformerOracle(steps = 2, lr = 0.1)))
 
+  /** The w0 CTE body of the mha1/bp15 oracles: every [[graft.pipeline
+    * .Blueprint.mhaInit]] projection entry as an interpolated DOUBLE
+    * literal (dim=2, heads=2, dh=1 — per-head q/k/v are scalars, so the
+    * r index drops out of the SQL names: wq{g}{c} etc.). */
+  private[graft] def mhaW0Sql(p: graft.pipeline.Blueprint.MhaParams): String = {
+    def v(x: Double) = s"($x::DOUBLE)"
+    s"""SELECT ${v(p.wq(0)(0)(0))} AS wq00, ${v(p.wq(0)(0)(1))} AS wq01,
+        ${v(p.wq(1)(0)(0))} AS wq10, ${v(p.wq(1)(0)(1))} AS wq11,
+        ${v(p.wk(0)(0)(0))} AS wk00, ${v(p.wk(0)(0)(1))} AS wk01,
+        ${v(p.wk(1)(0)(0))} AS wk10, ${v(p.wk(1)(0)(1))} AS wk11,
+        ${v(p.wv(0)(0)(0))} AS wv00, ${v(p.wv(0)(0)(1))} AS wv01,
+        ${v(p.wv(1)(0)(0))} AS wv10, ${v(p.wv(1)(0)(1))} AS wv11,
+        ${v(p.wo(0)(0))} AS wo00, ${v(p.wo(0)(1))} AS wo01,
+        ${v(p.wo(1)(0))} AS wo10, ${v(p.wo(1)(1))} AS wo11,
+        ${v(p.w(0))} AS rw0, ${v(p.w(1))} AS rw1, ${v(p.b)} AS bias"""
+  }
+
+  /** The forward CTE chain of step `k` of the mha1/bp15 oracles —
+    * restating [[graft.pipeline.Blueprint.mhaForwardStaged]] stage for
+    * stage at dim=2, heads=2, dh=1, 2 tokens (scale 1/√dh = 1 drops
+    * out): per-head scalar q/k/v projections, scores, the STABLE softmax
+    * (greatest() max-subtract — term-for-term the engine's form), the
+    * per-head attended values (= the concatenated o at dh=1), and the
+    * out-projection. */
+  private[graft] def mhaForwardSql(k: Int): String =
+    s"""f$k AS (SELECT d.*, w.*,
+        x00*wq00 + x01*wq01 AS q0, x00*wq10 + x01*wq11 AS q1,
+        x00*wk00 + x01*wk01 AS k00, x10*wk00 + x11*wk01 AS k01,
+        x00*wk10 + x01*wk11 AS k10, x10*wk10 + x11*wk11 AS k11,
+        x00*wv00 + x01*wv01 AS v00, x10*wv00 + x11*wv01 AS v01,
+        x00*wv10 + x01*wv11 AS v10, x10*wv10 + x11*wv11 AS v11
+      FROM d, w${k - 1} w),
+      s$k AS (SELECT *, q0*k00 AS s00, q0*k01 AS s01,
+        q1*k10 AS s10, q1*k11 AS s11 FROM f$k),
+      e$k AS (SELECT *,
+        exp(s00 - greatest(s00, s01)) AS e00, exp(s01 - greatest(s00, s01)) AS e01,
+        exp(s10 - greatest(s10, s11)) AS e10, exp(s11 - greatest(s10, s11)) AS e11
+      FROM s$k),
+      a$k AS (SELECT *, e00/(e00+e01) AS al00, e01/(e00+e01) AS al01,
+        e10/(e10+e11) AS al10, e11/(e10+e11) AS al11 FROM e$k),
+      o$k AS (SELECT *, al00*v00 + al01*v01 AS o0,
+        al10*v10 + al11*v11 AS o1 FROM a$k),
+      u$k AS (SELECT *, o0*wo00 + o1*wo01 AS out0,
+        o0*wo10 + o1*wo11 AS out1 FROM o$k)"""
+
+  /** bp15's oracle: the multi-head GD recurrence unrolled per step —
+    * the shared forward chain ([[mhaForwardSql]]), the backward chain
+    * (readout residual, out-projection adjoint, per-HEAD value-path and
+    * softmax-Jacobian CTEs, query/key adjoints), ONE sum CTE (exactly
+    * [[graft.pipeline.Blueprint.fitMhaGD]]'s single aggregate pass), the
+    * update CTE. All weights interpolate from the shared mhaInit. */
+  private[graft] def fitMhaOracle(steps: Int, lr: Double): String = {
+    val init = graft.pipeline.Blueprint.mhaInit(2, 2)
+    val chain = (1 to steps).map { k =>
+      s"""${mhaForwardSql(k)},
+      r$k AS (SELECT *, 1.0/(1.0+exp(-(out0*rw0 + out1*rw1 + bias))) - y AS dm
+        FROM u$k),
+      bk$k AS (SELECT *, dm*rw0 AS dout0, dm*rw1 AS dout1 FROM r$k),
+      dj$k AS (SELECT *, dout0*wo00 + dout1*wo10 AS do0,
+        dout0*wo01 + dout1*wo11 AS do1 FROM bk$k),
+      da$k AS (SELECT *, do0*v00 AS dal00, do0*v01 AS dal01,
+        do1*v10 AS dal10, do1*v11 AS dal11 FROM dj$k),
+      sd$k AS (SELECT *, al00*dal00 + al01*dal01 AS sad0,
+        al10*dal10 + al11*dal11 AS sad1 FROM da$k),
+      ds$k AS (SELECT *, al00*(dal00 - sad0) AS ds00, al01*(dal01 - sad0) AS ds01,
+        al10*(dal10 - sad1) AS ds10, al11*(dal11 - sad1) AS ds11 FROM sd$k),
+      dq$k AS (SELECT *, ds00*k00 + ds01*k01 AS dq0,
+        ds10*k10 + ds11*k11 AS dq1 FROM ds$k),
+      g$k AS (SELECT
+          sum(dq0*x00) AS gq00, sum(dq0*x01) AS gq01,
+          sum(dq1*x00) AS gq10, sum(dq1*x01) AS gq11,
+          sum((ds00*x00 + ds01*x10)*q0) AS gk00,
+          sum((ds00*x01 + ds01*x11)*q0) AS gk01,
+          sum((ds10*x00 + ds11*x10)*q1) AS gk10,
+          sum((ds10*x01 + ds11*x11)*q1) AS gk11,
+          sum((al00*x00 + al01*x10)*do0) AS gv00,
+          sum((al00*x01 + al01*x11)*do0) AS gv01,
+          sum((al10*x00 + al11*x10)*do1) AS gv10,
+          sum((al10*x01 + al11*x11)*do1) AS gv11,
+          sum(dout0*o0) AS go00, sum(dout0*o1) AS go01,
+          sum(dout1*o0) AS go10, sum(dout1*o1) AS go11,
+          sum(dm*out0) AS gw0, sum(dm*out1) AS gw1, sum(dm) AS gb
+        FROM dq$k),
+      w$k AS (SELECT
+          w.wq00 - $lr*(g.gq00/n.n) AS wq00, w.wq01 - $lr*(g.gq01/n.n) AS wq01,
+          w.wq10 - $lr*(g.gq10/n.n) AS wq10, w.wq11 - $lr*(g.gq11/n.n) AS wq11,
+          w.wk00 - $lr*(g.gk00/n.n) AS wk00, w.wk01 - $lr*(g.gk01/n.n) AS wk01,
+          w.wk10 - $lr*(g.gk10/n.n) AS wk10, w.wk11 - $lr*(g.gk11/n.n) AS wk11,
+          w.wv00 - $lr*(g.gv00/n.n) AS wv00, w.wv01 - $lr*(g.gv01/n.n) AS wv01,
+          w.wv10 - $lr*(g.gv10/n.n) AS wv10, w.wv11 - $lr*(g.gv11/n.n) AS wv11,
+          w.wo00 - $lr*(g.go00/n.n) AS wo00, w.wo01 - $lr*(g.go01/n.n) AS wo01,
+          w.wo10 - $lr*(g.go10/n.n) AS wo10, w.wo11 - $lr*(g.go11/n.n) AS wo11,
+          w.rw0 - $lr*(g.gw0/n.n) AS rw0, w.rw1 - $lr*(g.gw1/n.n) AS rw1,
+          w.bias - $lr*(g.gb/n.n) AS bias
+        FROM w${k - 1} w, g$k g, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT
+        l_quantity::DOUBLE/50 AS x00, l_linenumber::DOUBLE/7 AS x01,
+        l_discount::DOUBLE AS x10, l_tax::DOUBLE AS x11,
+        CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      w0 AS (${mhaW0Sql(init)}),
+      $chain
+      SELECT round(wq00, 6) AS wq00, round(wq01, 6) AS wq01,
+        round(wq10, 6) AS wq10, round(wq11, 6) AS wq11,
+        round(wk00, 6) AS wk00, round(wk01, 6) AS wk01,
+        round(wk10, 6) AS wk10, round(wk11, 6) AS wk11,
+        round(wv00, 6) AS wv00, round(wv01, 6) AS wv01,
+        round(wv10, 6) AS wv10, round(wv11, 6) AS wv11,
+        round(wo00, 6) AS wo00, round(wo01, 6) AS wo01,
+        round(wo10, 6) AS wo10, round(wo11, 6) AS wo11,
+        round(rw0, 6) AS rw0, round(rw1, 6) AS rw1, round(bias, 6) AS bias
+      FROM w$steps"""
+  }
+
+  /** Multi-head attention FORWARD with learned projections at the shared
+    * deterministic weights (`torch.nn.MultiheadAttention` semantics —
+    * per-head Q/K/V in-projections over the row's tokens, concatenated
+    * heads through the out-projection; the reference's tuned model space
+    * searches `num_heads ∈ {2,4,8}`, blueprint_mlflow.py:256,271,296).
+    * Two heads over two 2-dim lineitem tokens, per-row out vector
+    * emitted. Pure staged codegen — ONE projection at scan speed, the
+    * only exchange is the house output-order sort. */
+  private[graft] val qMhaForward = Q("mha1_mha_forward",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        array(col("l_quantity") / 50, col("l_linenumber").cast("double") / 7)
+          .as("t0"),
+        array(col("l_discount"), col("l_tax")).as("t1"))
+      Blueprint.mhaForwardStaged(li, Seq("t0", "t1"), Blueprint.mhaInit(2, 2))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("__out0"), 6).as("out0"), round(col("__out1"), 6).as("out1"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(s"""WITH d AS (SELECT l_orderkey, l_linenumber,
+        l_quantity::DOUBLE/50 AS x00, l_linenumber::DOUBLE/7 AS x01,
+        l_discount::DOUBLE AS x10, l_tax::DOUBLE AS x11 FROM lineitem),
+      w0 AS (${mhaW0Sql(graft.pipeline.Blueprint.mhaInit(2, 2))}),
+      ${mhaForwardSql(1)}
+      SELECT l_orderkey, l_linenumber,
+        round(out0, 6) AS out0, round(out1, 6) AS out1
+      FROM u1 ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Multi-head attention trained END-TO-END (bp15) — the last reference
+    * capability without an engine twin (the sweep's num_heads > 1
+    * models): learned per-head Q/K/V projections, out-projection and
+    * logistic readout, 2 GD steps at 2 heads over lineitem. Every
+    * gradient is a per-row codegen expression, so each step is ONE
+    * distributed aggregate pass; the 19 trained parameters are the
+    * output — every projection pinned directly, and transitively through
+    * step 2's attention. */
+  private[graft] val qFitMha = Q("bp15_fit_mha",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        array(col("l_quantity") / 50, col("l_linenumber").cast("double") / 7)
+          .as("t0"),
+        array(col("l_discount"), col("l_tax")).as("t1"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitMhaGD(li, Seq("t0", "t1"), "y", dim = 2, heads = 2,
+        steps = 2, lr = 0.1)
+      s.range(1).select(
+        round(lit(p.wq(0)(0)(0)), 6).as("wq00"), round(lit(p.wq(0)(0)(1)), 6).as("wq01"),
+        round(lit(p.wq(1)(0)(0)), 6).as("wq10"), round(lit(p.wq(1)(0)(1)), 6).as("wq11"),
+        round(lit(p.wk(0)(0)(0)), 6).as("wk00"), round(lit(p.wk(0)(0)(1)), 6).as("wk01"),
+        round(lit(p.wk(1)(0)(0)), 6).as("wk10"), round(lit(p.wk(1)(0)(1)), 6).as("wk11"),
+        round(lit(p.wv(0)(0)(0)), 6).as("wv00"), round(lit(p.wv(0)(0)(1)), 6).as("wv01"),
+        round(lit(p.wv(1)(0)(0)), 6).as("wv10"), round(lit(p.wv(1)(0)(1)), 6).as("wv11"),
+        round(lit(p.wo(0)(0)), 6).as("wo00"), round(lit(p.wo(0)(1)), 6).as("wo01"),
+        round(lit(p.wo(1)(0)), 6).as("wo10"), round(lit(p.wo(1)(1)), 6).as("wo11"),
+        round(lit(p.w(0)), 6).as("rw0"), round(lit(p.w(1)), 6).as("rw1"),
+        round(lit(p.b), 6).as("bias"))
+    },
+    Some(fitMhaOracle(steps = 2, lr = 0.1)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private[graft] val qEmbedStub = Q("t4_text_embed_stub",
@@ -1487,6 +1664,8 @@ private[graft] object QueriesML {
     qFitCrossAttn,
     qTransformerForward,
     qFitTransformer,
+    qMhaForward,
+    qFitMha,
     qEmbedStub,
     qEmbedTable,
     qDuration,

@@ -1323,6 +1323,110 @@ private[graft] object QueriesML {
     },
     Some(fitTransformerOracle(steps = 2, lr = 0.1)))
 
+  /** dbt2's oracle: the L-layer stacked DBTransformer unrolled — per
+    * layer, BOTH tables' column self-attention CTEs (scores, stable
+    * greatest() softmax term-for-term with [[graft.pipeline.Blueprint
+    * .columnSelfAttention]], residual), the cross-table CTEs (edge
+    * scores from the POST-self-attention states, the per-parent
+    * α-weighted mean as `sum(e·x)/sum(e)`, both residuals), then the
+    * class head. `lr`/`pr` are MATERIALIZED — each is read three times
+    * per layer and DuckDB would otherwise inline them 3^L times. */
+  private[graft] def dbt2Oracle(layers: Int): String = {
+    val chain = (1 to layers).map { l =>
+      s"""lsa$l AS (SELECT *, (c0*c0 + c1*c1)*sc AS sa0, (c0*d0 + c1*d1)*sc AS sa1,
+          (d0*c0 + d1*c1)*sc AS sb0, (d0*d0 + d1*d1)*sc AS sb1 FROM lx${l - 1}),
+      lse$l AS (SELECT *,
+          exp(sa0 - greatest(sa0, sa1)) AS ea0, exp(sa1 - greatest(sa0, sa1)) AS ea1,
+          exp(sb0 - greatest(sb0, sb1)) AS eb0, exp(sb1 - greatest(sb0, sb1)) AS eb1
+        FROM lsa$l),
+      lsz$l AS (SELECT *, ea0 + ea1 AS za, eb0 + eb1 AS zb FROM lse$l),
+      lr$l AS MATERIALIZED (SELECT okey, sc, nc0 AS c0, nc1 AS c1,
+          nd0 AS d0, nd1 AS d1 FROM (
+        SELECT *, c0 + (ea0/za*c0 + ea1/za*d0) AS nc0,
+            c1 + (ea0/za*c1 + ea1/za*d1) AS nc1,
+            d0 + (eb0/zb*c0 + eb1/zb*d0) AS nd0,
+            d1 + (eb0/zb*c1 + eb1/zb*d1) AS nd1 FROM lsz$l)),
+      psa$l AS (SELECT *, (c0*c0 + c1*c1)*sc AS sa0, (c0*d0 + c1*d1)*sc AS sa1,
+          (d0*c0 + d1*c1)*sc AS sb0, (d0*d0 + d1*d1)*sc AS sb1 FROM px${l - 1}),
+      pse$l AS (SELECT *,
+          exp(sa0 - greatest(sa0, sa1)) AS ea0, exp(sa1 - greatest(sa0, sa1)) AS ea1,
+          exp(sb0 - greatest(sb0, sb1)) AS eb0, exp(sb1 - greatest(sb0, sb1)) AS eb1
+        FROM psa$l),
+      psz$l AS (SELECT *, ea0 + ea1 AS za, eb0 + eb1 AS zb FROM pse$l),
+      pr$l AS MATERIALIZED (SELECT okey, sc, nc0 AS c0, nc1 AS c1,
+          nd0 AS d0, nd1 AS d1 FROM (
+        SELECT *, c0 + (ea0/za*c0 + ea1/za*d0) AS nc0,
+            c1 + (ea0/za*c1 + ea1/za*d1) AS nc1,
+            d0 + (eb0/zb*c0 + eb1/zb*d0) AS nd0,
+            d1 + (eb0/zb*c1 + eb1/zb*d1) AS nd1 FROM psz$l)),
+      ed$l AS (SELECT l.okey, exp((p.c0*l.c0 + p.c1*l.c1)*l.sc) AS w,
+          l.c0 AS mc0, l.c1 AS mc1
+        FROM lr$l l JOIN pr$l p ON l.okey = p.okey),
+      msg$l AS (SELECT okey, sum(w*mc0)/sum(w) AS m0, sum(w*mc1)/sum(w) AS m1
+        FROM ed$l GROUP BY okey),
+      px$l AS (SELECT p.okey, p.sc, p.c0 + coalesce(m.m0, 0.0) AS c0,
+          p.c1 + coalesce(m.m1, 0.0) AS c1, p.d0, p.d1
+        FROM pr$l p LEFT JOIN msg$l m ON p.okey = m.okey),
+      lx$l AS (SELECT l.okey, l.sc, l.c0 + coalesce(p.c0, 0.0) AS c0,
+          l.c1 + coalesce(p.c1, 0.0) AS c1, l.d0, l.d1
+        FROM lr$l l LEFT JOIN pr$l p ON l.okey = p.okey)"""
+    }.mkString(",\n      ")
+    s"""WITH lx0 AS (SELECT l_orderkey AS okey, 1/sqrt(2.0) AS sc,
+        l_quantity::DOUBLE/50*0.8 + 0.1 AS c0,
+        l_quantity::DOUBLE/50*(-0.4) + 0.2 AS c1,
+        l_discount::DOUBLE*(-0.6) AS d0,
+        l_discount::DOUBLE*0.3 - 0.1 AS d1 FROM lineitem),
+      px0 AS (SELECT o_orderkey AS okey, 1/sqrt(2.0) AS sc,
+        o_totalprice::DOUBLE/500000*0.8 + 0.1 AS c0,
+        o_totalprice::DOUBLE/500000*(-0.4) + 0.2 AS c1,
+        (CASE WHEN o_orderstatus = 'O' THEN 0
+          WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END)::DOUBLE*0.3 - 0.2 AS d0,
+        (CASE WHEN o_orderstatus = 'O' THEN 0
+          WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END)::DOUBLE*(-0.1) + 0.15 AS d1
+        FROM orders),
+      $chain,
+      hd AS (SELECT okey, c0*1.0 + c1*(-1.0) + 0.05 AS s0,
+        c0*(-0.5) + c1*0.5 + (-0.05) AS s1 FROM px$layers)
+      SELECT okey AS o_orderkey,
+        round(exp(s0)/(exp(s0) + exp(s1)), 6) AS p_class0,
+        round(exp(s1)/(exp(s0) + exp(s1)), 6) AS p_class1
+      FROM hd ORDER BY o_orderkey"""
+  }
+
+  /** The reference's FULL stacked DBTransformer (dbt2): 2
+    * `DBTransformerLayer`s over 2 tables — per layer, per-table column
+    * self-attention with residual AND cross-table attention message
+    * passing in both directions (lineitem CLS → orders via per-order
+    * softmax, orders CLS → lineitem via the reverse edge), then the
+    * 2-class head on the orders CLS (`nn/models/transformer.py:43-59,
+    * 96-110`). Layer 2 self-attends states that already carry layer 1's
+    * cross-table messages — the composition dbt1/bp14 left unregistered.
+    * Deterministic weights so the whole stack restates in SQL. */
+  private[graft] val qStackedTransformer = Q("dbt2_stacked_transformer",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity") / 50 * 0.8 + 0.1,
+          col("l_quantity") / 50 * (-0.4) + 0.2).as("t0"),
+        array(col("l_discount") * (-0.6),
+          col("l_discount") * 0.3 - 0.1).as("t1"))
+      val code = when(col("o_orderstatus") === "O", 0)
+        .when(col("o_orderstatus") === "F", 1).otherwise(2).cast("double")
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        array(col("o_totalprice") / 500000 * 0.8 + 0.1,
+          col("o_totalprice") / 500000 * (-0.4) + 0.2).as("t0"),
+        array(code * 0.3 - 0.2, code * (-0.1) + 0.15).as("t1"))
+      Blueprint.dbTransformerForward(li, "l_orderkey", Seq("t0", "t1"),
+          ord, "o_orderkey", Seq("t0", "t1"), dim = 2, layers = 2,
+          wOut = Array(Array(1.0, -1.0), Array(-0.5, 0.5)),
+          bOut = Array(0.05, -0.05))
+        .select(col("__key").as("o_orderkey"),
+          round(col("p_class0"), 6).as("p_class0"),
+          round(col("p_class1"), 6).as("p_class1"))
+        .orderBy("o_orderkey")
+    },
+    Some(dbt2Oracle(2)))
+
   /** The w0 CTE body of the mha1/bp15 oracles: every [[graft.pipeline
     * .Blueprint.mhaInit]] projection entry as an interpolated DOUBLE
     * literal (dim=2, heads=2, dh=1 — per-head q/k/v are scalars, so the
@@ -1666,6 +1770,7 @@ private[graft] object QueriesML {
     qFitTransformer,
     qMhaForward,
     qFitMha,
+    qStackedTransformer,
     qEmbedStub,
     qEmbedTable,
     qDuration,

@@ -1818,6 +1818,105 @@ object Blueprint {
       .collect()(0).getDouble(0)
   }
 
+  /** The reference's FULL stacked DBTransformer forward
+    * (`nn/models/transformer.py:43-59,96-110`: L `DBTransformerLayer`s,
+    * each = per-table column self-attention AND per-edge-type
+    * cross-table attention message passing, then the target-table
+    * readout head) composed from the engine's pieces as ONE dataflow:
+    *
+    * per layer ℓ (same weight-free attention each layer — the dbt1
+    * "deterministic trained point" convention, so the whole stack
+    * restates in SQL):
+    *  1. each table's tokens pass [[columnSelfAttention]] with a
+    *     residual add (`t'_b = t_b + attn(t)_b`) — row-local codegen;
+    *  2. cross-table messages on the CLS token (token 0, the reference's
+    *     readout token): each parent aggregates its children's CLS with
+    *     softmax attention scored `exp((cls_p·cls_c)/√dim)` — computed
+    *     as the α-weighted mean `Σ e·x / Σ e` in ONE groupBy on the FK
+    *     (no window, map-side partial agg) — and each child receives its
+    *     parent's CLS back (the reference's reverse edge; with a single
+    *     parent the softmax collapses to weight 1). Both directions read
+    *     the POST-self-attention, PRE-cross states, then the residuals
+    *     apply simultaneously — the op order is pinned for the SQL
+    *     restatement.
+    *
+    * After L layers the parent CLS passes the nClass linear head + class
+    * softmax. Childless parents aggregate a zero message; children with
+    * a dangling FK receive zero.
+    *
+    * Scale: per layer, one shuffle on the FK for the message groupBy and
+    * two co-partitioned joins on the same key — at 100 TB, bucket both
+    * tables by the FK ([[graft.sources.Bucketing]]) and every layer's
+    * exchange disappears; the self-attention stages are free (scan-speed
+    * projections inside whole-stage codegen). */
+  def dbTransformerForward(child: DataFrame, fkCol: String,
+      childTokens: Seq[String], parent: DataFrame, keyCol: String,
+      parentTokens: Seq[String], dim: Int, layers: Int,
+      wOut: Array[Array[Double]], bOut: Array[Double]): DataFrame = {
+    require(dim >= 1 && layers >= 1, "need a dimension and at least one layer")
+    require(childTokens.nonEmpty && parentTokens.nonEmpty, "need tokens")
+    require(wOut.length >= 2 && wOut.forall(_.length == dim) &&
+      bOut.length == wOut.length, "head shape mismatch")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    // stage token components as scalar columns (self-attention and the
+    // cross pass then stay pure projections over named columns)
+    var c = child.select(col(fkCol).as("__fk") +:
+      (for (b <- childTokens.indices; i <- 0 until dim)
+        yield element_at(col(childTokens(b)), i + 1).cast("double")
+          .as(s"__ct${b}_$i")): _*)
+    var p = parent.select(col(keyCol).as("__key") +:
+      (for (b <- parentTokens.indices; i <- 0 until dim)
+        yield element_at(col(parentTokens(b)), i + 1).cast("double")
+          .as(s"__pt${b}_$i")): _*)
+    def selfAttnResidual(df: DataFrame, pre: String, k: Int,
+        idCol: String): DataFrame = {
+      val toks = (0 until k).map(b =>
+        array((0 until dim).map(i => col(s"__$pre${b}_$i")): _*))
+      val out = columnSelfAttention(toks, dim)
+      df.select(col(idCol) +:
+        (for (b <- 0 until k; i <- 0 until dim)
+          yield (col(s"__$pre${b}_$i") + out(b)(i)).as(s"__$pre${b}_$i")): _*)
+    }
+    (1 to layers).foreach { _ =>
+      c = selfAttnResidual(c, "ct", childTokens.length, "__fk")
+      p = selfAttnResidual(p, "pt", parentTokens.length, "__key")
+      val pcls = p.select(col("__key").as("__fk") +:
+        (0 until dim).map(i => col(s"__pt0_$i").as(s"__pcls$i")): _*)
+      val w = exp((0 until dim).map(i => col(s"__pcls$i") * col(s"__ct0_$i"))
+        .reduce(_ + _) * lit(scale))
+      val msg = c.join(pcls, Seq("__fk"))
+        .select(col("__fk") +: (w.as("__w") +:
+          (0 until dim).map(i => col(s"__ct0_$i"))): _*)
+        .groupBy("__fk")
+        .agg((0 until dim).map(i =>
+            (sum(col("__w") * col(s"__ct0_$i")) / sum(col("__w"))).as(s"__m$i")).head,
+          (0 until dim).map(i =>
+            (sum(col("__w") * col(s"__ct0_$i")) / sum(col("__w"))).as(s"__m$i")).tail: _*)
+        .withColumnRenamed("__fk", "__key")
+      val pCols = p.columns
+      p = p.join(msg, Seq("__key"), "left")
+        .select(col("__key") +: pCols.filter(_ != "__key").map { n =>
+          if (n.startsWith("__pt0_")) {
+            val i = n.stripPrefix("__pt0_")
+            (col(n) + coalesce(col(s"__m$i"), lit(0.0))).as(n)
+          } else col(n)
+        }.toSeq: _*)
+      val cCols = c.columns
+      c = c.join(pcls, Seq("__fk"), "left")
+        .select(col("__fk") +: cCols.filter(_ != "__fk").map { n =>
+          if (n.startsWith("__ct0_")) {
+            val i = n.stripPrefix("__ct0_")
+            (col(n) + coalesce(col(s"__pcls$i"), lit(0.0))).as(n)
+          } else col(n)
+        }.toSeq: _*)
+    }
+    val s = wOut.indices.map(kk => (0 until dim)
+      .map(i => col(s"__pt0_$i") * lit(wOut(kk)(i))).reduce(_ + _) + lit(bOut(kk)))
+    val zc = s.map(exp).reduce(_ + _)
+    p.select(col("__key") +:
+      wOut.indices.map(kk => (exp(s(kk)) / zc).as(s"p_class$kk")): _*)
+  }
+
   /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:
     * one ridge regression per class against its 0/1 indicator (a standard
     * ridge classifier — argmax of the per-class scores predicts). All

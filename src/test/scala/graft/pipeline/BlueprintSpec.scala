@@ -689,6 +689,48 @@ class BlueprintSpec extends SparkSpec {
     }
   }
 
+  test("dbTransformerForward: layer 2 depends on layer 1 cross-table state; childless and dangling rows are inert") {
+    val wOut = Array(Array(1.0, -1.0), Array(-0.5, 0.5))
+    val bOut = Array(0.05, -0.05)
+    def run(child: org.apache.spark.sql.DataFrame,
+        parent: org.apache.spark.sql.DataFrame, layers: Int) =
+      Blueprint.dbTransformerForward(child, "fk", Seq("t0", "t1"),
+          parent, "pid", Seq("t0", "t1"), dim = 2, layers = layers,
+          wOut = wOut, bOut = bOut)
+        .orderBy("__key").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // two parents with IDENTICAL tokens; only their children differ —
+    // any difference in output can only arrive through the cross pass
+    val parents = Seq(
+      (1L, Array(0.3, -0.2), Array(0.1, 0.4)),
+      (2L, Array(0.3, -0.2), Array(0.1, 0.4)),
+      (3L, Array(0.3, -0.2), Array(0.1, 0.4))) // childless
+      .toDF("pid", "t0", "t1")
+    val children = Seq(
+      (1L, Array(1.0, 0.0), Array(0.2, 0.2)),
+      (1L, Array(0.0, 1.0), Array(0.1, -0.1)),
+      (2L, Array(-0.8, 0.4), Array(0.5, 0.0)),
+      (99L, Array(9.0, 9.0), Array(9.0, 9.0))) // dangling FK
+      .toDF("fk", "t0", "t1")
+    val two = run(children, parents, layers = 2)
+    assert(two.keySet == Set(1L, 2L, 3L), "every parent emits one row")
+    assert(math.abs(two(1L) - two(2L)) > 1e-6,
+      "identical parent tokens, different children => different output (cross-table state flows)")
+    // layer 2 re-attends the layer-1 cross-table state: one layer differs
+    val one = run(children, parents, layers = 1)
+    assert(math.abs(one(1L) - two(1L)) > 1e-6, "stacking changes the target state")
+    // the childless parent must agree between a run WITH and WITHOUT other
+    // children present only through its own (empty) neighborhood: its
+    // 2-layer output equals that of a clone graph with no children at all
+    val noChildren = Seq((3L, Array(0.0, 0.0), Array(0.0, 0.0)))
+      .toDF("fk", "t0", "t1").filter(col("fk") < 0)
+    val isolated = run(noChildren, parents.filter(col("pid") === 3L), layers = 2)
+    assert(math.abs(two(3L) - isolated(3L)) < 1e-12,
+      "childless parent aggregates a zero message regardless of the rest of the graph")
+    // probabilities form a distribution
+    assert(two.values.forall(p => p > 0 && p < 1))
+  }
+
   test("fitMhaGD: every projection's gradient matches finite differences, per head; loss falls") {
     val data = Seq(
       (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),

@@ -87,4 +87,52 @@ object KCore {
       s" ($innerPeels transitive passes per round)")
     e.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
   }
+
+  /** The peel TRUNCATED at exactly `rounds` passes — the bounded variant
+    * for graphs where the exact fixpoint depth is unaffordable: each
+    * round is one degree aggregate + two anti-joins, so the total cost is
+    * `rounds` scans of the (shrinking) edge list, whatever the data. The
+    * output is a certified SUPERSET of the k-core's vertices (the peel
+    * removes monotonically: every vertex dropped in any round is provably
+    * outside the core, and survivors only ever shrink toward the
+    * fixpoint), with each survivor's degree in the round-`rounds`
+    * subgraph. `rounds` ≥ the peel depth reproduces [[vertices]] exactly;
+    * the loop short-circuits once a round removes nothing, so over-asking
+    * costs one no-op round.
+    *
+    * THIS is the 100 TB entry point: [[vertices]]' round count is
+    * data-dependent (dense co-occurrence graphs peel superlinearly deeper
+    * at larger scale — BENCH_NOTES documents kc1's 30× memory wall),
+    * while the truncated peel's cost is chosen up front. The first 2-3
+    * rounds remove the overwhelming mass of weak vertices; run the exact
+    * [[vertices]] on the truncated survivor subgraph if the fixpoint is
+    * required. */
+  def truncatedPeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint(true)
+    var prev = e.count()
+    var done = false
+    (1 to rounds).foreach { _ =>
+      if (!done) {
+        val deg = e.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        val weak = deg.filter(col("__d") < k).select(col("a"))
+        val e2 = e
+          .join(weak, Seq("a"), "left_anti")
+          .join(weak.withColumnRenamed("a", "b"), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+        val cnt = e2.count()
+        graft.util.Checkpoints.release(e)
+        e = e2
+        // a no-op round means the fixpoint is reached — every remaining
+        // round would also be a no-op, so the truncated state IS final
+        if (cnt == prev || cnt == 0L) done = true
+        prev = cnt
+      }
+    }
+    e.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+  }
 }

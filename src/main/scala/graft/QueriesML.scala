@@ -644,6 +644,113 @@ private[graft] object QueriesML {
     },
     Some(fitAttnGnnOracle(steps = 2, lr = 0.05)))
 
+  /** The shared deterministic init of bp16 (Spark side and oracle
+    * interpolation): 2 heads over hidden=1 messages, head-asymmetric
+    * score vectors so the two softmaxes diverge from step 0. */
+  private[graft] def bp16Init = graft.pipeline.Blueprint.MhaGnnParams(
+    Array(Array(0.1), Array(0.2)), Array(0.0),
+    Array(Array(0.05, 0.1), Array(-0.1, 0.15)),
+    Array(Array(0.1), Array(-0.1)), 0.0)
+
+  /** bp16's oracle: [[fitAttnGnnOracle]] at TWO heads — per step one
+    * message CTE carrying both trainable scores, the stable per-parent
+    * softmax window pair PER HEAD, the two α-weighted scatter-sums, the
+    * concat readout residual, and ONE join-back aggregate whose sums
+    * carry each head's softmax Jacobian `dm·α^g·(h·v_g − a_g·v_g)` plus
+    * the head-accumulated message mix `(v0·α⁰ + v1·α¹)` for the shared
+    * w1/b1. */
+  private[graft] def fitMhaGnnOracle(steps: Int, lr: Double): String = {
+    val p = bp16Init
+    val chain = (1 to steps).map { k =>
+      s"""h$k AS (SELECT k, x1, x2,
+          1/(1+exp(-((x1*w.a1 + x2*w.a2) + w.c))) AS h,
+          x1*w.u01 + x2*w.u02 AS e0, x1*w.u11 + x2*w.u12 AS e1
+        FROM ch, w${k - 1} w),
+      ex$k AS (SELECT k, x1, x2, h,
+          exp(e0 - max(e0) OVER (PARTITION BY k)) AS st0,
+          exp(e1 - max(e1) OVER (PARTITION BY k)) AS st1 FROM h$k),
+      al$k AS (SELECT k, x1, x2, h,
+          st0 / sum(st0) OVER (PARTITION BY k) AS al0,
+          st1 / sum(st1) OVER (PARTITION BY k) AS al1 FROM ex$k),
+      ag$k AS (SELECT p.k, p.y, coalesce(s.sa0, 0.0) AS aa0,
+          coalesce(s.sa1, 0.0) AS aa1
+        FROM par p LEFT JOIN
+          (SELECT k, sum(al0*h) AS sa0, sum(al1*h) AS sa1 FROM al$k GROUP BY 1) s
+          ON p.k = s.k),
+      d$k AS (SELECT a.k, a.y, a.aa0, a.aa1,
+          1/(1+exp(-((aa0*w.v0 + aa1*w.v1) + w.vb))) - y AS dm
+        FROM ag$k a, w${k - 1} w),
+      gd$k AS (SELECT sum(dm*aa0) AS gv0, sum(dm*aa1) AS gv1, sum(dm) AS gb
+        FROM d$k),
+      bk$k AS (SELECT
+          sum(d.dm * (w.v0*a.al0 + w.v1*a.al1) * (a.h*(1-a.h)) * a.x1) AS ga1,
+          sum(d.dm * (w.v0*a.al0 + w.v1*a.al1) * (a.h*(1-a.h)) * a.x2) AS ga2,
+          sum(d.dm * (w.v0*a.al0 + w.v1*a.al1) * (a.h*(1-a.h))) AS gc,
+          sum(d.dm * a.al0 * (a.h*w.v0 - d.aa0*w.v0) * a.x1) AS gu01,
+          sum(d.dm * a.al0 * (a.h*w.v0 - d.aa0*w.v0) * a.x2) AS gu02,
+          sum(d.dm * a.al1 * (a.h*w.v1 - d.aa1*w.v1) * a.x1) AS gu11,
+          sum(d.dm * a.al1 * (a.h*w.v1 - d.aa1*w.v1) * a.x2) AS gu12
+        FROM al$k a JOIN d$k d ON a.k = d.k, w${k - 1} w),
+      w$k AS (SELECT
+          w.a1 - $lr*(b.ga1/n.n) AS a1, w.a2 - $lr*(b.ga2/n.n) AS a2,
+          w.c - $lr*(b.gc/n.n) AS c,
+          w.u01 - $lr*(b.gu01/n.n) AS u01, w.u02 - $lr*(b.gu02/n.n) AS u02,
+          w.u11 - $lr*(b.gu11/n.n) AS u11, w.u12 - $lr*(b.gu12/n.n) AS u12,
+          w.v0 - $lr*(g.gv0/n.n) AS v0, w.v1 - $lr*(g.gv1/n.n) AS v1,
+          w.vb - $lr*(g.gb/n.n) AS vb
+        FROM w${k - 1} w, gd$k g, bk$k b, n)"""
+    }.mkString(",\n      ")
+    s"""WITH ch AS (SELECT l_orderkey AS k, l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2 FROM lineitem),
+      par AS (SELECT o_orderkey AS k,
+        CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y FROM orders),
+      n AS (SELECT count(*)::DOUBLE AS n FROM par),
+      w0 AS (SELECT (${p.w1(0)(0)})::DOUBLE AS a1, (${p.w1(1)(0)})::DOUBLE AS a2,
+        (${p.b1(0)})::DOUBLE AS c,
+        (${p.u(0)(0)})::DOUBLE AS u01, (${p.u(0)(1)})::DOUBLE AS u02,
+        (${p.u(1)(0)})::DOUBLE AS u11, (${p.u(1)(1)})::DOUBLE AS u12,
+        (${p.w2(0)(0)})::DOUBLE AS v0, (${p.w2(1)(0)})::DOUBLE AS v1,
+        (${p.b2})::DOUBLE AS vb),
+      $chain
+      SELECT round(a1, 6) AS w_quantity, round(a2, 6) AS w_linenumber,
+        round(c, 6) AS bias_msg,
+        round(u01, 6) AS u0_quantity, round(u02, 6) AS u0_linenumber,
+        round(u11, 6) AS u1_quantity, round(u12, 6) AS u1_linenumber,
+        round(v0, 6) AS v_head0, round(v1, 6) AS v_head1,
+        round(vb, 6) AS bias_out FROM w$steps"""
+  }
+
+  /** Multi-head attention aggregation trained end-to-end (bp16) — the
+    * reference's GNN tune space pairs the attention aggregation with
+    * num_heads > 1 (blueprint_mlflow.py:267): TWO independent trainable
+    * score vectors over the shared lineitem messages, per-head per-parent
+    * softmaxes, concat readout, 2 backprop steps. Same plan shape as bp8
+    * (one windowed pass, one scatter-sum, one join-back) with h× the
+    * scalar columns. */
+  private[graft] val qFitMhaGnn = Q("bp16_fit_mha_gnn",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"))
+      val ord = t(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val p = Blueprint.fitMhaGnnGD(li, Seq("l_orderkey"), "feat",
+        ord, Seq("o_orderkey"), "y", dim = 2, hidden = 1, heads = 2,
+        steps = 2, lr = 0.05, init = bp16Init)
+      s.range(1).select(
+        round(lit(p.w1(0)(0)), 6).as("w_quantity"),
+        round(lit(p.w1(1)(0)), 6).as("w_linenumber"),
+        round(lit(p.b1(0)), 6).as("bias_msg"),
+        round(lit(p.u(0)(0)), 6).as("u0_quantity"),
+        round(lit(p.u(0)(1)), 6).as("u0_linenumber"),
+        round(lit(p.u(1)(0)), 6).as("u1_quantity"),
+        round(lit(p.u(1)(1)), 6).as("u1_linenumber"),
+        round(lit(p.w2(0)(0)), 6).as("v_head0"),
+        round(lit(p.w2(1)(0)), 6).as("v_head1"),
+        round(lit(p.b2), 6).as("bias_out"))
+    },
+    Some(fitMhaGnnOracle(steps = 2, lr = 0.05)))
+
   /** bp9's oracle: the DEPTH-2 network unrolled — per step a level-1
     * message CTE (lineitem), its scatter-sum into orders, the level-2
     * message CTE over [aggregate ; o_totalprice], its scatter-sum into
@@ -1760,6 +1867,7 @@ private[graft] object QueriesML {
     qFitGnn,
     qFitHeteroGnn,
     qFitAttnGnn,
+    qFitMhaGnn,
     qFitGnn2,
     qFitHeteroAttnGnn,
     qSampledTrainStep,

@@ -1118,6 +1118,182 @@ object Blueprint {
       .collect()(0).getDouble(0)
   }
 
+  /** Parameters of the MULTI-HEAD attention aggregation
+    * ([[fitMhaGnnGD]]): shared message net `w1`/`b1`, per-head score
+    * vectors `u(g)`, per-head readout slices `w2(g)` (the concat), bias
+    * `b2`. */
+  final case class MhaGnnParams(w1: Array[Array[Double]], b1: Array[Double],
+      u: Array[Array[Double]], w2: Array[Array[Double]], b2: Double)
+
+  /** [[fitAttnGnnGD]] generalized to h attention heads — the reference's
+    * GNN tune space pairs the attention aggregation with
+    * `num_heads ∈ {2,4,8}` (`experiments/blueprint_mlflow.py:267`): each
+    * head g carries its OWN trainable score vector `u(g)` (so heads
+    * learn to attend different children), the per-parent softmaxes run
+    * independently per head over the SHARED messages
+    * `h_cj = σ(x_c·w1(·)(j) + b1(j))`, and the concatenated per-head
+    * aggregates `a^g_j = Σ_c α^g_c·h_cj` feed the readout
+    * `p = σ(Σ_g Σ_j a^g_j·w2(g)(j) + b2)`.
+    *
+    * The backward is bp8's per head: score gradients
+    * `∂L/∂e^g_c = dm·α^g_c·(m^g_c − s^g)` with `m^g_c = Σ_j w2(g)(j)·
+    * h_cj` and `s^g = Σ_j w2(g)(j)·a^g_j`; the shared message weights
+    * accumulate over heads (`∂L/∂h_cj = dm·Σ_g w2(g)(j)·α^g_c`). Cost
+    * per GD step is IDENTICAL in shape to one head — the same windowed
+    * softmax pass (h window pairs over ONE partition spec, computed in
+    * one exchange + sort), the same scatter-sum, the same single
+    * join-back — just h× the scalar columns. heads=1 reproduces
+    * [[fitAttnGnnGD]] exactly. */
+  def fitMhaGnnGD(children: DataFrame, fkCols: Seq[String], featCol: String,
+      parents: DataFrame, keyCols: Seq[String], yCol: String,
+      dim: Int, hidden: Int, heads: Int, steps: Int, lr: Double,
+      init: MhaGnnParams = null): MhaGnnParams = {
+    require(dim >= 1 && hidden >= 1, "need at least one feature and hidden unit")
+    require(heads >= 1, s"need at least one head, got $heads")
+    require(steps >= 1, "need at least one step")
+    require(lr > 0, s"learning rate must be positive, got $lr")
+    require(fkCols.nonEmpty && fkCols.length == keyCols.length,
+      s"FK arity mismatch: $fkCols vs $keyCols")
+    val p0 = if (init != null) init else MhaGnnParams(
+      Array.tabulate(dim, hidden)((i, j) => 0.1 * (i + 1) * (if (j % 2 == 0) 1 else -1)),
+      Array.fill(hidden)(0.0),
+      Array.tabulate(heads, dim)((g, i) =>
+        0.05 * (i + 1) * (g + 1) * (if ((g + i) % 2 == 0) 1 else -1)),
+      Array.tabulate(heads, hidden)((g, j) =>
+        0.1 * (j + 1) * (if ((g + j) % 2 == 0) 1 else -1)),
+      0.0)
+    require(p0.w1.length == dim && p0.w1.forall(_.length == hidden) &&
+      p0.b1.length == hidden && p0.u.length == heads &&
+      p0.u.forall(_.length == dim) && p0.w2.length == heads &&
+      p0.w2.forall(_.length == hidden), "init shape mismatch")
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val w1 = p0.w1.map(_.clone()); val b1 = p0.b1.clone()
+    val u = p0.u.map(_.clone()); val w2 = p0.w2.map(_.clone()); var b2 = p0.b2
+    import org.apache.spark.sql.expressions.Window
+    (1 to steps).foreach { _ =>
+      val h = (0 until hidden).map { j =>
+        sig((0 until dim).map(i => x(i) * lit(w1(i)(j))).reduce(_ + _) + lit(b1(j)))
+      }
+      val w = Window.partitionBy(fkCols.map(col): _*)
+      val alpha = (0 until heads).map { g =>
+        val e = (0 until dim).map(i => x(i) * lit(u(g)(i))).reduce(_ + _)
+        val stable = exp(e - max(e).over(w))
+        stable / sum(stable).over(w)
+      }
+      val ed = children.select(
+          fkCols.map(col) ++
+          (0 until dim).map(i => x(i).as(s"__x$i")) ++
+          (0 until hidden).map(j => h(j).as(s"__h$j")) ++
+          (0 until heads).map(g => alpha(g).as(s"__al$g")): _*)
+        .localCheckpoint(true)
+      val aggSums = for (g <- 0 until heads; j <- 0 until hidden)
+        yield sum(col(s"__al$g") * col(s"__h$j")).as(s"__a${g}_$j")
+      val aggd = ed.groupBy(fkCols.map(col): _*).agg(aggSums.head, aggSums.tail: _*)
+      val renamed = fkCols.zip(keyCols).foldLeft(aggd) {
+        case (df, (c, k)) => df.withColumnRenamed(c, k)
+      }
+      val dst = parents
+        .select(keyCols.map(col) :+ y.as("__y"): _*)
+        .join(renamed, keyCols, "left")
+        .select(keyCols.map(col) ++ Seq(col("__y")) ++
+          (for (g <- 0 until heads; j <- 0 until hidden)
+            yield coalesce(col(s"__a${g}_$j"), lit(0.0)).as(s"__a${g}_$j")): _*)
+        .localCheckpoint(true)
+      val m = (for (g <- 0 until heads; j <- 0 until hidden)
+        yield col(s"__a${g}_$j") * lit(w2(g)(j))).reduce(_ + _) + lit(b2)
+      val dm = sig(m) - col("__y")
+      val sProj = (g: Int) => (0 until hidden)
+        .map(j => col(s"__a${g}_$j") * lit(w2(g)(j))).reduce(_ + _)
+      val dstSums = (for (g <- 0 until heads; j <- 0 until hidden)
+          yield sum(dm * col(s"__a${g}_$j")).as(s"gv_${g}_$j")) ++
+        Seq(sum(dm).as("gb"), count(lit(1)).cast("double").as("n"))
+      val dRow = dst.agg(dstSums.head, dstSums.tail: _*).collect()(0)
+      def gd(name: String) = dRow.getDouble(dRow.fieldIndex(name))
+      val n = gd("n")
+      require(n > 0, "cannot fit on an empty parents frame")
+      val dmPerDst = keyCols.zip(fkCols).foldLeft(
+          dst.select(keyCols.map(col) ++ (dm.as("__dm") +:
+            (0 until heads).map(g => sProj(g).as(s"__s$g"))): _*)) {
+        case (df, (k, c)) => df.withColumnRenamed(k, c)
+      }
+      val back = ed.join(dmPerDst, fkCols)
+      val hB = (j: Int) => col(s"__h$j")
+      val xB = (i: Int) => col(s"__x$i")
+      val mProj = (g: Int) => (0 until hidden)
+        .map(j => hB(j) * lit(w2(g)(j))).reduce(_ + _)
+      // shared message weights: the α-weighted readout mix Σ_g w2(g)(j)·α^g
+      val mix = (j: Int) => (0 until heads)
+        .map(g => lit(w2(g)(j)) * col(s"__al$g")).reduce(_ + _)
+      val backSums =
+        (for { i <- 0 until dim; j <- 0 until hidden }
+          yield sum(col("__dm") * mix(j) *
+              (hB(j) * (lit(1.0) - hB(j))) * xB(i)).as(s"gw_${i}_$j")) ++
+        (0 until hidden).map(j =>
+          sum(col("__dm") * mix(j) *
+            (hB(j) * (lit(1.0) - hB(j)))).as(s"gc_$j")) ++
+        (for { g <- 0 until heads; i <- 0 until dim }
+          yield sum(col("__dm") * col(s"__al$g") * (mProj(g) - col(s"__s$g")) *
+            xB(i)).as(s"gu_${g}_$i"))
+      val bRow = back.agg(backSums.head, backSums.tail: _*).collect()(0)
+      def gb(name: String) =
+        if (bRow.isNullAt(bRow.fieldIndex(name))) 0.0
+        else bRow.getDouble(bRow.fieldIndex(name))
+      for (i <- 0 until dim; j <- 0 until hidden)
+        w1(i)(j) = w1(i)(j) - lr * (gb(s"gw_${i}_$j") / n)
+      for (j <- 0 until hidden) b1(j) = b1(j) - lr * (gb(s"gc_$j") / n)
+      for (g <- 0 until heads) {
+        (0 until dim).foreach(i => u(g)(i) = u(g)(i) - lr * (gb(s"gu_${g}_$i") / n))
+        (0 until hidden).foreach(j => w2(g)(j) = w2(g)(j) - lr * (gd(s"gv_${g}_$j") / n))
+      }
+      b2 = b2 - lr * (gd("gb") / n)
+      graft.util.Checkpoints.release(dst)
+      graft.util.Checkpoints.release(ed)
+    }
+    MhaGnnParams(w1, b1, u, w2, b2)
+  }
+
+  /** Mean logistic loss of [[fitMhaGnnGD]]'s network — one windowed
+    * multi-head softmax + scatter-sum + one aggregate; the
+    * finite-difference anchor proving each head's score vector gets its
+    * own gradient. */
+  def mhaGnnLogLoss(children: DataFrame, fkCols: Seq[String], featCol: String,
+      parents: DataFrame, keyCols: Seq[String], yCol: String,
+      p: MhaGnnParams): Double = {
+    val dim = p.w1.length; val hidden = p.b1.length; val heads = p.u.length
+    val y = col(yCol).cast("double")
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val h = (0 until hidden).map { j =>
+      sig((0 until dim).map(i => x(i) * lit(p.w1(i)(j))).reduce(_ + _) + lit(p.b1(j)))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(fkCols.map(col): _*)
+    val alpha = (0 until heads).map { g =>
+      val e = (0 until dim).map(i => x(i) * lit(p.u(g)(i))).reduce(_ + _)
+      val stable = exp(e - max(e).over(w))
+      stable / sum(stable).over(w)
+    }
+    val ed = children.select(fkCols.map(col) ++
+      (for (g <- 0 until heads; j <- 0 until hidden)
+        yield (alpha(g) * h(j)).as(s"__wh${g}_$j")): _*)
+    val aggSums = for (g <- 0 until heads; j <- 0 until hidden)
+      yield sum(col(s"__wh${g}_$j")).as(s"__a${g}_$j")
+    val aggd = ed.groupBy(fkCols.map(col): _*).agg(aggSums.head, aggSums.tail: _*)
+    val renamed = fkCols.zip(keyCols).foldLeft(aggd) {
+      case (df, (c, k)) => df.withColumnRenamed(c, k)
+    }
+    val m = (for (g <- 0 until heads; j <- 0 until hidden)
+      yield coalesce(col(s"__a${g}_$j"), lit(0.0)) * lit(p.w2(g)(j)))
+      .reduce(_ + _) + lit(p.b2)
+    val pr = sig(m)
+    parents.select(keyCols.map(col) :+ y.as("__y"): _*)
+      .join(renamed, keyCols, "left")
+      .agg(avg(-(col("__y") * log(pr) + (lit(1.0) - col("__y")) * log(lit(1.0) - pr))))
+      .collect()(0).getDouble(0)
+  }
+
   /** Mean logistic loss of [[fitMlpGD]]'s network — one aggregation pass;
     * the training-progress metric and the finite-difference anchor for
     * gradient correctness in specs. */

@@ -689,6 +689,80 @@ class BlueprintSpec extends SparkSpec {
     }
   }
 
+  test("fitMhaGnnGD: per-head score gradients match finite differences; heads=1 reproduces fitAttnGnnGD") {
+    val children = Seq(
+      (1L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (1L, Array(2.0, 1.0)),
+      (2L, Array(1.0, 1.0)),
+      (3L, Array(0.5, 2.0)), (3L, Array(1.5, 0.5)),
+      (99L, Array(9.0, 9.0))
+    ).toDF("fk", "feat")
+    val parents = Seq((1L, 1.0), (2L, 0.0), (3L, 1.0), (4L, 0.0))
+      .toDF("pid", "y")
+    val init = Blueprint.MhaGnnParams(
+      Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(0.05, -0.05),
+      Array(Array(0.05, 0.1), Array(-0.1, 0.15)),
+      Array(Array(0.25, -0.35), Array(0.2, 0.1)), 0.1)
+    def deepCopy(p: Blueprint.MhaGnnParams) = Blueprint.MhaGnnParams(
+      p.w1.map(_.clone()), p.b1.clone(), p.u.map(_.clone()),
+      p.w2.map(_.clone()), p.b2)
+    val lr = 1e-3
+    val stepped = Blueprint.fitMhaGnnGD(children, Seq("fk"), "feat",
+      parents, Seq("pid"), "y", dim = 2, hidden = 2, heads = 2, steps = 1,
+      lr = lr, init = deepCopy(init))
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.MhaGnnParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.mhaGnnLogLoss(children, Seq("fk"), "feat",
+        parents, Seq("pid"), "y", p)
+    }
+    def check(label: String, grad: Double, plus: Blueprint.MhaGnnParams => Unit,
+        minus: Blueprint.MhaGnnParams => Unit): Unit = {
+      val fd = (lossWith(plus) - lossWith(minus)) / (2 * eps)
+      assert(math.abs(grad - fd) < 1e-4, s"$label grad $grad vs fd $fd")
+    }
+    // EACH head's score vector and readout slice — per-head paths are
+    // independent, so a head-index slip hides unless both are checked
+    for (g <- 0 until 2; i <- 0 until 2) {
+      check(s"u($g)($i)", (init.u(g)(i) - stepped.u(g)(i)) / lr,
+        _.u(g)(i) += eps, _.u(g)(i) -= eps)
+      check(s"w2($g)($i)", (init.w2(g)(i) - stepped.w2(g)(i)) / lr,
+        _.w2(g)(i) += eps, _.w2(g)(i) -= eps)
+    }
+    // the shared message net accumulates over both heads
+    check("w1(0)(0)", (init.w1(0)(0) - stepped.w1(0)(0)) / lr,
+      _.w1(0)(0) += eps, _.w1(0)(0) -= eps)
+    check("b1(1)", (init.b1(1) - stepped.b1(1)) / lr,
+      _.b1(1) += eps, _.b1(1) -= eps)
+    // heads=1 is exactly fitAttnGnnGD (same data, same init, same steps)
+    val single = Blueprint.MhaGnnParams(
+      Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(0.05, -0.05),
+      Array(Array(0.05, 0.1)), Array(Array(0.25, -0.35)), 0.1)
+    val attnInit = Blueprint.AttnGnnParams(
+      Array(Array(0.3, -0.2), Array(-0.1, 0.4)), Array(0.05, -0.05),
+      Array(0.05, 0.1), Array(0.25, -0.35), 0.1)
+    val viaMha = Blueprint.fitMhaGnnGD(children, Seq("fk"), "feat",
+      parents, Seq("pid"), "y", dim = 2, hidden = 2, heads = 1, steps = 2,
+      lr = 0.1, init = single)
+    val viaAttn = Blueprint.fitAttnGnnGD(children, Seq("fk"), "feat",
+      parents, Seq("pid"), "y", dim = 2, hidden = 2, steps = 2,
+      lr = 0.1, init = attnInit)
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(viaMha.w1(i)(j) - viaAttn.w1(i)(j)) < 1e-12)
+    (0 until 2).foreach { i =>
+      assert(math.abs(viaMha.u(0)(i) - viaAttn.u(i)) < 1e-12)
+      assert(math.abs(viaMha.w2(0)(i) - viaAttn.w2(i)) < 1e-12)
+    }
+    assert(math.abs(viaMha.b2 - viaAttn.b2) < 1e-12)
+    // training lowers the loss end to end
+    val trained = Blueprint.fitMhaGnnGD(children, Seq("fk"), "feat",
+      parents, Seq("pid"), "y", dim = 2, hidden = 2, heads = 2, steps = 60,
+      lr = 0.5, init = deepCopy(init))
+    assert(Blueprint.mhaGnnLogLoss(children, Seq("fk"), "feat",
+        parents, Seq("pid"), "y", trained) <
+      Blueprint.mhaGnnLogLoss(children, Seq("fk"), "feat",
+        parents, Seq("pid"), "y", init))
+  }
+
   test("dbTransformerForward: layer 2 depends on layer 1 cross-table state; childless and dangling rows are inert") {
     val wOut = Array(Array(1.0, -1.0), Array(-0.5, 0.5))
     val bOut = Array(0.05, -0.05)

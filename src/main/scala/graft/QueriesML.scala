@@ -1711,6 +1711,181 @@ private[graft] object QueriesML {
     },
     Some(fitMhaOracle(steps = 2, lr = 0.1)))
 
+  /** bp17's oracle: the FULL multi-head DBTransformer GD unrolled — per
+    * step the token CTE (embedding join + numeric embedder), the per-head
+    * learned Q/K/V projections, the stable attention softmax, the
+    * out-projection and class softmax, then the backward chain (class
+    * residuals, out-projection adjoint, per-head softmax Jacobians,
+    * query/key/value token-gradient paths — token 0 rides all three),
+    * ONE grouped-gradient CTE (MATERIALIZED: it feeds both the fold and
+    * the table update), the fold, and the two update CTEs. All weights
+    * interpolate from the shared transformerMhaInit. card=3, dim=2,
+    * heads=2 (dh=1 — per-head q/k/v scalars, scale √1 drops out), one
+    * numeric column, two classes. */
+  private[graft] def fitTransformerMhaOracle(steps: Int, lr: Double): String = {
+    val init = graft.pipeline.Blueprint.transformerMhaInit(
+      card = 3, dim = 2, nNum = 1, nClass = 2, heads = 2)
+    val eVals = (0 until 3)
+      .map(c => s"($c, ${init.e(c)(0)}::DOUBLE, ${init.e(c)(1)}::DOUBLE)")
+      .mkString(", ")
+    def v(x: Double) = s"($x::DOUBLE)"
+    val w0 = s"""SELECT ${v(init.a(0)(0))} AS a10, ${v(init.a(0)(1))} AS a11,
+        ${v(init.c(0)(0))} AS c10, ${v(init.c(0)(1))} AS c11,
+        ${v(init.wq(0)(0)(0))} AS wq00, ${v(init.wq(0)(0)(1))} AS wq01,
+        ${v(init.wq(1)(0)(0))} AS wq10, ${v(init.wq(1)(0)(1))} AS wq11,
+        ${v(init.wk(0)(0)(0))} AS wk00, ${v(init.wk(0)(0)(1))} AS wk01,
+        ${v(init.wk(1)(0)(0))} AS wk10, ${v(init.wk(1)(0)(1))} AS wk11,
+        ${v(init.wv(0)(0)(0))} AS wv00, ${v(init.wv(0)(0)(1))} AS wv01,
+        ${v(init.wv(1)(0)(0))} AS wv10, ${v(init.wv(1)(0)(1))} AS wv11,
+        ${v(init.wo(0)(0))} AS wo00, ${v(init.wo(0)(1))} AS wo01,
+        ${v(init.wo(1)(0))} AS wo10, ${v(init.wo(1)(1))} AS wo11,
+        ${v(init.wOut(0)(0))} AS wh00, ${v(init.wOut(0)(1))} AS wh01,
+        ${v(init.wOut(1)(0))} AS wh10, ${v(init.wOut(1)(1))} AS wh11,
+        ${v(init.bOut(0))} AS bh0, ${v(init.bOut(1))} AS bh1"""
+    val chain = (1 to steps).map { k =>
+      s"""t$k AS (SELECT d.*, w.*, e.e1 AS t00, e.e2 AS t01,
+          x1*w.a10 + w.c10 AS t10, x1*w.a11 + w.c11 AS t11
+        FROM d JOIN e${k - 1} e ON d.c = e.c, w${k - 1} w),
+      pq$k AS (SELECT *,
+          t00*wq00 + t01*wq01 AS q0, t00*wq10 + t01*wq11 AS q1,
+          t00*wk00 + t01*wk01 AS k00, t10*wk00 + t11*wk01 AS k01,
+          t00*wk10 + t01*wk11 AS k10, t10*wk10 + t11*wk11 AS k11,
+          t00*wv00 + t01*wv01 AS v00, t10*wv00 + t11*wv01 AS v01,
+          t00*wv10 + t01*wv11 AS v10, t10*wv10 + t11*wv11 AS v11
+        FROM t$k),
+      s$k AS (SELECT *, q0*k00 AS s00, q0*k01 AS s01,
+          q1*k10 AS s10, q1*k11 AS s11 FROM pq$k),
+      x$k AS (SELECT *,
+          exp(s00 - greatest(s00, s01)) AS ex00, exp(s01 - greatest(s00, s01)) AS ex01,
+          exp(s10 - greatest(s10, s11)) AS ex10, exp(s11 - greatest(s10, s11)) AS ex11
+        FROM s$k),
+      al$k AS (SELECT *, ex00/(ex00+ex01) AS al00, ex01/(ex00+ex01) AS al01,
+          ex10/(ex10+ex11) AS al10, ex11/(ex10+ex11) AS al11 FROM x$k),
+      o$k AS (SELECT *, al00*v00 + al01*v01 AS o0,
+          al10*v10 + al11*v11 AS o1 FROM al$k),
+      u$k AS (SELECT *, o0*wo00 + o1*wo01 AS out0,
+          o0*wo10 + o1*wo11 AS out1 FROM o$k),
+      cu$k AS (SELECT *, out0*wh00 + out1*wh01 + bh0 AS u0,
+          out0*wh10 + out1*wh11 + bh1 AS u1 FROM u$k),
+      eu$k AS (SELECT *, exp(u0) AS eu0, exp(u1) AS eu1 FROM cu$k),
+      du$k AS (SELECT *,
+          eu0/(eu0+eu1) - (CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END) AS du0,
+          eu1/(eu0+eu1) - (CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) AS du1
+        FROM eu$k),
+      bo$k AS (SELECT *, du0*wh00 + du1*wh10 AS dout0,
+          du0*wh01 + du1*wh11 AS dout1 FROM du$k),
+      bj$k AS (SELECT *, dout0*wo00 + dout1*wo10 AS do0,
+          dout0*wo01 + dout1*wo11 AS do1 FROM bo$k),
+      da$k AS (SELECT *, do0*v00 AS dal00, do0*v01 AS dal01,
+          do1*v10 AS dal10, do1*v11 AS dal11 FROM bj$k),
+      sa$k AS (SELECT *, al00*dal00 + al01*dal01 AS sad0,
+          al10*dal10 + al11*dal11 AS sad1 FROM da$k),
+      ds$k AS (SELECT *, al00*(dal00 - sad0) AS ds00, al01*(dal01 - sad0) AS ds01,
+          al10*(dal10 - sad1) AS ds10, al11*(dal11 - sad1) AS ds11 FROM sa$k),
+      dq$k AS (SELECT *, ds00*k00 + ds01*k01 AS dq0,
+          ds10*k10 + ds11*k11 AS dq1 FROM ds$k),
+      dt$k AS (SELECT *,
+          (wq00*dq0 + wk00*(ds00*q0) + wv00*(al00*do0))
+            + (wq10*dq1 + wk10*(ds10*q1) + wv10*(al10*do1)) AS dt00,
+          (wq01*dq0 + wk01*(ds00*q0) + wv01*(al00*do0))
+            + (wq11*dq1 + wk11*(ds10*q1) + wv11*(al10*do1)) AS dt01,
+          (wk00*(ds01*q0) + wv00*(al01*do0))
+            + (wk10*(ds11*q1) + wv10*(al11*do1)) AS dt10,
+          (wk01*(ds01*q0) + wv01*(al01*do0))
+            + (wk11*(ds11*q1) + wv11*(al11*do1)) AS dt11
+        FROM dq$k),
+      g$k AS MATERIALIZED (SELECT c,
+          sum(dt00) AS ge0, sum(dt01) AS ge1,
+          sum(dt10*x1) AS ga10, sum(dt11*x1) AS ga11,
+          sum(dt10) AS gc10, sum(dt11) AS gc11,
+          sum(dq0*t00) AS gq00, sum(dq0*t01) AS gq01,
+          sum(dq1*t00) AS gq10, sum(dq1*t01) AS gq11,
+          sum((ds00*t00 + ds01*t10)*q0) AS gk00,
+          sum((ds00*t01 + ds01*t11)*q0) AS gk01,
+          sum((ds10*t00 + ds11*t10)*q1) AS gk10,
+          sum((ds10*t01 + ds11*t11)*q1) AS gk11,
+          sum((al00*t00 + al01*t10)*do0) AS gv00,
+          sum((al00*t01 + al01*t11)*do0) AS gv01,
+          sum((al10*t00 + al11*t10)*do1) AS gv10,
+          sum((al10*t01 + al11*t11)*do1) AS gv11,
+          sum(dout0*o0) AS go00, sum(dout0*o1) AS go01,
+          sum(dout1*o0) AS go10, sum(dout1*o1) AS go11,
+          sum(du0*out0) AS gw00, sum(du0*out1) AS gw01,
+          sum(du1*out0) AS gw10, sum(du1*out1) AS gw11,
+          sum(du0) AS gb0, sum(du1) AS gb1
+        FROM dt$k GROUP BY c),
+      r$k AS (SELECT sum(ga10) AS ga10, sum(ga11) AS ga11,
+          sum(gc10) AS gc10, sum(gc11) AS gc11,
+          sum(gq00) AS gq00, sum(gq01) AS gq01,
+          sum(gq10) AS gq10, sum(gq11) AS gq11,
+          sum(gk00) AS gk00, sum(gk01) AS gk01,
+          sum(gk10) AS gk10, sum(gk11) AS gk11,
+          sum(gv00) AS gv00, sum(gv01) AS gv01,
+          sum(gv10) AS gv10, sum(gv11) AS gv11,
+          sum(go00) AS go00, sum(go01) AS go01,
+          sum(go10) AS go10, sum(go11) AS go11,
+          sum(gw00) AS gw00, sum(gw01) AS gw01,
+          sum(gw10) AS gw10, sum(gw11) AS gw11,
+          sum(gb0) AS gb0, sum(gb1) AS gb1 FROM g$k),
+      e$k AS (SELECT e.c,
+          e.e1 - $lr*(coalesce(g.ge0, 0.0)/n.n) AS e1,
+          e.e2 - $lr*(coalesce(g.ge1, 0.0)/n.n) AS e2
+        FROM e${k - 1} e LEFT JOIN g$k g ON e.c = g.c, n),
+      w$k AS (SELECT
+          w.a10 - $lr*(r.ga10/n.n) AS a10, w.a11 - $lr*(r.ga11/n.n) AS a11,
+          w.c10 - $lr*(r.gc10/n.n) AS c10, w.c11 - $lr*(r.gc11/n.n) AS c11,
+          w.wq00 - $lr*(r.gq00/n.n) AS wq00, w.wq01 - $lr*(r.gq01/n.n) AS wq01,
+          w.wq10 - $lr*(r.gq10/n.n) AS wq10, w.wq11 - $lr*(r.gq11/n.n) AS wq11,
+          w.wk00 - $lr*(r.gk00/n.n) AS wk00, w.wk01 - $lr*(r.gk01/n.n) AS wk01,
+          w.wk10 - $lr*(r.gk10/n.n) AS wk10, w.wk11 - $lr*(r.gk11/n.n) AS wk11,
+          w.wv00 - $lr*(r.gv00/n.n) AS wv00, w.wv01 - $lr*(r.gv01/n.n) AS wv01,
+          w.wv10 - $lr*(r.gv10/n.n) AS wv10, w.wv11 - $lr*(r.gv11/n.n) AS wv11,
+          w.wo00 - $lr*(r.go00/n.n) AS wo00, w.wo01 - $lr*(r.go01/n.n) AS wo01,
+          w.wo10 - $lr*(r.go10/n.n) AS wo10, w.wo11 - $lr*(r.go11/n.n) AS wo11,
+          w.wh00 - $lr*(r.gw00/n.n) AS wh00, w.wh01 - $lr*(r.gw01/n.n) AS wh01,
+          w.wh10 - $lr*(r.gw10/n.n) AS wh10, w.wh11 - $lr*(r.gw11/n.n) AS wh11,
+          w.bh0 - $lr*(r.gb0/n.n) AS bh0, w.bh1 - $lr*(r.gb1/n.n) AS bh1
+        FROM w${k - 1} w, r$k r, n)"""
+    }.mkString(",\n      ")
+    s"""WITH d AS (SELECT CASE WHEN l_returnflag = 'A' THEN 0
+          WHEN l_returnflag = 'N' THEN 1 ELSE 2 END AS c,
+        l_quantity::DOUBLE/50 AS x1,
+        CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END AS y FROM lineitem),
+      n AS (SELECT count(*)::DOUBLE AS n FROM d),
+      e0 AS (SELECT * FROM (VALUES $eVals) AS tv(c, e1, e2)),
+      w0 AS ($w0),
+      $chain
+      SELECT c AS code, round(e1, 6) AS e1, round(e2, 6) AS e2
+      FROM e$steps ORDER BY c"""
+  }
+
+  /** The reference's DBTransformer at num_heads = 2, trained END-TO-END
+    * (bp17) — the last tuned-model-space gap closed: embedding table +
+    * numeric embedder feed per-head LEARNED Q/K/V projections, the
+    * concat heads pass the learned out-projection and the class head;
+    * every block trained jointly, all gradients riding ONE groupBy(code)
+    * pass per step. The trained table rows are emitted — every
+    * projection update feeds them transitively through step 2's
+    * attention. */
+  private[graft] val qFitTransformerMha = Q("bp17_fit_transformer_mha",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(
+        when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 1).otherwise(2).as("code"),
+        (col("l_quantity") / 50).as("x1"),
+        when(col("l_linestatus") === "F", 0).otherwise(1).as("y"))
+      val p = Blueprint.fitTransformerMhaGD(li, "code", Seq("x1"), "y",
+        card = 3, dim = 2, nClass = 2, heads = 2, steps = 2, lr = 0.1)
+      import s.implicits._
+      (0 until 3).map(c => (c, p.e(c)(0), p.e(c)(1)))
+        .toDF("code", "__e1", "__e2")
+        .select(col("code"), round(col("__e1"), 6).as("e1"),
+          round(col("__e2"), 6).as("e2"))
+        .orderBy("code")
+    },
+    Some(fitTransformerMhaOracle(steps = 2, lr = 0.1)))
+
   /** F20: embedding stub is hash-defined — rows-only check; the combinator
     * semantics are spec-tested. */
   private[graft] val qEmbedStub = Q("t4_text_embed_stub",
@@ -1879,6 +2054,7 @@ private[graft] object QueriesML {
     qMhaForward,
     qFitMha,
     qStackedTransformer,
+    qFitTransformerMha,
     qEmbedStub,
     qEmbedTable,
     qDuration,

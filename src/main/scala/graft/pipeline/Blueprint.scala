@@ -2093,6 +2093,278 @@ object Blueprint {
       wOut.indices.map(kk => (exp(s(kk)) / zc).as(s"p_class$kk")): _*)
   }
 
+  /** Parameters of the FULL multi-head DBTransformer ([[
+    * fitTransformerMhaGD]]): the card×dim embedding table `e`, the
+    * Linear(1, dim) numeric embedders `a`/`c`, per-head Q/K/V
+    * projections `wq`/`wk`/`wv` (heads×(dim/heads)×dim), the dim×dim
+    * out-projection `wo`, and the nClass×dim class head `wOut`/`bOut`. */
+  final case class TransformerMhaParams(e: Array[Array[Double]],
+      a: Array[Array[Double]], c: Array[Array[Double]],
+      wq: Array[Array[Array[Double]]], wk: Array[Array[Array[Double]]],
+      wv: Array[Array[Array[Double]]], wo: Array[Array[Double]],
+      wOut: Array[Array[Double]], bOut: Array[Double])
+
+  /** Deterministic default [[TransformerMhaParams]] init — the
+    * [[transformerInit]] embedding/embedder/head blocks plus the
+    * [[mhaInit]] projections; shared by the bp17 oracle generator. */
+  def transformerMhaInit(card: Int, dim: Int, nNum: Int, nClass: Int,
+      heads: Int): TransformerMhaParams = {
+    val t = transformerInit(card, dim, nNum, nClass)
+    val m = mhaInit(dim, heads)
+    TransformerMhaParams(t.e, t.a, t.c, m.wq, m.wk, m.wv, m.wo, t.wOut, t.bOut)
+  }
+
+  /** The staged forward of [[fitTransformerMhaGD]] — tokens from the
+    * embedding lookup + numeric embedders ([[transformerForwardStaged]]'s
+    * first stage), then MULTI-HEAD attention with learned projections
+    * queried by token 0 ([[mhaForwardStaged]]'s stages over
+    * parameter-dependent tokens), the out-projection, and the class
+    * softmax. Emits `__t{b}_{j}`, `__q/__k/__v`, `__s/__e/__al`
+    * (stable softmax), `__o{j}`, `__out{i}`, `__u/__eu/__zc/__pr{k}`. */
+  private def transformerMhaForwardStaged(joined: DataFrame,
+      p: TransformerMhaParams, numCols: Seq[String]): DataFrame = {
+    val dim = p.wo.length; val nNum = p.a.length
+    val nClass = p.wOut.length; val k = 1 + nNum
+    val heads = p.wq.length; val dh = p.wq.head.length
+    val scaleH = 1.0 / math.sqrt(dh.toDouble)
+    val t = (b: Int, j: Int) => col(s"__t${b}_$j")
+    joined
+      .withColumns((
+        (0 until dim).map(j => s"__t0_$j" -> element_at(col("__emb"), j + 1)) ++
+        (for (m <- 0 until nNum; j <- 0 until dim) yield s"__t${m + 1}_$j" ->
+          (col(numCols(m)).cast("double") * lit(p.a(m)(j)) + lit(p.c(m)(j))))).toMap)
+      .withColumns((
+        (for (g <- 0 until heads; r <- 0 until dh) yield s"__q${g}_$r" ->
+          (0 until dim).map(cc => t(0, cc) * lit(p.wq(g)(r)(cc))).reduce(_ + _)) ++
+        (for (g <- 0 until heads; b <- 0 until k; r <- 0 until dh)
+          yield s"__k${g}_${b}_$r" ->
+            (0 until dim).map(cc => t(b, cc) * lit(p.wk(g)(r)(cc))).reduce(_ + _)) ++
+        (for (g <- 0 until heads; b <- 0 until k; r <- 0 until dh)
+          yield s"__v${g}_${b}_$r" ->
+            (0 until dim).map(cc => t(b, cc) * lit(p.wv(g)(r)(cc))).reduce(_ + _))).toMap)
+      .withColumns((for (g <- 0 until heads; b <- 0 until k)
+        yield s"__s${g}_$b" ->
+          (0 until dh).map(r => col(s"__q${g}_$r") * col(s"__k${g}_${b}_$r"))
+            .reduce(_ + _) * lit(scaleH)).toMap)
+      .withColumns((0 until heads).map(g => s"__mx$g" -> (
+        if (k == 1) col(s"__s${g}_0")
+        else greatest((0 until k).map(b => col(s"__s${g}_$b")): _*))).toMap)
+      .withColumns((for (g <- 0 until heads; b <- 0 until k)
+        yield s"__e${g}_$b" -> exp(col(s"__s${g}_$b") - col(s"__mx$g"))).toMap)
+      .withColumns((0 until heads).map(g => s"__z$g" ->
+        (0 until k).map(b => col(s"__e${g}_$b")).reduce(_ + _)).toMap)
+      .withColumns((for (g <- 0 until heads; b <- 0 until k)
+        yield s"__al${g}_$b" -> col(s"__e${g}_$b") / col(s"__z$g")).toMap)
+      .withColumns((for (g <- 0 until heads; r <- 0 until dh)
+        yield s"__o${g * dh + r}" ->
+          (0 until k).map(b => col(s"__al${g}_$b") * col(s"__v${g}_${b}_$r"))
+            .reduce(_ + _)).toMap)
+      .withColumns((0 until dim).map(i => s"__out$i" ->
+        (0 until dim).map(j => col(s"__o$j") * lit(p.wo(i)(j))).reduce(_ + _)).toMap)
+      .withColumns((0 until nClass).map(kk => s"__u$kk" ->
+        ((0 until dim).map(i => col(s"__out$i") * lit(p.wOut(kk)(i)))
+          .reduce(_ + _) + lit(p.bOut(kk)))).toMap)
+      .withColumns((0 until nClass).map(kk =>
+        s"__eu$kk" -> exp(col(s"__u$kk"))).toMap)
+      .withColumn("__zc", (0 until nClass).map(kk => col(s"__eu$kk")).reduce(_ + _))
+      .withColumns((0 until nClass).map(kk =>
+        s"__pr$kk" -> col(s"__eu$kk") / col("__zc")).toMap)
+  }
+
+  /** The reference's DBTransformer at `num_heads > 1`, trained
+    * END-TO-END — the exact tuned model family
+    * (`torch.nn.MultiheadAttention` inside `transformer.py:16-18,63-110`
+    * with the sweep's `num_heads ∈ {2,4,8}`): embedding table + numeric
+    * embedders feed per-head LEARNED Q/K/V projections (token 0 the
+    * query), concat heads pass the learned out-projection and the
+    * nClass head; softmax cross-entropy, all parameter blocks trained
+    * jointly.
+    *
+    * The backward composes bp14's and bp15's devices: class residuals →
+    * head → out-projection → per-head softmax Jacobian → projection
+    * gradients AND token gradients — token 0 receives query+key+value
+    * paths through the learned projections (`dt0[c] = Σ_g [Σ_r wq(g)(r)(c)
+    * ·dq_r + √dh⁻¹·Σ_r wk(g)(r)(c)·ds_0·q_r + Σ_r wv(g)(r)(c)·α_0·
+    * do_{g·dh+r}]`), numeric tokens key+value only. Token gradients fold
+    * into the table (scatter-add per code) and the embedders (flat
+    * sums), so the whole step is still ONE groupBy(code) aggregate —
+    * at 100 TB a training step shuffles card rows, nothing else.
+    * Op order pinned; codes outside [0, card) drop out of the lookup
+    * join. */
+  def fitTransformerMhaGD(df: DataFrame, codeCol: String, numCols: Seq[String],
+      yCol: String, card: Int, dim: Int, nClass: Int, heads: Int,
+      steps: Int, lr: Double,
+      init: TransformerMhaParams = null): TransformerMhaParams = {
+    require(card >= 1 && dim >= 1 && nClass >= 2, "need codes, dims, 2+ classes")
+    require(heads >= 1 && dim % heads == 0, s"dim $dim must split into $heads heads")
+    require(steps >= 1 && lr > 0, "need steps >= 1 and lr > 0")
+    val nNum = numCols.length; val dh = dim / heads; val k = 1 + nNum
+    val p0 = if (init != null) init
+      else transformerMhaInit(card, dim, nNum, nClass, heads)
+    require(p0.e.length == card && p0.e.forall(_.length == dim) &&
+      p0.a.length == nNum && p0.c.length == nNum &&
+      p0.wq.length == heads && p0.wq.forall(h => h.length == dh &&
+        h.forall(_.length == dim)) &&
+      p0.wk.length == heads && p0.wv.length == heads &&
+      p0.wo.length == dim && p0.wOut.length == nClass &&
+      p0.bOut.length == nClass, "init shape mismatch")
+    val e = p0.e.map(_.clone()); val a = p0.a.map(_.clone())
+    val cc = p0.c.map(_.clone())
+    val wq = p0.wq.map(_.map(_.clone())); val wk = p0.wk.map(_.map(_.clone()))
+    val wv = p0.wv.map(_.map(_.clone())); val wo = p0.wo.map(_.clone())
+    val wOut = p0.wOut.map(_.clone()); val bOut = p0.bOut.clone()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scaleH = 1.0 / math.sqrt(dh.toDouble)
+    (1 to steps).foreach { _ =>
+      val cur = TransformerMhaParams(e.map(_.clone()), a.map(_.clone()),
+        cc.map(_.clone()), wq.map(_.map(_.clone())), wk.map(_.map(_.clone())),
+        wv.map(_.map(_.clone())), wo.map(_.clone()), wOut.map(_.clone()),
+        bOut.clone())
+      val embDf = e.zipWithIndex.map { case (row, cd) => (cd, row) }.toSeq
+        .toDF("__code", "__emb")
+      val joined = df.join(broadcast(embDf),
+        col(codeCol).cast("int") === col("__code"))
+      val y = col(yCol).cast("int")
+      val back = transformerMhaForwardStaged(joined, cur, numCols)
+        .withColumns((0 until nClass).map(kk => s"__du$kk" ->
+          (col(s"__pr$kk") - when(y === kk, 1.0).otherwise(0.0))).toMap)
+        .withColumns((0 until dim).map(i => s"__dout$i" ->
+          (0 until nClass).map(kk => col(s"__du$kk") * lit(cur.wOut(kk)(i)))
+            .reduce(_ + _)).toMap)
+        .withColumns((0 until dim).map(j => s"__do$j" ->
+          (0 until dim).map(i => col(s"__dout$i") * lit(cur.wo(i)(j)))
+            .reduce(_ + _)).toMap)
+        .withColumns((for (g <- 0 until heads; b <- 0 until k)
+          yield s"__dal${g}_$b" ->
+            (0 until dh).map(r => col(s"__do${g * dh + r}") *
+              col(s"__v${g}_${b}_$r")).reduce(_ + _)).toMap)
+        .withColumns((0 until heads).map(g => s"__sad$g" ->
+          (0 until k).map(b => col(s"__al${g}_$b") * col(s"__dal${g}_$b"))
+            .reduce(_ + _)).toMap)
+        .withColumns((for (g <- 0 until heads; b <- 0 until k)
+          yield s"__ds${g}_$b" ->
+            col(s"__al${g}_$b") * (col(s"__dal${g}_$b") - col(s"__sad$g"))).toMap)
+        .withColumns((for (g <- 0 until heads; r <- 0 until dh)
+          yield s"__dq${g}_$r" ->
+            (0 until k).map(b => col(s"__ds${g}_$b") * col(s"__k${g}_${b}_$r"))
+              .reduce(_ + _) * lit(scaleH)).toMap)
+        // token gradients through the learned projections: token 0 rides
+        // the query path + its key path + its value path; token b >= 1
+        // keys its own score and carries its value path
+        .withColumns((
+          (0 until dim).map(j => s"__dT0_$j" ->
+            (0 until heads).map { g =>
+              (0 until dh).map(r => lit(cur.wq(g)(r)(j)) * col(s"__dq${g}_$r"))
+                .reduce(_ + _) +
+              (0 until dh).map(r => lit(cur.wk(g)(r)(j)) *
+                (col(s"__ds${g}_0") * col(s"__q${g}_$r"))).reduce(_ + _) * lit(scaleH) +
+              (0 until dh).map(r => lit(cur.wv(g)(r)(j)) *
+                (col(s"__al${g}_0") * col(s"__do${g * dh + r}"))).reduce(_ + _)
+            }.reduce(_ + _)) ++
+          (for (m <- 0 until nNum; j <- 0 until dim) yield s"__dT${m + 1}_$j" ->
+            (0 until heads).map { g =>
+              (0 until dh).map(r => lit(cur.wk(g)(r)(j)) *
+                (col(s"__ds${g}_${m + 1}") * col(s"__q${g}_$r"))).reduce(_ + _) *
+                lit(scaleH) +
+              (0 until dh).map(r => lit(cur.wv(g)(r)(j)) *
+                (col(s"__al${g}_${m + 1}") * col(s"__do${g * dh + r}"))).reduce(_ + _)
+            }.reduce(_ + _))).toMap)
+      val x = (m: Int) => col(numCols(m)).cast("double")
+      val tB = (b: Int, j: Int) => col(s"__t${b}_$j")
+      // ONE grouped pass: every gradient as a per-code partial sum
+      val sums =
+        (0 until dim).map(j => sum(col(s"__dT0_$j")).as(s"ge_$j")) ++
+        (for (m <- 0 until nNum; j <- 0 until dim)
+          yield sum(col(s"__dT${m + 1}_$j") * x(m)).as(s"ga_${m}_$j")) ++
+        (for (m <- 0 until nNum; j <- 0 until dim)
+          yield sum(col(s"__dT${m + 1}_$j")).as(s"gc_${m}_$j")) ++
+        (for (g <- 0 until heads; r <- 0 until dh; c2 <- 0 until dim)
+          yield sum(col(s"__dq${g}_$r") * tB(0, c2)).as(s"gq_${g}_${r}_$c2")) ++
+        (for (g <- 0 until heads; r <- 0 until dh; c2 <- 0 until dim)
+          yield sum((0 until k).map(b => col(s"__ds${g}_$b") * tB(b, c2))
+            .reduce(_ + _) * col(s"__q${g}_$r") * lit(scaleH))
+            .as(s"gk_${g}_${r}_$c2")) ++
+        (for (g <- 0 until heads; r <- 0 until dh; c2 <- 0 until dim)
+          yield sum((0 until k).map(b => col(s"__al${g}_$b") * tB(b, c2))
+            .reduce(_ + _) * col(s"__do${g * dh + r}"))
+            .as(s"gv_${g}_${r}_$c2")) ++
+        (for (i <- 0 until dim; j <- 0 until dim)
+          yield sum(col(s"__dout$i") * col(s"__o$j")).as(s"go_${i}_$j")) ++
+        (for (kk <- 0 until nClass; i <- 0 until dim)
+          yield sum(col(s"__du$kk") * col(s"__out$i")).as(s"gw_${kk}_$i")) ++
+        (0 until nClass).map(kk => sum(col(s"__du$kk")).as(s"gb_$kk")) ++
+        Seq(count(lit(1)).cast("double").as("__n"))
+      val rows = back.groupBy(col("__code")).agg(sums.head, sums.tail: _*)
+        .collect()
+      var n = 0.0
+      val gE = Array.fill(card, dim)(0.0)
+      val gA = Array.fill(nNum, dim)(0.0); val gC = Array.fill(nNum, dim)(0.0)
+      val gQ = Array.fill(heads, dh, dim)(0.0)
+      val gK = Array.fill(heads, dh, dim)(0.0)
+      val gV = Array.fill(heads, dh, dim)(0.0)
+      val gO = Array.fill(dim, dim)(0.0)
+      val gW = Array.fill(nClass, dim)(0.0); val gB = Array.fill(nClass)(0.0)
+      rows.foreach { r =>
+        def g(name: String) = r.getDouble(r.fieldIndex(name))
+        val cd = r.getInt(r.fieldIndex("__code"))
+        n += g("__n")
+        (0 until dim).foreach(j => gE(cd)(j) = g(s"ge_$j"))
+        for (m <- 0 until nNum; j <- 0 until dim) {
+          gA(m)(j) += g(s"ga_${m}_$j"); gC(m)(j) += g(s"gc_${m}_$j")
+        }
+        for (gg <- 0 until heads; r2 <- 0 until dh; c2 <- 0 until dim) {
+          gQ(gg)(r2)(c2) += g(s"gq_${gg}_${r2}_$c2")
+          gK(gg)(r2)(c2) += g(s"gk_${gg}_${r2}_$c2")
+          gV(gg)(r2)(c2) += g(s"gv_${gg}_${r2}_$c2")
+        }
+        for (i <- 0 until dim; j <- 0 until dim) gO(i)(j) += g(s"go_${i}_$j")
+        for (kk <- 0 until nClass) {
+          gB(kk) += g(s"gb_$kk")
+          (0 until dim).foreach(i => gW(kk)(i) += g(s"gw_${kk}_$i"))
+        }
+      }
+      require(n > 0, "no row carries a code inside [0, card)")
+      for (cd <- 0 until card; j <- 0 until dim)
+        e(cd)(j) = e(cd)(j) - lr * (gE(cd)(j) / n)
+      for (m <- 0 until nNum; j <- 0 until dim) {
+        a(m)(j) = a(m)(j) - lr * (gA(m)(j) / n)
+        cc(m)(j) = cc(m)(j) - lr * (gC(m)(j) / n)
+      }
+      for (gg <- 0 until heads; r2 <- 0 until dh; c2 <- 0 until dim) {
+        wq(gg)(r2)(c2) -= lr * (gQ(gg)(r2)(c2) / n)
+        wk(gg)(r2)(c2) -= lr * (gK(gg)(r2)(c2) / n)
+        wv(gg)(r2)(c2) -= lr * (gV(gg)(r2)(c2) / n)
+      }
+      for (i <- 0 until dim; j <- 0 until dim)
+        wo(i)(j) -= lr * (gO(i)(j) / n)
+      for (kk <- 0 until nClass) {
+        (0 until dim).foreach(i => wOut(kk)(i) -= lr * (gW(kk)(i) / n))
+        bOut(kk) -= lr * (gB(kk) / n)
+      }
+    }
+    TransformerMhaParams(e, a, cc, wq, wk, wv, wo, wOut, bOut)
+  }
+
+  /** Mean softmax cross-entropy of [[fitTransformerMhaGD]]'s model — the
+    * finite-difference anchor for the full multi-head end-to-end
+    * gradient (every block: table, embedders, Q/K/V/O, head). */
+  def transformerMhaLogLoss(df: DataFrame, codeCol: String,
+      numCols: Seq[String], yCol: String, p: TransformerMhaParams): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nClass = p.wOut.length
+    val embDf = p.e.zipWithIndex.map { case (row, cd) => (cd, row) }.toSeq
+      .toDF("__code", "__emb")
+    val joined = df.join(broadcast(embDf),
+      col(codeCol).cast("int") === col("__code"))
+    val y = col(yCol).cast("int")
+    val py = (0 until nClass).map(kk =>
+      when(y === kk, col(s"__pr$kk")).otherwise(lit(0.0))).reduce(_ + _)
+    transformerMhaForwardStaged(joined, p, numCols)
+      .agg(avg(-log(py))).collect()(0).getDouble(0)
+  }
+
   /** One-vs-rest ridge-classifier fit of the [[decodeClasses]] weights:
     * one ridge regression per class against its 0/1 indicator (a standard
     * ridge classifier — argmax of the per-class scores predicts). All

@@ -763,6 +763,74 @@ class BlueprintSpec extends SparkSpec {
         parents, Seq("pid"), "y", init))
   }
 
+  test("fitTransformerMhaGD: end-to-end gradient through table, embedders, Q/K/V/O and head matches finite differences") {
+    val data = Seq(
+      (0, 0.2, 0), (0, 0.8, 1), (1, 0.5, 0), (1, 0.1, 1),
+      (2, 0.9, 0), (2, 0.3, 1), (0, 0.6, 0), (7, 0.5, 1)) // code 7 dangles
+    val df = data.toDF("code", "x1", "y")
+    val init = Blueprint.transformerMhaInit(card = 3, dim = 2, nNum = 1,
+      nClass = 2, heads = 2)
+    def deepCopy(p: Blueprint.TransformerMhaParams) =
+      Blueprint.TransformerMhaParams(p.e.map(_.clone()), p.a.map(_.clone()),
+        p.c.map(_.clone()), p.wq.map(_.map(_.clone())),
+        p.wk.map(_.map(_.clone())), p.wv.map(_.map(_.clone())),
+        p.wo.map(_.clone()), p.wOut.map(_.clone()), p.bOut.clone())
+    val lr = 1e-3
+    val stepped = Blueprint.fitTransformerMhaGD(df, "code", Seq("x1"), "y",
+      card = 3, dim = 2, nClass = 2, heads = 2, steps = 1, lr = lr,
+      init = deepCopy(init))
+    val eps = 1e-5
+    def lossWith(mut: Blueprint.TransformerMhaParams => Unit): Double = {
+      val p = deepCopy(init); mut(p)
+      Blueprint.transformerMhaLogLoss(df, "code", Seq("x1"), "y", p)
+    }
+    def check(label: String, grad: Double,
+        plus: Blueprint.TransformerMhaParams => Unit,
+        minus: Blueprint.TransformerMhaParams => Unit): Unit = {
+      val fd = (lossWith(plus) - lossWith(minus)) / (2 * eps)
+      assert(math.abs(grad - fd) < 1e-4, s"$label grad $grad vs fd $fd")
+    }
+    // the embedding table rides query+key+value paths through the learned
+    // projections — the hardest composite gradient in the engine
+    for (cd <- 0 until 3; j <- 0 until 2)
+      check(s"e($cd)($j)", (init.e(cd)(j) - stepped.e(cd)(j)) / lr,
+        _.e(cd)(j) += eps, _.e(cd)(j) -= eps)
+    // numeric embedder (key+value paths), both heads' projections, out
+    // projection, head
+    check("a(0)(1)", (init.a(0)(1) - stepped.a(0)(1)) / lr,
+      _.a(0)(1) += eps, _.a(0)(1) -= eps)
+    check("c(0)(0)", (init.c(0)(0) - stepped.c(0)(0)) / lr,
+      _.c(0)(0) += eps, _.c(0)(0) -= eps)
+    for (g <- 0 until 2; c2 <- 0 until 2) {
+      check(s"wq($g)(0)($c2)", (init.wq(g)(0)(c2) - stepped.wq(g)(0)(c2)) / lr,
+        _.wq(g)(0)(c2) += eps, _.wq(g)(0)(c2) -= eps)
+      check(s"wk($g)(0)($c2)", (init.wk(g)(0)(c2) - stepped.wk(g)(0)(c2)) / lr,
+        _.wk(g)(0)(c2) += eps, _.wk(g)(0)(c2) -= eps)
+      check(s"wv($g)(0)($c2)", (init.wv(g)(0)(c2) - stepped.wv(g)(0)(c2)) / lr,
+        _.wv(g)(0)(c2) += eps, _.wv(g)(0)(c2) -= eps)
+    }
+    for (i <- 0 until 2; j <- 0 until 2)
+      check(s"wo($i)($j)", (init.wo(i)(j) - stepped.wo(i)(j)) / lr,
+        _.wo(i)(j) += eps, _.wo(i)(j) -= eps)
+    check("wOut(1)(0)", (init.wOut(1)(0) - stepped.wOut(1)(0)) / lr,
+      _.wOut(1)(0) += eps, _.wOut(1)(0) -= eps)
+    check("bOut(0)", (init.bOut(0) - stepped.bOut(0)) / lr,
+      _.bOut(0) += eps, _.bOut(0) -= eps)
+    // training lowers the loss; the dangling code contributed nothing
+    val trained = Blueprint.fitTransformerMhaGD(df, "code", Seq("x1"), "y",
+      card = 3, dim = 2, nClass = 2, heads = 2, steps = 40, lr = 0.5,
+      init = deepCopy(init))
+    assert(Blueprint.transformerMhaLogLoss(df, "code", Seq("x1"), "y", trained) <
+      Blueprint.transformerMhaLogLoss(df, "code", Seq("x1"), "y", init))
+    val without = Blueprint.fitTransformerMhaGD(
+      df.filter(col("code") < 3), "code", Seq("x1"), "y",
+      card = 3, dim = 2, nClass = 2, heads = 2, steps = 1, lr = lr,
+      init = deepCopy(init))
+    for (cd <- 0 until 3; j <- 0 until 2)
+      assert(math.abs(stepped.e(cd)(j) - without.e(cd)(j)) < 1e-15,
+        "the dangling code must drop out of the lookup join entirely")
+  }
+
   test("dbTransformerForward: layer 2 depends on layer 1 cross-table state; childless and dangling rows are inert") {
     val wOut = Array(Array(1.0, -1.0), Array(-0.5, 0.5))
     val bOut = Array(0.05, -0.05)

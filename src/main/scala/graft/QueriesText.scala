@@ -18,7 +18,7 @@ import graft.sample.{BfsSampler, Sampling}
 import graft.schema._
 import graft.similarity.{Ivf, Quantize, Similarity}
 import graft.streaming.EventStream
-import graft.text.TextAnalysis
+import graft.text.{Dsir, TextAnalysis}
 
 
 /** Registry domain: text analysis, multimodal plumbing, streaming-shaped transforms. See [[SparkEntry]] for the contract. */
@@ -209,6 +209,66 @@ private[graft] object QueriesText {
       count(*) AS n, round(sum(value),4) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""))
 
+  /** The shared CTE prefix of both DSIR oracles: hashed uni+bigram
+    * buckets (64 cells), per-(doc, target, bucket) counts, smoothed
+    * per-bucket log p̂/q̂ with target = English documents — a SQL
+    * restatement of [[Dsir.scoreAgainstTarget]]'s dataflow.
+    */
+  private val dsirScoreCtes =
+    """WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, lang, unnest(w || list_transform(range(1, len(w)),
+          i -> w[i] || ' ' || w[i+1])) AS g FROM t),
+      b AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(g), 1, 7))::BIGINT % 64 AS bucket FROM g),
+      dcb AS (SELECT doc_id, lang = 'en' AS tgt, bucket, count(*) AS c
+        FROM b GROUP BY 1, 2, 3),
+      cnt AS (SELECT bucket, sum(c) AS cr,
+          sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct FROM dcb GROUP BY 1),
+      tot AS (SELECT sum(cr) AS r_tot, sum(ct) AS t_tot FROM cnt),
+      sp AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+      lr AS (SELECT sp.bucket,
+          ln((coalesce(cnt.ct, 0) + 1)::DOUBLE / (tot.t_tot + 64)) -
+          ln((coalesce(cnt.cr, 0) + 1)::DOUBLE / (tot.r_tot + 64)) AS lr
+        FROM sp LEFT JOIN cnt USING (bucket) CROSS JOIN tot),
+      sc AS (SELECT dcb.doc_id, sum(dcb.c)::BIGINT AS n_ngrams,
+          round(sum(dcb.c * lr.lr), 4) AS log_weight
+        FROM dcb JOIN lr USING (bucket) GROUP BY 1)"""
+
+  /** DSIR importance scores (Xie et al. 2023): every document scored
+    * by how English-like its hashed uni+bigram distribution is —
+    * fit and score in ONE corpus scan/shuffle. The 64-bucket table is
+    * a test-scale knob; the paper's 10⁴ buckets stay broadcastable.
+    */
+  private[graft] val qDsirScore = Q("dsir1_importance_score",
+    (s, d) => Dsir.scoreAgainstTarget(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", nBuckets = 64)
+      .orderBy("doc_id"),
+    Some(dsirScoreCtes +
+      " SELECT doc_id, n_ngrams, log_weight FROM sc ORDER BY doc_id"))
+
+  /** DSIR resampling step: 50 documents drawn without replacement with
+    * probability ∝ exp(importance weight) via Gumbel-top-k on the
+    * portable md5 coin — the pick is deterministic and the oracle
+    * recomputes every key.
+    */
+  private[graft] val qDsirResample = Q("dsir2_gumbel_resample",
+    (s, d) => Dsir.gumbelTopK(
+        Dsir.scoreAgainstTarget(t(s, d, "documents"), "doc_id", "text",
+          col("lang") === "en", nBuckets = 64)
+          .select(col("doc_id"), col("log_weight")),
+        "doc_id", "log_weight", k = 50, seed = "dsir")
+      .orderBy("doc_id"),
+    Some(dsirScoreCtes + """,
+      gk AS (SELECT doc_id, log_weight, log_weight +
+          -ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 4))::INT
+            + 0.5) / 65536.0)) AS key
+        FROM sc),
+      rk AS (SELECT doc_id, log_weight, key,
+          row_number() OVER (ORDER BY key DESC, doc_id) AS rn FROM gk)
+      SELECT doc_id, log_weight, round(key, 4) AS gumbel_key
+      FROM rk WHERE rn <= 50 ORDER BY doc_id"""))
+
   // ====================================================================
 
   private[graft] val all: Seq[Q] = Seq(
@@ -221,5 +281,7 @@ private[graft] object QueriesText {
     qAhashNearDups,
     qRunningTotals,
     qSessions,
-    qHourly)
+    qHourly,
+    qDsirScore,
+    qDsirResample)
 }

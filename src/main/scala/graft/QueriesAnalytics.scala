@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.agg.VectorAgg
+import graft.agg.{Incremental, VectorAgg}
 import graft.analyze.{Associations, Behavior, DistinctCounter, Olap, Quantiles, Sketches, Stats}
 import graft.functions.ZOrder
 import graft.catalog.{ConstraintRegistry, ParquetCatalog}
@@ -276,6 +276,43 @@ private[graft] object QueriesAnalytics {
         coalesce(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus
       FROM orders o FULL JOIN u ON o.o_orderkey = u.o_orderkey
       ORDER BY o_orderkey"""))
+
+  /** Incremental aggregate maintenance: the per-customer aggregate table
+    * maintained from a base batch (orders before 1997) plus a delta batch
+    * (the rest) via [[Incremental.mergeState]] — the oracle RESTATES the
+    * merge (two grouped states full-outer combined), so the monoid
+    * semantics are what's checked, not just the final totals. */
+  private[graft] val qIvm = Q("ivm1_incremental_agg",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val state = Incremental.aggState(
+        o.filter(col("o_orderdate") < lit("1997-01-01")),
+        Seq("o_custkey"), Seq("o_totalprice"))
+      val delta = Incremental.aggState(
+        o.filter(col("o_orderdate") >= lit("1997-01-01")),
+        Seq("o_custkey"), Seq("o_totalprice"))
+      Incremental.mergeState(state, delta, Seq("o_custkey"), Seq("o_totalprice"))
+        .select(col("o_custkey"), col("n"),
+          round(col("sum_o_totalprice"), 4).as("sum_total"),
+          round(col("min_o_totalprice"), 4).as("min_total"),
+          round(col("max_o_totalprice"), 4).as("max_total"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH st AS (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS s,
+          min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders WHERE o_orderdate < '1997-01-01' GROUP BY 1),
+      dl AS (SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS s,
+          min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders WHERE o_orderdate >= '1997-01-01' GROUP BY 1),
+      m AS (SELECT coalesce(st.o_custkey, dl.o_custkey) AS o_custkey,
+          coalesce(st.n, 0) + coalesce(dl.n, 0) AS n,
+          CASE WHEN st.s IS NULL THEN dl.s WHEN dl.s IS NULL THEN st.s
+            ELSE st.s + dl.s END AS s,
+          least(st.mn, dl.mn) AS mn, greatest(st.mx, dl.mx) AS mx
+        FROM st FULL OUTER JOIN dl ON st.o_custkey = dl.o_custkey)
+      SELECT o_custkey, n::BIGINT AS n, round(s, 4) AS sum_total,
+        round(mn, 4) AS min_total, round(mx, 4) AS max_total
+      FROM m ORDER BY o_custkey"""))
 
   /** Declarative data-quality gate: six expectations over orders — five
     * compiled into ONE conditional-aggregate scan, plus one anti-join
@@ -1991,6 +2028,7 @@ private[graft] object QueriesAnalytics {
     qTrianglesApprox,
     qTrianglesVertexSampled,
     qUpsert,
+    qIvm,
     qDataQuality,
     qCorrelation,
     qEqualFreqBins,

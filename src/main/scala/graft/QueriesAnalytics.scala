@@ -1983,6 +1983,66 @@ private[graft] object QueriesAnalytics {
         count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
       FROM c GROUP BY 1 ORDER BY 1"""))
 
+  /** The pipeline with the model TRAINED INSIDE IT: a logistic quality
+    * filter fit by [[graft.pipeline.Blueprint.fitLogisticGD]] (2 GD steps
+    * on document features, English-ness as the training signal — the
+    * fastText-classifier curation recipe), weights frozen at 6 dp so both
+    * engines apply IDENTICAL parameters, then applied to every document in
+    * the same dataflow and reported per source. Training is one aggregate
+    * pass per step; apply is scan-speed; nothing data-sized leaves the
+    * executors. */
+  private[graft] val qTrainedFilter = Q("pipe2_trained_filter",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      import graft.text.TextAnalysis
+      val feats = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          array(TextAnalysis.tokenCount(col("text")).cast("double") / 100.0,
+            TextAnalysis.punctRatio(col("text"))).as("feat"),
+          (col("lang") === "en").cast("double").as("y"))
+      val (w, b) = Blueprint.fitLogisticGD(feats, "feat", "y",
+        dim = 2, steps = 2, lr = 0.5)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val margin = element_at(col("feat"), 1) * lit(r6(w(0))) +
+        element_at(col("feat"), 2) * lit(r6(w(1))) + lit(r6(b))
+      val score = lit(1.0) / (lit(1.0) + exp(-margin))
+      feats.withColumn("score", score)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("score") > 0.5).cast("long")).as("n_kept"),
+          round(avg(col("score")), 4).as("avg_score"))
+        .orderBy("source")
+    },
+    Some {
+      val sig = (w: String) => s"1.0/(1.0+exp(-(x1*$w.w1 + x2*$w.w2 + $w.b)))"
+      val chain = (1 to 2).map { i =>
+        val p = sig("w")
+        s"""g$i AS (SELECT sum(($p - y)*x1) AS g1, sum(($p - y)*x2) AS g2,
+            sum($p - y) AS gb FROM d, w${i - 1} w),
+          w$i AS (SELECT w.w1 - 0.5*(g.g1/n.n) AS w1, w.w2 - 0.5*(g.g2/n.n) AS w2,
+            w.b - 0.5*(g.gb/n.n) AS b FROM w${i - 1} w, g$i g, n)"""
+      }.mkString(",\n        ")
+      s"""WITH d AS (SELECT doc_id, source,
+          (CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split(trim(text), ' ')) END)::DOUBLE / 100.0 AS x1,
+          CASE WHEN length(text) = 0 THEN 0.0
+            ELSE (length(text) - length(translate(text, '.,!?;:''"()-', '')))::DOUBLE
+              / length(text) END AS x2,
+          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents WHERE text IS NOT NULL),
+        n AS (SELECT count(*)::DOUBLE AS n FROM d),
+        w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS b),
+        $chain,
+        wf AS (SELECT round(w1, 6) AS w1, round(w2, 6) AS w2,
+          round(b, 6) AS b FROM w2),
+        sc AS (SELECT source, ${sig("wf")} AS score FROM d, wf wf)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          round(avg(score), 4) AS avg_score
+        FROM sc GROUP BY 1 ORDER BY 1"""
+    })
+
   /** Benford first-digit audit of order totals — the fabricated-data /
     * unit-mixing smell test. Digits extracted from exact integer CENTS
     * (integer→string is exact cross-engine; float formatting is not). */
@@ -2006,6 +2066,7 @@ private[graft] object QueriesAnalytics {
     qPca,
     qBenford,
     qCorpusPipeline,
+    qTrainedFilter,
     qHllVocab,
     qHllMerge,
     qKmvDistinct,

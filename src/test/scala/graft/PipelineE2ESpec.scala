@@ -87,4 +87,26 @@ class PipelineE2ESpec extends SparkSpec {
       .filter(col("a") =!= col("b"))
     assert(disagree.isEmpty)
   }
+
+  test("train-inside-the-pipeline: the logistic filter fit is deterministic and moves off zero") {
+    import graft.pipeline.Blueprint
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .filter(col("text").isNotNull)
+    val feats = docs.select(
+      array(TextAnalysis.tokenCount(col("text")).cast("double") / 100.0,
+        TextAnalysis.punctRatio(col("text"))).as("feat"),
+      (col("lang") === "en").cast("double").as("y"))
+    val (w1, b1) = Blueprint.fitLogisticGD(feats, "feat", "y", dim = 2, steps = 2, lr = 0.5)
+    val (w2, b2) = Blueprint.fitLogisticGD(feats, "feat", "y", dim = 2, steps = 2, lr = 0.5)
+    assert(w1.toSeq == w2.toSeq && b1 == b2,
+      "refitting on the same data must give bit-identical parameters")
+    assert(w1.exists(_ != 0.0) && b1 != 0.0,
+      "two GD steps must move every parameter off the zero init")
+    // applying frozen weights is a pure projection: scores in (0,1)
+    val margin = element_at(col("feat"), 1) * lit(w1(0)) +
+      element_at(col("feat"), 2) * lit(w1(1)) + lit(b1)
+    val score = lit(1.0) / (lit(1.0) + exp(-margin))
+    assert(feats.select(score.as("s"))
+      .filter(col("s") <= 0.0 || col("s") >= 1.0).isEmpty)
+  }
 }

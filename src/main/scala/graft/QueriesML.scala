@@ -305,6 +305,59 @@ private[graft] object QueriesML {
     },
     Some(fitClassifierOracle))
 
+  /** K-fold cross-validated ridge: 3 leave-one-fold-out models + their
+    * held-out MSEs from TWO distributed passes total (per-fold Gram
+    * sums, then one broadcast-scored pass) — never k re-scans. Folds
+    * are grouped by l_orderkey (the portable md5 coin), so lineitems of
+    * one order never straddle train/test; models freeze at 4 dp before
+    * scoring (the pipe2 device) so both engines score identical
+    * parameters. */
+  private[graft] val qKfoldRidge = Q("cv1_kfold_ridge",
+    (s, d) => {
+      import graft.pipeline.Blueprint
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        floor(col("l_extendedprice")).as("y"))
+      val folded = Sampling.kFold(li, "l_orderkey", k = 3)
+      Blueprint.kFoldRidge(folded, "feat", "y", dim = 2, "fold", lambda = 1.0)
+        .select(col("fold"), col("n_test"), col("w_0").as("w_quantity"),
+          col("w_1").as("w_linenumber"), col("bias"), col("mse"))
+        .orderBy("fold")
+    },
+    Some("""WITH d AS (SELECT
+        ('0x' || substring(md5(l_orderkey::VARCHAR || ':cv'), 1, 4))::INT % 3 AS fold,
+        l_quantity::DOUBLE AS x1, l_linenumber::DOUBLE AS x2,
+        floor(l_extendedprice) AS y FROM lineitem),
+      pf AS (SELECT fold, sum(x1*x1) AS s00, sum(x1*x2) AS s01,
+          sum(x2*x2) AS s11, sum(x1) AS t0, sum(x2) AS t1,
+          sum(x1*y) AS p1, sum(x2*y) AS p2, sum(y) AS p3,
+          count(*)::DOUBLE AS nf
+        FROM d GROUP BY 1),
+      tt AS (SELECT sum(s00) AS s00, sum(s01) AS s01, sum(s11) AS s11,
+          sum(t0) AS t0, sum(t1) AS t1, sum(p1) AS p1, sum(p2) AS p2,
+          sum(p3) AS p3, sum(nf) AS nf FROM pf),
+      lo AS (SELECT pf.fold,
+          tt.s00 - pf.s00 + 1.0 AS a, tt.s01 - pf.s01 AS b,
+          tt.t0 - pf.t0 AS c, tt.s11 - pf.s11 + 1.0 AS e,
+          tt.t1 - pf.t1 AS f, tt.nf - pf.nf AS i,
+          tt.p1 - pf.p1 AS r1, tt.p2 - pf.p2 AS r2, tt.p3 - pf.p3 AS r3
+        FROM pf, tt),
+      m AS (SELECT fold, a, b, c, b AS dd, e, f, c AS gg, f AS h, i,
+          r1, r2, r3,
+          a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c) AS det FROM lo),
+      w AS (SELECT fold,
+          round((r1*(e*i - f*h) - b*(r2*i - f*r3) + c*(r2*h - e*r3)) / det, 4) AS w1,
+          round((a*(r2*i - f*r3) - r1*(dd*i - f*gg) + c*(dd*r3 - r2*gg)) / det, 4) AS w2,
+          round((a*(e*r3 - r2*h) - b*(dd*r3 - r2*gg) + r1*(dd*h - e*gg)) / det, 4) AS bias
+        FROM m),
+      sc AS (SELECT d.fold, w.w1, w.w2, w.bias,
+          pow(d.y - (d.x1*w.w1 + d.x2*w.w2 + w.bias), 2) AS r2e
+        FROM d JOIN w USING (fold))
+      SELECT fold, count(*)::BIGINT AS n_test, min(w1) AS w_quantity,
+        min(w2) AS w_linenumber, min(bias) AS bias,
+        round(avg(r2e), 2) AS mse
+      FROM sc GROUP BY 1 ORDER BY 1"""))
+
   /** bp4's oracle: the N-step GD recurrence unrolled into one CTE chain
     * per step — gradient CTE (the same per-row sigmoid expression and sum
     * order as [[graft.pipeline.Blueprint.fitLogisticGD]]'s agg pass) then
@@ -2036,6 +2089,7 @@ private[graft] object QueriesML {
     qLegacyDates,
     qBlueprint,
     qFitDecoder,
+    qKfoldRidge,
     qFitClassifier,
     qFitGd,
     qFitMlp,

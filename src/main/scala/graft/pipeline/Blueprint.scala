@@ -174,6 +174,83 @@ object Blueprint {
     }
   }
 
+  /** K-fold cross-validated ridge regression in TWO distributed passes
+    * REGARDLESS of k — model selection without k re-scans of the data.
+    * Pass 1 groups the Gram/moment sufficient statistics by `foldCol`
+    * (≤ k rows collected — bounded like a centroid pull); each fold's
+    * leave-one-fold-out model is solved on the driver from
+    * (total − fold) sums, so training set f = everything outside fold f
+    * at zero extra scan cost. The k models are FROZEN at 4 dp (both
+    * engines score identical parameters — the pipe2 device) and pass 2
+    * broadcast-joins them back by fold to score every row against the
+    * model that did NOT see it, aggregating per-fold held-out MSE.
+    *
+    * Returns one row per fold: (fold, n_test, w_0..w_{dim-1}, bias,
+    * mse). Assign folds by a GROUPING key (e.g. [[graft.sample.Sampling
+    * .kFold]] on the order key) to keep the split leakage-free.
+    */
+  def kFoldRidge(df: DataFrame, featCol: String, yCol: String, dim: Int,
+      foldCol: String, lambda: Double = 0.0): DataFrame = {
+    require(dim >= 1, "need at least one feature")
+    val spark = df.sparkSession
+    val x = (i: Int) => element_at(col(featCol), i + 1).cast("double")
+    val y = col(yCol).cast("double")
+    val sums: Seq[Column] =
+      (for { i <- 0 until dim; j <- i until dim }
+        yield sum(x(i) * x(j)).as(s"s_${i}_$j")) ++
+      (0 until dim).map(i => sum(x(i)).as(s"s1_$i")) ++
+      (0 until dim).map(i => sum(x(i) * y).as(s"sy_$i")) ++
+      Seq(sum(y).as("sy"), count(lit(1)).cast("double").as("n"))
+    val perFold = df.groupBy(col(foldCol).cast("int").as("fold"))
+      .agg(sums.head, sums.tail: _*)
+      .collect().sortBy(_.getInt(0))
+    require(perFold.length >= 2, "need at least 2 non-empty folds")
+    val fields = (for { i <- 0 until dim; j <- i until dim } yield s"s_${i}_$j") ++
+      (0 until dim).map(i => s"s1_$i") ++
+      (0 until dim).map(i => s"sy_$i") ++ Seq("sy", "n")
+    def g(r: org.apache.spark.sql.Row, f: String) = r.getDouble(r.fieldIndex(f))
+    // totals accumulate in ascending-fold order (pinned for restatement)
+    val tot = fields.map(f => f -> perFold.map(g(_, f)).sum).toMap
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = dim + 1
+    val models = perFold.map { r =>
+      val a = Array.ofDim[Double](k, k)
+      val b = new Array[Double](k)
+      def lo(f: String) = tot(f) - g(r, f)
+      for (i <- 0 until dim; j <- i until dim) {
+        a(i)(j) = lo(s"s_${i}_$j"); a(j)(i) = a(i)(j)
+      }
+      for (i <- 0 until dim) {
+        a(i)(dim) = lo(s"s1_$i"); a(dim)(i) = a(i)(dim); a(i)(i) += lambda
+      }
+      a(dim)(dim) = lo("n")
+      for (i <- 0 until dim) b(i) = lo(s"sy_$i")
+      b(dim) = lo("sy")
+      val w = solveLinearSystem(a, b)
+      org.apache.spark.sql.Row.fromSeq(
+        r.getInt(0) +: w.map(r4).toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("fold",
+        org.apache.spark.sql.types.IntegerType) +:
+      ((0 until dim).map(i => org.apache.spark.sql.types.StructField(s"__w$i",
+        org.apache.spark.sql.types.DoubleType)) :+
+       org.apache.spark.sql.types.StructField("__b",
+         org.apache.spark.sql.types.DoubleType)))
+    val mdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(models.toSeq, 1), schema)
+    val pred = (0 until dim).map(i => x(i) * col(s"__w$i")).reduce(_ + _) +
+      col("__b")
+    df.select(col(foldCol).cast("int").as("fold"), col(featCol), y.as("__y"))
+      .join(broadcast(mdf), "fold")
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).cast("bigint").as("n_test"),
+        ((0 until dim).map(i => first(col(s"__w$i")).as(s"w_$i")) :+
+         first(col("__b")).as("bias") :+
+         round(avg(pow(col("__y") - pred, 2)), 2).as("mse")): _*)
+  }
+
   /** Gradient-trained logistic readout — the train-LOOP capability of the
     * reference's Lightning fit stage (main.py:307-323) in distributed
     * form, complementing the closed-form [[fitLinearDecoder]]: full-batch

@@ -76,6 +76,49 @@ class BlueprintSpec extends SparkSpec {
     scored.zip(ys).foreach { case (a, e) => assert(math.abs(a - e) < 1e-9) }
   }
 
+  test("kFoldRidge: each fold's model is fitLinearDecoder on everything OUTSIDE it") {
+    // y = 2*x1 - 3*x2 + 5 exactly; folds 0/1/2 by row
+    val pts = Seq((0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0), (0, 2.0, 3.0),
+      (1, 4.0, 1.0), (2, 1.0, 2.0), (0, 3.0, 0.5), (1, 0.5, 2.5))
+    val df = pts.map { case (f, x1, x2) =>
+      (f, Array(x1, x2), 2 * x1 - 3 * x2 + 5) }.toDF("fold", "feat", "y")
+    val cv = Blueprint.kFoldRidge(df, "feat", "y", dim = 2, "fold", lambda = 0.5)
+      .orderBy("fold").collect()
+    assert(cv.length == 3)
+    assert(cv.map(_.getLong(cv(0).fieldIndex("n_test"))).sum == pts.length,
+      "every row is held out exactly once")
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    cv.foreach { r =>
+      val f = r.getInt(0)
+      val (w, b) = Blueprint.fitLinearDecoder(
+        df.filter(col("fold") =!= f), "feat", "y", dim = 2, lambda = 0.5)
+      assert(math.abs(r.getDouble(r.fieldIndex("w_0")) - r4(w(0))) < 2e-4 &&
+        math.abs(r.getDouble(r.fieldIndex("w_1")) - r4(w(1))) < 2e-4 &&
+        math.abs(r.getDouble(r.fieldIndex("bias")) - r4(b)) < 2e-4,
+        s"fold $f leave-out model must match the direct fit on the complement")
+    }
+  }
+
+  test("kFoldRidge: a fold's own labels cannot leak into its model") {
+    val pts = Seq((0, 1.0, 2.0, 3.0), (0, 2.0, 0.0, 1.0), (1, 0.0, 1.0, 4.0),
+      (1, 3.0, 1.0, 0.0), (2, 1.0, 1.0, 2.0), (2, 0.5, 2.0, 1.5))
+    def frame(poison: Boolean) = pts.map { case (f, x1, x2, y) =>
+      (f, Array(x1, x2), if (poison && f == 0) y + 1000.0 else y)
+    }.toDF("fold", "feat", "y")
+    val clean = Blueprint.kFoldRidge(frame(false), "feat", "y", 2, "fold", 0.5)
+      .orderBy("fold").collect()
+    val poisoned = Blueprint.kFoldRidge(frame(true), "feat", "y", 2, "fold", 0.5)
+      .orderBy("fold").collect()
+    def model(r: org.apache.spark.sql.Row) =
+      (r.getDouble(r.fieldIndex("w_0")), r.getDouble(r.fieldIndex("w_1")),
+        r.getDouble(r.fieldIndex("bias")))
+    assert(model(clean(0)) == model(poisoned(0)),
+      "fold 0's model is fit WITHOUT fold 0 — corrupting fold 0's labels must not move it")
+    assert(model(clean(1)) != model(poisoned(1)),
+      "other folds DO train on fold 0, so their models must move")
+  }
+
   test("fitLinearDecoder: ridge shrinks weights but not the intercept path") {
     val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (2.0, 3.0), (4.0, 1.0))
     val df = pts.map { case (x1, x2) => (Array(x1, x2), 2 * x1 - 3 * x2 + 5) }

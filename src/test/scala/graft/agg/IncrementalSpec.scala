@@ -1,5 +1,7 @@
 package graft.agg
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -63,6 +65,41 @@ class IncrementalSpec extends SparkSpec {
       .select("n", "sum_u", "min_u", "max_u", "sum_v", "min_v", "max_v")
       .as[(Long, Double, Double, Double, Double, Double, Double)].head()
     assert(a == ((2L, 6.0, 2.0, 4.0, 9.0, -1.0, 10.0)))
+  }
+
+  test("foreachBatch maintenance: streamed micro-batches converge to the batch recompute") {
+    // The ivm pattern live: each micro-batch folds into the maintained
+    // state via mergeState inside foreachBatch — the lakehouse
+    // "maintain an aggregate table from a stream" loop.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Double)]
+    var state: Option[DataFrame] = None
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = Incremental.aggState(batch, Seq("k"), Seq("v"))
+        val merged = state match {
+          case None => d
+          case Some(st) => Incremental.mergeState(st, d, Seq("k"), Seq("v"))
+        }
+        // pin the merged state so the next batch folds into a stable frame
+        state = Some(spark.createDataFrame(merged.collect().toList.asJava,
+          merged.schema))
+        ()
+      }.start()
+    try {
+      mem.addData(("a", 1.0), ("b", 5.0))
+      q.processAllAvailable()
+      mem.addData(("a", 3.0), ("c", -2.0))
+      q.processAllAvailable()
+      mem.addData(("b", 0.0))
+      q.processAllAvailable()
+      val expect = Incremental.aggState(
+        rows(("a", 1.0), ("b", 5.0), ("a", 3.0), ("c", -2.0), ("b", 0.0)),
+        Seq("k"), Seq("v"))
+      assert(sorted(state.get) == sorted(expect),
+        "three maintained micro-batches must equal the one-shot recompute")
+    } finally q.stop()
   }
 
   test("merge plan: state joins delta once, no extra shuffle beyond the key join") {

@@ -653,7 +653,98 @@ private[graft] object QueriesDedup {
         round(sum(in_t * in_b)::DOUBLE / sum(in_b)::DOUBLE, 4) AS precision
       FROM j"""))
 
+  /** Probabilistic record linkage, trained and applied in one dataflow:
+    * customers blocked by nation, 0/1 comparison vectors (segment,
+    * account-balance proximity, name-suffix agreement), Fellegi–Sunter m/u/λ
+    * fit by TWO EM iterations (each one aggregate pass), parameters
+    * frozen at 6 dp, every pair scored with the posterior and the
+    * classic log2 match weight. The posterior is pure literal
+    * arithmetic of the frozen parameters (no transcendentals), so the
+    * 0.9-threshold decision is bit-identical cross-engine. */
+  private[graft] val qEmLinkage = Q("er1_em_linkage",
+    (s, d) => {
+      import graft.linkage.RecordLinkage
+      import RecordLinkage.FsParams
+      val c = t(s, d, "customer")
+      val a = c.select(col("c_custkey").as("ak"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("aseg"), col("c_acctbal").as("abal"),
+        col("c_name").as("anm"))
+      val b = c.select(col("c_custkey").as("bk"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("bseg"), col("c_acctbal").as("bbal"),
+        col("c_name").as("bnm"))
+      val pairs = a.join(b, "nk").filter(col("ak") < col("bk"))
+        .select(
+          (col("aseg") === col("bseg")).cast("int").as("g1"),
+          (abs(col("abal") - col("bbal")) < 500.0).cast("int").as("g2"),
+          (substring(col("anm"), -2, 2) === substring(col("bnm"), -2, 2))
+            .cast("int").as("g3"))
+      val gs = Seq("g1", "g2", "g3")
+      val fit = RecordLinkage.emFit(pairs, gs, iters = 2,
+        FsParams(Array(0.9, 0.9, 0.9), Array(0.1, 0.1, 0.1), 0.1))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val fz = FsParams(fit.m.map(r6), fit.u.map(r6), r6(fit.lambda))
+      RecordLinkage.score(pairs, gs, fz)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("posterior") > 0.9).cast("long")).as("n_matches"),
+          round(avg(col("match_weight")), 4).as("avg_weight"))
+        .select(lit(fz.m(0)).as("m1"), lit(fz.m(1)).as("m2"),
+          lit(fz.m(2)).as("m3"), lit(fz.u(0)).as("u1"),
+          lit(fz.u(1)).as("u2"), lit(fz.u(2)).as("u3"),
+          lit(fz.lambda).as("lambda"),
+          col("n_pairs"), col("n_matches"), col("avg_weight"))
+    },
+    Some {
+      def prod(p: String, which: Char) = {
+        val f = (i: Int) => s"CASE WHEN g$i = 1 THEN $p.$which$i ELSE 1.0 - $p.$which$i END"
+        s"${f(1)} * ${f(2)} * ${f(3)}"
+      }
+      def estep(p: String) =
+        s"(${prod(p, 'm')}) * $p.l AS num, (${prod(p, 'u')}) * (1.0 - $p.l) AS alt"
+      val iter = (i: Int) => {
+        val prev = if (i == 1) "p0" else s"p${i - 1}"
+        s"""e$i AS (SELECT pr.*, ${estep("p")} FROM pr, $prev p),
+        s$i AS (SELECT sum(num/(num+alt)) AS sw, count(*)::DOUBLE AS n,
+            sum(num/(num+alt)*g1) AS swg1, sum(num/(num+alt)*g2) AS swg2,
+            sum(num/(num+alt)*g3) AS swg3,
+            sum((1.0 - num/(num+alt))*g1) AS svg1,
+            sum((1.0 - num/(num+alt))*g2) AS svg2,
+            sum((1.0 - num/(num+alt))*g3) AS svg3
+          FROM e$i),
+        p$i AS (SELECT swg1/sw AS m1, swg2/sw AS m2, swg3/sw AS m3,
+            svg1/(n - sw) AS u1, svg2/(n - sw) AS u2, svg3/(n - sw) AS u3,
+            sw/n AS l FROM s$i)"""
+      }
+      s"""WITH pr AS (SELECT (a.c_mktsegment = b.c_mktsegment)::INT AS g1,
+          (abs(a.c_acctbal - b.c_acctbal) < 500.0)::INT AS g2,
+          (substr(a.c_name, -2, 2) = substr(b.c_name, -2, 2))::INT AS g3
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+        p0 AS (SELECT 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+          0.1 AS u1, 0.1 AS u2, 0.1 AS u3, 0.1 AS l),
+        ${iter(1)},
+        ${iter(2)},
+        pf AS (SELECT round(m1, 6) AS m1, round(m2, 6) AS m2,
+          round(m3, 6) AS m3, round(u1, 6) AS u1, round(u2, 6) AS u2,
+          round(u3, 6) AS u3, round(l, 6) AS l FROM p2),
+        sc AS (SELECT pr.*, ${estep("pf")},
+            (CASE WHEN g1 = 1 THEN ln(pf.m1/pf.u1)/ln(2.0)
+              ELSE ln((1.0-pf.m1)/(1.0-pf.u1))/ln(2.0) END +
+             CASE WHEN g2 = 1 THEN ln(pf.m2/pf.u2)/ln(2.0)
+              ELSE ln((1.0-pf.m2)/(1.0-pf.u2))/ln(2.0) END +
+             CASE WHEN g3 = 1 THEN ln(pf.m3/pf.u3)/ln(2.0)
+              ELSE ln((1.0-pf.m3)/(1.0-pf.u3))/ln(2.0) END) AS mw
+          FROM pr, pf pf)
+        SELECT min(pf.m1) AS m1, min(pf.m2) AS m2, min(pf.m3) AS m3,
+          min(pf.u1) AS u1, min(pf.u2) AS u2, min(pf.u3) AS u3,
+          min(pf.l) AS lambda, count(*)::BIGINT AS n_pairs,
+          sum(CASE WHEN num/(num+alt) > 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_matches,
+          round(avg(mw), 4) AS avg_weight
+        FROM sc, pf"""
+    })
+
   private[graft] val all: Seq[Q] = Seq(
+    qEmLinkage,
     qSortedNeighborhood,
     qBlockingRecall,
     qExactDedup,

@@ -314,6 +314,50 @@ private[graft] object QueriesAnalytics {
         round(mn, 4) AS min_total, round(mx, 4) AS max_total
       FROM m ORDER BY o_custkey"""))
 
+  /** Kaplan–Meier survival over user lifetimes: duration = days between
+    * first and last event, right-CENSORED when the last event falls in
+    * the final 7 days of the stream (the user may still be active) —
+    * the churn curve with censoring done correctly. One groupBy(user)
+    * + one groupBy(duration); windows touch only the bounded life
+    * table. */
+  private[graft] val qKaplanMeier = Q("km1_kaplan_meier",
+    (s, d) => {
+      import graft.analyze.Survival
+      val u = events(s, d).groupBy("user_id").agg(
+        unix_timestamp(min(col("ts"))).as("f"),
+        unix_timestamp(max(col("ts"))).as("l"))
+      val mx = u.agg(max(col("l")).as("m"))
+      val life = u.crossJoin(broadcast(mx))
+        .select(floor((col("l") - col("f")) / 86400.0).cast("long").as("dur"),
+          when(col("l") > col("m") - 604800L, 0).otherwise(1).as("e"))
+      Survival.kaplanMeier(life, "dur", "e")
+        .select(col("t"), col("n_at_risk"), col("n_events"), col("n_censored"),
+          round(col("survival"), 6).as("survival"))
+        .orderBy("t")
+    },
+    Some("""WITH u AS (SELECT user_id, floor(epoch(min(ts))) AS f,
+          floor(epoch(max(ts))) AS l FROM events GROUP BY 1),
+      mx AS (SELECT max(l) AS m FROM u),
+      life AS (SELECT floor((l - f) / 86400.0)::BIGINT AS t,
+          CASE WHEN l > m - 604800 THEN 0 ELSE 1 END AS e FROM u, mx),
+      g AS (SELECT t, sum(e)::BIGINT AS n_events, count(*)::BIGINT AS nr
+        FROM life GROUP BY 1),
+      r AS (SELECT t, n_events, nr,
+          (sum(nr) OVER () - coalesce(sum(nr) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+            AS n_at_risk
+        FROM g),
+      f AS (SELECT t, n_at_risk, n_events, nr - n_events AS n_censored,
+          1.0 - n_events::DOUBLE / n_at_risk AS fac FROM r),
+      s AS (SELECT t, n_at_risk, n_events, n_censored,
+          CASE WHEN min(fac) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) <= 0.0
+            THEN 0.0
+            ELSE exp(sum(CASE WHEN fac > 0.0 THEN ln(fac) ELSE 0.0 END)
+              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) END AS survival
+        FROM f)
+      SELECT t, n_at_risk, n_events, n_censored, round(survival, 6) AS survival
+      FROM s ORDER BY t"""))
+
   /** Declarative data-quality gate: six expectations over orders — five
     * compiled into ONE conditional-aggregate scan, plus one anti-join
     * referential check (the parent deliberately filtered so violations are
@@ -2080,6 +2124,7 @@ private[graft] object QueriesAnalytics {
     qJoinSizeEst,
     qFunnel,
     qCohort,
+    qKaplanMeier,
     qScd2,
     qKeyProfile,
     qStratified,

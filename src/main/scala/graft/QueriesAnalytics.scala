@@ -314,6 +314,46 @@ private[graft] object QueriesAnalytics {
         round(mn, 4) AS min_total, round(mx, 4) AS max_total
       FROM m ORDER BY o_custkey"""))
 
+  /** One-pass Poisson bootstrap CI for the mean order total: 64
+    * replicates = 128 running sums in ONE aggregation pass (never 64
+    * resampled copies). Values enter as exact integer CENTS (the dq8
+    * device) so every weighted sum is exactly representable and the
+    * replicate means are bit-identical cross-engine; the md5-coin
+    * Poisson ladder is pinned to 10 dp literals. */
+  private[graft] val qBootstrapCi = Q("bs2_bootstrap_ci",
+    (s, d) => {
+      import graft.analyze.Bootstrap
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Bootstrap.meanCi(o, "cents", "o_orderkey", b = 64, seed = "bs")
+        .select(col("n_replicates"),
+          round(col("ci_lo") / 100.0, 4).as("ci_lo"),
+          round(col("ci_hi") / 100.0, 4).as("ci_hi"))
+    },
+    Some {
+      val thr = Seq("0.3678794412", "0.7357588823", "0.9196986029",
+        "0.9810118431", "0.9963401532", "0.9994058152", "0.9999167589",
+        "0.9999897508")
+      val ladder = thr.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      s"""WITH reps AS (SELECT unnest(generate_series(0, 63)) AS r),
+        base AS (SELECT o_orderkey,
+          round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+        uw AS (SELECT r.r, b.cents,
+            ((('0x' || substr(md5(b.o_orderkey::VARCHAR || ':bs:' || r.r::VARCHAR),
+              1, 4))::INT + 0.5) / 65536.0) AS u
+          FROM base b CROSS JOIN reps r),
+        w AS (SELECT r, cents,
+            (CASE $ladder ELSE 8 END)::DOUBLE AS wt FROM uw),
+        m AS (SELECT r, sum(wt * cents) / sum(wt) AS mean FROM w GROUP BY r),
+        rk AS (SELECT mean, row_number() OVER (ORDER BY mean) AS rn FROM m)
+        SELECT 64 AS n_replicates,
+          round(min(CASE WHEN rn = 2 THEN mean END) / 100.0, 4) AS ci_lo,
+          round(min(CASE WHEN rn = 63 THEN mean END) / 100.0, 4) AS ci_hi
+        FROM rk"""
+    })
+
   /** Kaplan–Meier survival over user lifetimes: duration = days between
     * first and last event, right-CENSORED when the last event falls in
     * the final 7 days of the stream (the user may still be active) —
@@ -2125,6 +2165,7 @@ private[graft] object QueriesAnalytics {
     qFunnel,
     qCohort,
     qKaplanMeier,
+    qBootstrapCi,
     qScd2,
     qKeyProfile,
     qStratified,

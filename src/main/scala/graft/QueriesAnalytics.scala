@@ -314,19 +314,21 @@ private[graft] object QueriesAnalytics {
         round(mn, 4) AS min_total, round(mx, 4) AS max_total
       FROM m ORDER BY o_custkey"""))
 
-  /** One-pass Poisson bootstrap CI for the mean order total: 64
-    * replicates = 128 running sums in ONE aggregation pass (never 64
-    * resampled copies). Values enter as exact integer CENTS (the dq8
-    * device) so every weighted sum is exactly representable and the
-    * replicate means are bit-identical cross-engine; the md5-coin
-    * Poisson ladder is pinned to 10 dp literals. */
+  /** One-pass Poisson bootstrap CI (90%) for the mean order total: 32
+    * replicates = 64 running sums in ONE codegen aggregation pass
+    * (never 32 resampled copies; each md5 digest feeds 8 replicate
+    * coins). Values enter as exact integer CENTS (the dq8 device) so
+    * every weighted sum is exactly representable and the replicate
+    * means are bit-identical cross-engine; the md5-coin Poisson ladder
+    * is pinned to 10 dp literals. */
   private[graft] val qBootstrapCi = Q("bs2_bootstrap_ci",
     (s, d) => {
       import graft.analyze.Bootstrap
       val o = t(s, d, "orders")
         .select(col("o_orderkey"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
-      Bootstrap.meanCi(o, "cents", "o_orderkey", b = 64, seed = "bs")
+      Bootstrap.meanCi(o, "cents", "o_orderkey", b = 32, seed = "bs",
+          alpha = 0.1)
         .select(col("n_replicates"),
           round(col("ci_lo") / 100.0, 4).as("ci_lo"),
           round(col("ci_hi") / 100.0, 4).as("ci_hi"))
@@ -335,22 +337,20 @@ private[graft] object QueriesAnalytics {
       val thr = Seq("0.3678794412", "0.7357588823", "0.9196986029",
         "0.9810118431", "0.9963401532", "0.9994058152", "0.9999167589",
         "0.9999897508")
-      val ladder = thr.zipWithIndex
-        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
-      s"""WITH reps AS (SELECT unnest(generate_series(0, 63)) AS r),
+      val ladder = thr.map(t => s"(u >= $t)::INT").mkString(" + ")
+      s"""WITH reps AS (SELECT unnest(generate_series(0, 31)) AS r),
         base AS (SELECT o_orderkey,
           round(o_totalprice * 100)::BIGINT AS cents FROM orders),
         uw AS (SELECT r.r, b.cents,
-            ((('0x' || substr(md5(b.o_orderkey::VARCHAR || ':bs:' || r.r::VARCHAR),
-              1, 4))::INT + 0.5) / 65536.0) AS u
+            ((('0x' || substr(md5(b.o_orderkey::VARCHAR || ':bs:' || (r.r // 8)::VARCHAR),
+              (4 * (r.r % 8) + 1)::INT, 4))::INT + 0.5) / 65536.0) AS u
           FROM base b CROSS JOIN reps r),
-        w AS (SELECT r, cents,
-            (CASE $ladder ELSE 8 END)::DOUBLE AS wt FROM uw),
+        w AS (SELECT r, cents, ($ladder)::DOUBLE AS wt FROM uw),
         m AS (SELECT r, sum(wt * cents) / sum(wt) AS mean FROM w GROUP BY r),
         rk AS (SELECT mean, row_number() OVER (ORDER BY mean) AS rn FROM m)
-        SELECT 64 AS n_replicates,
+        SELECT 32 AS n_replicates,
           round(min(CASE WHEN rn = 2 THEN mean END) / 100.0, 4) AS ci_lo,
-          round(min(CASE WHEN rn = 63 THEN mean END) / 100.0, 4) AS ci_hi
+          round(min(CASE WHEN rn = 31 THEN mean END) / 100.0, 4) AS ci_hi
         FROM rk"""
     })
 

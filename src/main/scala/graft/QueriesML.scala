@@ -358,6 +358,73 @@ private[graft] object QueriesML {
         round(avg(r2e), 2) AS mse
       FROM sc GROUP BY 1 ORDER BY 1"""))
 
+  /** Split-conformal prediction interval (Vovk; Lei et al. 2018):
+    * ridge fit on the TRAIN split (md5 coin on l_orderkey — order-level,
+    * leakage-free), q̂ = the ⌈(n+1)(1−α)⌉-th smallest absolute residual
+    * on the CALIBRATION split (one DistributedRank order statistic,
+    * never a sort to the driver), coverage of ŷ ± q̂ measured on the
+    * held-out TEST split. Weights frozen at 4 dp; residuals are then
+    * identical IEEE arithmetic in both engines, so the rank selection
+    * and the coverage threshold decide bit-identically. */
+  private[graft] val qConformal = Q("cp1_conformal_interval",
+    (s, d) => {
+      import graft.pipeline.{Blueprint, Conformal}
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        array(col("l_quantity"), col("l_linenumber").cast("double")).as("feat"),
+        floor(col("l_extendedprice")).as("y"),
+        substring(md5(concat(col("l_orderkey").cast("string"), lit(":cp"))),
+          1, 2).as("coin"))
+      val train = li.filter(col("coin") < "80")
+      val cal = li.filter(col("coin") >= "80" && col("coin") < "c0")
+      val test = li.filter(col("coin") >= "c0")
+      val (w, b) = Blueprint.fitLinearDecoder(train, "feat", "y",
+        dim = 2, lambda = 1.0)
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pred = element_at(col("feat"), 1) * lit(r4(w(0))) +
+        element_at(col("feat"), 2) * lit(r4(w(1))) + lit(r4(b))
+      val q = Conformal.quantile(
+        cal.select((col("y").cast("double") - pred).as("resid")),
+        "resid", alpha = 0.1)
+      val nCal = cal.count()
+      test.agg(count(lit(1)).cast("bigint").as("n_test"),
+          sum((abs(col("y").cast("double") - pred) <= q).cast("long"))
+            .as("__n_in"))
+        .select(lit(nCal).as("n_cal"), col("n_test"),
+          round(lit(q), 4).as("q_hat"),
+          round(col("__n_in").cast("double") / col("n_test"), 4).as("coverage"))
+    },
+    Some("""WITH d AS (SELECT l_quantity::DOUBLE AS x1,
+          l_linenumber::DOUBLE AS x2, floor(l_extendedprice) AS y,
+          substr(md5(l_orderkey::VARCHAR || ':cp'), 1, 2) AS coin
+        FROM lineitem),
+      tr AS (SELECT * FROM d WHERE coin < '80'),
+      s AS (SELECT sum(x1*x1)::DOUBLE + 1.0 AS a, sum(x1*x2)::DOUBLE AS b,
+          sum(x1)::DOUBLE AS c, sum(x2*x2)::DOUBLE + 1.0 AS e,
+          sum(x2)::DOUBLE AS f, count(*)::DOUBLE AS i,
+          sum(x1*y)::DOUBLE AS r1, sum(x2*y)::DOUBLE AS r2,
+          sum(y)::DOUBLE AS r3
+        FROM tr),
+      m AS (SELECT a, b, c, b AS dd, e, f, c AS gg, f AS h, i, r1, r2, r3,
+          a*(e*i - f*f) - b*(b*i - f*c) + c*(b*f - e*c) AS det FROM s),
+      w AS (SELECT
+          round((r1*(e*i - f*h) - b*(r2*i - f*r3) + c*(r2*h - e*r3)) / det, 4) AS w1,
+          round((a*(r2*i - f*r3) - r1*(dd*i - f*gg) + c*(dd*r3 - r2*gg)) / det, 4) AS w2,
+          round((a*(e*r3 - r2*h) - b*(dd*r3 - r2*gg) + r1*(dd*h - e*gg)) / det, 4) AS bias
+        FROM m),
+      ca AS (SELECT abs(d.y - (d.x1*w.w1 + d.x2*w.w2 + w.bias)) AS ar
+        FROM d, w WHERE coin >= '80' AND coin < 'c0'),
+      nc AS (SELECT count(*)::BIGINT AS n FROM ca),
+      rk AS (SELECT ar, row_number() OVER (ORDER BY ar) AS rn FROM ca),
+      q AS (SELECT ar AS q FROM rk, nc WHERE rn = ceil((nc.n + 1) * 0.9)),
+      te AS (SELECT count(*)::BIGINT AS n_test,
+          sum(CASE WHEN abs(d.y - (d.x1*w.w1 + d.x2*w.w2 + w.bias)) <= q.q
+            THEN 1 ELSE 0 END)::BIGINT AS n_in
+        FROM d, w, q WHERE coin >= 'c0')
+      SELECT nc.n AS n_cal, te.n_test, round(q.q, 4) AS q_hat,
+        round(te.n_in::DOUBLE / te.n_test, 4) AS coverage
+      FROM te, nc, q"""))
+
   /** bp4's oracle: the N-step GD recurrence unrolled into one CTE chain
     * per step — gradient CTE (the same per-row sigmoid expression and sum
     * order as [[graft.pipeline.Blueprint.fitLogisticGD]]'s agg pass) then
@@ -2090,6 +2157,7 @@ private[graft] object QueriesML {
     qBlueprint,
     qFitDecoder,
     qKfoldRidge,
+    qConformal,
     qFitClassifier,
     qFitGd,
     qFitMlp,

@@ -354,6 +354,42 @@ private[graft] object QueriesAnalytics {
         FROM rk"""
     })
 
+  /** CUPED variance reduction over customers: pre-period spend (before
+    * 1996) as the covariate for experiment-period spend — per-order
+    * floor(kilodollars) keeps every power sum integer-valued below 2^53,
+    * so θ and both variances are bit-identical cross-engine. One
+    * groupBy(customer) + one power-sum pass. */
+  private[graft] val qCuped = Q("cuped1_variance_reduction",
+    (s, d) => {
+      val units = t(s, d, "orders").groupBy(col("o_custkey")).agg(
+        sum(when(col("o_orderdate") < lit("1996-01-01"),
+          floor(col("o_totalprice") / 1000)).otherwise(0L)).as("x"),
+        sum(when(col("o_orderdate") >= lit("1996-01-01"),
+          floor(col("o_totalprice") / 1000)).otherwise(0L)).as("y"))
+      graft.analyze.Stats.cuped(units, "x", "y")
+    },
+    Some("""WITH u AS (SELECT o_custkey,
+        sum(CASE WHEN o_orderdate < '1996-01-01'
+          THEN floor(o_totalprice / 1000) ELSE 0 END) AS x,
+        sum(CASE WHEN o_orderdate >= '1996-01-01'
+          THEN floor(o_totalprice / 1000) ELSE 0 END) AS y
+      FROM orders GROUP BY 1),
+      s AS (SELECT count(*)::DOUBLE AS n, sum(x::DOUBLE) AS sx,
+        sum(y::DOUBLE) AS sy, sum(x::DOUBLE * x::DOUBLE) AS sxx,
+        sum(y::DOUBLE * y::DOUBLE) AS syy, sum(x::DOUBLE * y::DOUBLE) AS sxy
+      FROM u)
+      SELECT n::BIGINT AS n_units,
+        round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS theta,
+        round((syy - sy * sy / n) / n, 4) AS var_y,
+        round((syy - sy * sy / n) / n -
+          (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+          ((sxx - sx * sx / n) * n), 4) AS var_cuped,
+        round((1.0 - ((syy - sy * sy / n) / n -
+            (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+            ((sxx - sx * sx / n) * n)) / ((syy - sy * sy / n) / n))
+          * 100.0, 4) AS reduction_pct
+      FROM s"""))
+
   /** Kaplan–Meier survival over user lifetimes: duration = days between
     * first and last event, right-CENSORED when the last event falls in
     * the final 7 days of the stream (the user may still be active) —
@@ -2166,6 +2202,7 @@ private[graft] object QueriesAnalytics {
     qCohort,
     qKaplanMeier,
     qBootstrapCi,
+    qCuped,
     qScd2,
     qKeyProfile,
     qStratified,

@@ -124,4 +124,41 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(math.abs(v2(0)) - 1.0) < 1e-9)
     intercept[IllegalArgumentException] { Stats.topComponent(cov, iters = 0) }
   }
+
+  test("cuped: hand-computed theta/variances; perfect covariate removes ALL variance") {
+    import spark.implicits._
+    // y = 2x exactly -> theta = 2, var_cuped = 0, reduction 100%
+    val perfect = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0))
+      .toDF("x", "y")
+    val p = Stats.cuped(perfect, "x", "y").head()
+    assert(p.getLong(0) == 4L)
+    assert(p.getDouble(p.fieldIndex("theta")) == 2.0)
+    assert(p.getDouble(p.fieldIndex("var_cuped")) == 0.0)
+    assert(p.getDouble(p.fieldIndex("reduction_pct")) == 100.0)
+    // hand case: x=(0,2), y=(1,3): cov=1, var_x=1 -> theta=1;
+    // var_y=1, var_cuped = 1 - 1/1 = 0 (y = x + 1 is also exact)
+    val h = Stats.cuped(Seq((0.0, 1.0), (2.0, 3.0)).toDF("x", "y"), "x", "y").head()
+    assert(h.getDouble(h.fieldIndex("theta")) == 1.0)
+    // independent covariate: x constant-ish pattern orthogonal to y ->
+    // theta ~ 0 and no reduction
+    val ind = Seq((1.0, 5.0), (2.0, 5.0), (1.0, 9.0), (2.0, 9.0)).toDF("x", "y")
+    val i = Stats.cuped(ind, "x", "y").head()
+    assert(i.getDouble(i.fieldIndex("theta")) == 0.0)
+    assert(i.getDouble(i.fieldIndex("var_y")) ==
+      i.getDouble(i.fieldIndex("var_cuped")))
+    assert(i.getDouble(i.fieldIndex("reduction_pct")) == 0.0)
+  }
+
+  test("cuped: adjustment never increases variance (reduction >= 0 on real data)") {
+    import spark.implicits._
+    val df = (1 to 500).map { k =>
+      val x = (k % 37).toDouble
+      (x, 3.0 * x + (k % 11).toDouble)
+    }.toDF("x", "y")
+    val r = Stats.cuped(df, "x", "y").head()
+    assert(r.getDouble(r.fieldIndex("var_cuped")) <=
+      r.getDouble(r.fieldIndex("var_y")))
+    assert(r.getDouble(r.fieldIndex("reduction_pct")) > 50.0,
+      "a strongly predictive covariate must remove most of the variance")
+  }
 }

@@ -354,6 +354,29 @@ private[graft] object QueriesAnalytics {
         FROM rk"""
     })
 
+  /** Two-sample KS test between returned and delivered quantities: the
+    * data collapses to per-DISTINCT-VALUE counts in one pass, both
+    * ECDFs are cumulative sums over that bounded frame, and D is the
+    * max gap — exact (a step function's supremum is at a jump). */
+  private[graft] val qKs = Q("ks1_ks_test",
+    (s, d) => Stats.ksTest(t(s, d, "lineitem"), "l_returnflag",
+      "l_quantity", "R", "N"),
+    Some("""WITH cells AS (SELECT l_quantity AS v,
+        sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+        sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c2
+      FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      e AS (SELECT v, sum(c1) OVER () AS n1, sum(c2) OVER () AS n2,
+        abs(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::DOUBLE
+            / (sum(c1) OVER ()) -
+          sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::DOUBLE
+            / (sum(c2) OVER ())) AS gap
+      FROM cells)
+      SELECT max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+        round(max(gap), 6) AS d_stat,
+        round(max(gap) * sqrt(max(n1) * max(n2)
+          / (max(n1) + max(n2))::DOUBLE), 6) AS lambda
+      FROM e"""))
+
   /** CUPED variance reduction over customers: pre-period spend (before
     * 1996) as the covariate for experiment-period spend — per-order
     * floor(kilodollars) keeps every power sum integer-valued below 2^53,
@@ -2203,6 +2226,7 @@ private[graft] object QueriesAnalytics {
     qKaplanMeier,
     qBootstrapCi,
     qCuped,
+    qKs,
     qScd2,
     qKeyProfile,
     qStratified,

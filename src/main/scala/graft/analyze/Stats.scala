@@ -53,6 +53,49 @@ object Stats {
           .as("reduction_pct"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test: D = sup_x |F̂₁(x) − F̂₂(x)|
+    * between the empirical CDFs of `groupCol == g1` and `== g2` rows.
+    * ONE groupBy(value) pass collapses the data to its DISTINCT values
+    * (per-group counts), cumulative sums over that bounded frame give
+    * both ECDFs, and D is their max absolute gap — the supremum over a
+    * step function is attained at a jump, so checking the distinct
+    * values is exact, not an approximation. Also reports the scaled
+    * statistic λ = D·√(n₁n₂/(n₁+n₂)) (the asymptotic-p input). The
+    * single-partition window runs over distinct VALUES (bounded), never
+    * the rows. Output: one row (n1, n2, d_stat, lambda).
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      g1: String, g2: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(valueCol).rowsBetween(Long.MinValue, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val cells = df.filter(col(groupCol).isin(g1, g2))
+      .groupBy(col(valueCol))
+      .agg(sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col(groupCol) === g2, 1L).otherwise(0L)).as("__c2"))
+    // fail loudly on an absent group — an all-zero ECDF side would
+    // otherwise report a plausible-looking D of 1.0 (the welch guard)
+    val tot = cells.agg(sum("__c1"), sum("__c2")).collect()(0)
+    Seq(g1 -> 0, g2 -> 1).foreach { case (gv, i) =>
+      require(!tot.isNullAt(i) && tot.getLong(i) >= 1,
+        s"ksTest: group '$gv' has no rows in '$groupCol'")
+    }
+    val withE = cells
+      .withColumn("__n1", sum(col("__c1")).over(all))
+      .withColumn("__n2", sum(col("__c2")).over(all))
+      .withColumn("__gap", abs(
+        sum(col("__c1")).over(w).cast("double") / col("__n1") -
+        sum(col("__c2")).over(w).cast("double") / col("__n2")))
+    withE.agg(
+        max(col("__n1")).cast("bigint").as("n1"),
+        max(col("__n2")).cast("bigint").as("n2"),
+        max(col("__gap")).as("__d"))
+      .select(col("n1"), col("n2"), round(col("__d"), 6).as("d_stat"),
+        round(col("__d") * sqrt(col("n1") * col("n2") /
+          (col("n1") + col("n2")).cast("double")), 6).as("lambda"))
+  }
+
   /** Welch's two-sample t-test (unequal variances) between the rows of
     * `groupCol == g1` and `groupCol == g2`. One grouped aggregation pass;
     * sample variance from exact sums as `(Σx² − (Σx)²/n) / (n−1)`, the

@@ -81,7 +81,8 @@ class PlanQualitySpec extends SparkSpec {
   // collapse in the preceding groupBy). Bounded-by-construction, not
   // single-task funnels of the data.
   private val allowedBoundedWindow = Set(
-    "dsir1_importance_score", "dsir2_gumbel_resample", "km1_kaplan_meier")
+    "dsir1_importance_score", "dsir2_gumbel_resample", "km1_kaplan_meier",
+    "ks1_ks_test") // ks1: ECDF cumsums over DISTINCT values, not rows
 
   test("no registered query plans an unpartitioned window (single-task funnel)") {
     // round-9 guard: row_number() over an empty partition spec moves the

@@ -149,6 +149,30 @@ class StatsSpec extends SparkSpec {
     assert(i.getDouble(i.fieldIndex("reduction_pct")) == 0.0)
   }
 
+  test("ksTest: identical samples give D=0; disjoint supports give D=1; hand case checks") {
+    import spark.implicits._
+    val same = (1 to 20).flatMap(i => Seq(("a", i % 5), ("b", i % 5)))
+      .toDF("g", "v")
+    val s0 = Stats.ksTest(same, "g", "v", "a", "b").head()
+    assert(s0.getDouble(s0.fieldIndex("d_stat")) == 0.0)
+    val disjoint = (Seq.fill(4)(("a", 1)) ++ Seq.fill(6)(("b", 9)))
+      .toDF("g", "v")
+    val s1 = Stats.ksTest(disjoint, "g", "v", "a", "b").head()
+    assert(s1.getDouble(s1.fieldIndex("d_stat")) == 1.0)
+    // hand case: a = {1,2}, b = {2,3}: gaps at v=1: |1/2-0|=0.5,
+    // v=2: |1-1/2|=0.5, v=3: 0 -> D = 0.5
+    val h = Stats.ksTest(Seq(("a", 1), ("a", 2), ("b", 2), ("b", 3))
+      .toDF("g", "v"), "g", "v", "a", "b").head()
+    assert(h.getLong(0) == 2L && h.getLong(1) == 2L)
+    assert(h.getDouble(h.fieldIndex("d_stat")) == 0.5)
+    assert(math.abs(h.getDouble(h.fieldIndex("lambda")) - 0.5 * math.sqrt(1.0)) < 1e-12)
+    // absent group fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Stats.ksTest(same, "g", "v", "a", "zz")
+    }
+    assert(e.getMessage.contains("has no rows"))
+  }
+
   test("cuped: adjustment never increases variance (reduction >= 0 on real data)") {
     import spark.implicits._
     val df = (1 to 500).map { k =>

@@ -167,18 +167,40 @@ private[graft] object QueriesAnalytics {
         min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** All unordered co-purchase pairs (u < v) from a projected
+    * `(l_orderkey, l_partkey)` frame — the edge build shared by
+    * tc1/tc2/tc3/tc4 and kc1/kc2: one groupBy(order) collecting each
+    * order's sorted distinct part list, a row-local per-order pair
+    * expansion, then the cross-order distinct. Replaces the r13 shape
+    * (distinct → self-join on l_orderkey → distinct) with an IDENTICAL
+    * edge set at 2 exchanges instead of 4: distinct's (order, part)
+    * hash partitioning never satisfied the order-keyed self-join, so
+    * both join inputs re-shuffled (guide §2.4 — remove shuffles
+    * outright; plan diff in plans/r14). Per-order part lists are
+    * order-sized (single-digit in a sales schema), so the expansion is
+    * skew-free by construction; Spread.wide keeps the collect phase off
+    * a single core on narrow local scans (no-op at scale). */
+  private[graft] def coPurchasePairs(li: DataFrame): DataFrame = {
+    val parts = graft.util.Spread.wide(li)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+    parts
+      .select(explode(flatten(transform(col("__ps"), (x, i) =>
+        transform(slice(col("__ps"), i + lit(2), size(col("__ps"))),
+          y => struct(x.as("u"), y.as("v"))))))
+        .as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      .distinct()
+  }
+
   /** Triangle count of the co-purchase graph (parts sharing an order):
     * degree-oriented wedge enumeration on the Spark side — bounded m^1.5
     * wedges at any skew — against the naive 3-way self-join restatement
     * (same count by definition, affordable at oracle SF). */
   private[graft] val qTriangles = Q("tc1_triangle_count",
     (s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val e = coPurchasePairs(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       graft.graph.Triangles.count(e, "u", "v")
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -200,12 +222,8 @@ private[graft] object QueriesAnalytics {
     * scale and coin invariance to edge order. */
   private[graft] val qTrianglesApprox = Q("tc3_triangle_approx",
     (s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val e = coPurchasePairs(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       graft.graph.Triangles.approxCount(e, "u", "v", thresholdHex = "40")
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -230,14 +248,9 @@ private[graft] object QueriesAnalytics {
     * and the whole estimator restates in SQL. */
   private[graft] val qTrianglesVertexSampled = Q("tc4_triangle_vsample",
     (s, d) => {
-      val li = t(s, d, "lineitem")
+      val e = coPurchasePairs(t(s, d, "lineitem")
         .filter(graft.graph.Triangles.vertexCoin(col("l_partkey"), "40"))
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+        .select(col("l_orderkey"), col("l_partkey")))
       graft.graph.Triangles.approxCountInduced(e, "u", "v", thresholdHex = "40")
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1276,12 +1289,8 @@ private[graft] object QueriesAnalytics {
     * 3·triangles/wedges from the tc1 edge list plus one degree pass. */
   private[graft] val qClustCoeff = Q("tc2_clustering_coeff",
     (s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val e = coPurchasePairs(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       graft.graph.Triangles.globalClusteringCoefficient(e, "u", "v")
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1477,14 +1486,9 @@ private[graft] object QueriesAnalytics {
     * fixpoint on its survivor subgraph. */
   /** The shared co-purchase graph build of kc1/kc2: parts co-occurring
     * on an order, each undirected edge once. */
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
-  }
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    coPurchasePairs(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")))
 
   private[graft] val qKCore = Q("kc1_kcore",
     (s, d) => graft.graph.KCore.vertices(coPurchaseEdges(s, d), "u", "v", k = 70)

@@ -672,27 +672,40 @@ private[graft] object QueriesDedup {
       val b = c.select(col("c_custkey").as("bk"), col("c_nationkey").as("nk"),
         col("c_mktsegment").as("bseg"), col("c_acctbal").as("bbal"),
         col("c_name").as("bnm"))
-      val pairs = a.join(b, "nk").filter(col("ak") < col("bk"))
+      // Three full passes consume the pair frame (2 EM aggregates + the
+      // score pass); generating the nation-blocked pairs costs a join
+      // that explodes 15k customers into 4.5M rows, so (r14) the pairs
+      // are built ONCE and persisted: broadcast the right side (the
+      // customer projection is dimension-sized) so pair generation is a
+      // map-side explosion over the SPREAD left side — no nation-keyed
+      // shuffle, no 25-hot-key skew (guide §3.1/§2.5) — and the γ
+      // comparison vectors (3 ints) are all that is ever stored.
+      val pairs = graft.util.Spread.wide(a).join(broadcast(b), "nk")
+        .filter(col("ak") < col("bk"))
         .select(
           (col("aseg") === col("bseg")).cast("int").as("g1"),
           (abs(col("abal") - col("bbal")) < 500.0).cast("int").as("g2"),
           (substring(col("anm"), -2, 2) === substring(col("bnm"), -2, 2))
             .cast("int").as("g3"))
-      val gs = Seq("g1", "g2", "g3")
-      val fit = RecordLinkage.emFit(pairs, gs, iters = 2,
-        FsParams(Array(0.9, 0.9, 0.9), Array(0.1, 0.1, 0.1), 0.1))
-      def r6(x: Double) = BigDecimal(x)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val fz = FsParams(fit.m.map(r6), fit.u.map(r6), r6(fit.lambda))
-      RecordLinkage.score(pairs, gs, fz)
-        .agg(count(lit(1)).as("n_pairs"),
-          sum((col("posterior") > 0.9).cast("long")).as("n_matches"),
-          round(avg(col("match_weight")), 4).as("avg_weight"))
-        .select(lit(fz.m(0)).as("m1"), lit(fz.m(1)).as("m2"),
-          lit(fz.m(2)).as("m3"), lit(fz.u(0)).as("u1"),
-          lit(fz.u(1)).as("u2"), lit(fz.u(2)).as("u3"),
-          lit(fz.lambda).as("lambda"),
-          col("n_pairs"), col("n_matches"), col("avg_weight"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val gs = Seq("g1", "g2", "g3")
+        val fit = RecordLinkage.emFit(pairs, gs, iters = 2,
+          FsParams(Array(0.9, 0.9, 0.9), Array(0.1, 0.1, 0.1), 0.1))
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val fz = FsParams(fit.m.map(r6), fit.u.map(r6), r6(fit.lambda))
+        RecordLinkage.score(pairs, gs, fz)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum((col("posterior") > 0.9).cast("long")).as("n_matches"),
+            round(avg(col("match_weight")), 4).as("avg_weight"))
+          .select(lit(fz.m(0)).as("m1"), lit(fz.m(1)).as("m2"),
+            lit(fz.m(2)).as("m3"), lit(fz.u(0)).as("u1"),
+            lit(fz.u(1)).as("u2"), lit(fz.u(2)).as("u3"),
+            lit(fz.lambda).as("lambda"),
+            col("n_pairs"), col("n_matches"), col("avg_weight"))
+          .localCheckpoint(true) // one row; frees the cache below safely
+      } finally { pairs.unpersist(); () }
     },
     Some {
       def prod(p: String, which: Char) = {

@@ -63,22 +63,33 @@ object Bootstrap {
     // has >> parallelism partitions and skips this branch entirely.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    // one digest PER BLOCK per input row (materialized columns so the
-    // md5 is computed once, not once per replicate), then the B weights
-    // as an array of slice-ladder lookups, exploded with their index
-    val withDigests = (0 until nBlocks).foldLeft(
-      spread.select(col(keyCol).cast("string").as("__k"),
-        col(valCol).cast("double").as("__x"))) { (acc, blk) =>
-      acc.withColumn(s"__h$blk",
-        md5(concat(col("__k"), lit(s":$seed:$blk"))))
-    }
-    val weights = array((0 until b).map { r =>
-      val coin = conv(substring(col(s"__h${r / 8}"), 4 * (r % 8) + 1, 4),
+    // Two-level explode, (r14) replacing one B-wide weight-array
+    // projection: rows explode into nBlocks (block, digest) pairs, then
+    // each pair into its 8 slice-ladder weights (__r = 8·block + slice —
+    // the same weight for the same replicate, bit for bit). The flat
+    // form put B conv/ladder chains in ONE generated Project (~500
+    // expression nodes at B=32), and Janino compile time of that unit
+    // dominated the query's cold cost (official 7.1 s vs 2.9 s warm,
+    // BENCH_NOTES r14); block-sized units compile in milliseconds and
+    // the per-row arithmetic is unchanged (guide §1.2 per-task work).
+    val blocks = array((0 until nBlocks).map { blk =>
+      struct(lit(blk).as("b"),
+        md5(concat(col("__k"), lit(s":$seed:$blk"))).as("h"))
+    }: _*)
+    val perBlock = spread
+      .select(col(keyCol).cast("string").as("__k"),
+        col(valCol).cast("double").as("__x"))
+      .select(col("__x"), explode(blocks).as("__blk"))
+    val sliceWeights = array((0 until 8).map { sl =>
+      val coin = conv(substring(col("__blk").getField("h"), 4 * sl + 1, 4),
         16, 10).cast("double")
       ladder((coin + 0.5) / 65536.0).cast("double")
     }: _*)
-    val means = withDigests
-      .select(col("__x"), posexplode(weights).as(Seq("__r", "__wt")))
+    val means = perBlock
+      .select(col("__x"), (col("__blk").getField("b") * 8).as("__base"),
+        posexplode(sliceWeights).as(Seq("__s", "__wt")))
+      .select(col("__x"), (col("__base") + col("__s")).as("__r"), col("__wt"))
+      .filter(col("__r") < b) // trailing slices of a partial last block
       .groupBy(col("__r"))
       .agg(sum(col("__wt") * col("__x")).as("__sx"), sum(col("__wt")).as("__sw"))
       .collect().map { r =>

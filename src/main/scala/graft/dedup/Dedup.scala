@@ -138,8 +138,12 @@ object Dedup {
     // filter two NULL-text docs would pair at similarity 1.0 on the
     // phantom [""] set (and diverge from any SQL restatement, where NULL
     // text stays NULL) — the contamination() device, applied once here
-    // for every shingle-set pipeline
-    val sets = docs.filter(col(textCol).isNotNull)
+    // for every shingle-set pipeline.
+    // Spread.wide: the shingle build (regex split + sliding concat) and
+    // the explode feeding the inverted index both run BEFORE the first
+    // exchange, so a narrow local scan would serialize them on one core
+    // (guide §2.5 input skew: one unsplittable input partition).
+    val sets = graft.util.Spread.wide(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), shingleExpr.as("__set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -189,7 +193,8 @@ object Dedup {
     * hashes. Expressed as explode → one groupBy(id) with 64 conditional
     * sums (all partial-aggregable); the bit-pack is a final projection. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+    // Spread.wide: tokenize + 64 partial vote sums run pre-exchange
+    val toks = graft.util.Spread.wide(docs).select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
     val votes = (0 until 64).map { b =>
@@ -256,7 +261,8 @@ object Dedup {
     * explode → one groupBy(id) shape as [[simhash]], 128 conditional-sum
     * votes, all partial-aggregable. */
   def simhash128(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+    // Spread.wide: tokenize + 128 partial vote sums run pre-exchange
+    val toks = graft.util.Spread.wide(docs).select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
       .withColumn("__h0", xxhash64(col("__t")))
       .withColumn("__h1", xxhash64(col("__t"), lit(0x9e3779b97f4a7c15L)))
@@ -368,7 +374,9 @@ object Dedup {
     val digitCols = (1 to 16).map { j =>
       conv(substring(col("__md5"), j, 1), 16, 10).cast("int").as(s"__d$j")
     }
-    val toks = docs.filter(col(textCol).isNotNull)
+    // Spread.wide: the per-token md5 + 16 digit decodes + 64 partial vote
+    // sums all run pre-exchange — the family's most expensive map side
+    val toks = graft.util.Spread.wide(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
       .withColumn("__md5", substring(md5(col("__t")), 1, 16))
       .select(col(idCol) +: digitCols: _*)
@@ -949,7 +957,8 @@ object Dedup {
   def repeatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8, hashGrams: Boolean = false): DataFrame = {
     val grams = positionalGrams(col(textCol), n)
-    val keyed = docs.select(col(idCol),
+    // Spread.wide: the positional-gram build + explode run pre-exchange
+    val keyed = graft.util.Spread.wide(docs).select(col(idCol),
       explode(if (hashGrams) transform(grams, g => xxhash64(g)) else grams)
         .as("__gram"))
     val perDocGram = keyed
@@ -992,7 +1001,10 @@ object Dedup {
     // blank-doc case; positions still align with positionalGrams' split
     // (identical arrays whenever grams exist at all).
     val toksOrig = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
-    val inst = docs.select(col(idCol),
+    // Spread.wide: both explodes (grams, tokens) run pre-exchange; the
+    // same spread frame feeds both so only one spreading shuffle is paid
+    val spread = graft.util.Spread.wide(docs)
+    val inst = spread.select(col(idCol),
       posexplode(positionalGrams(col(textCol), n)).as(Seq("__p", "__g")))
     val firstW = Window.partitionBy(col("__g")).orderBy(col(idCol), col("__p"))
     val marked = inst.withColumn("__rn", row_number().over(firstW))
@@ -1000,7 +1012,7 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("__p"), col("__p") + lit(n - 1))).as("__tp"))
       .distinct()
-    val toks = docs.select(col(idCol),
+    val toks = spread.select(col(idCol),
       posexplode(toksOrig).as(Seq("__tp", "__tok")))
     val agg = toks.join(marked, Seq(idCol, "__tp"), "left_anti")
       .groupBy(col(idCol))
@@ -1023,7 +1035,9 @@ object Dedup {
     * never a global sort. */
   def topRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8, k: Int = 20): DataFrame =
-    docs.select(col(idCol), explode(positionalGrams(col(textCol), n)).as("gram"))
+    // Spread.wide: gram build + explode + partial counts run pre-exchange
+    graft.util.Spread.wide(docs)
+      .select(col(idCol), explode(positionalGrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"), count_distinct(col(idCol)).as("n_docs"))
       .filter(col("n_occ") > 1)

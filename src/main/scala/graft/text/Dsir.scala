@@ -37,15 +37,31 @@ object Dsir {
     */
   def hashedNgramBuckets(textCol: Column, nBuckets: Int): Column = {
     require(nBuckets > 0, "nBuckets must be positive")
+    transform(ngramStrings(textCol), g => bucketOf(g, nBuckets))
+  }
+
+  /** The raw uni+bigram strings of one document (pre-hash). Kept separate
+    * from [[hashedNgramBuckets]] so pipelines can explode the STRINGS and
+    * hash post-explode: higher-order `transform` is CodegenFallback, so an
+    * md5 inside the lambda evaluates interpreted per n-gram, while the
+    * same md5 applied to the exploded column compiles into whole-stage
+    * codegen (~the entire map-side cost of the DSIR pass — guide §1.2
+    * "per-task work", measured 2× on dsir1 at sf0.1). */
+  private def ngramStrings(textCol: Column): Column = {
     val w = split(lower(trim(textCol)), "\\s+")
     val bi = when(size(w) >= 2,
         transform(sequence(lit(1), size(w) - 1),
           i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    transform(concat(w, bi),
-      g => pmod(conv(substring(md5(g), 1, 7), 16, 10).cast("long"),
-        lit(nBuckets.toLong)))
+    concat(w, bi)
   }
+
+  /** Bucket id of one n-gram string: first 7 md5 hex chars mod nBuckets —
+    * identical arithmetic whether applied inside the transform lambda
+    * ([[hashedNgramBuckets]]) or to an exploded column (codegen). */
+  private def bucketOf(g: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 7), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
 
   /** Per-(doc, target-flag, bucket) n-gram counts — the one
     * corpus-wide pass every later stage re-aggregates. One shuffle,
@@ -53,9 +69,13 @@ object Dsir {
     */
   private def docBucketCounts(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int): DataFrame =
-    docs.filter(col(textCol).isNotNull)
+    // Spread.wide (narrow scans would single-thread the md5 pass) +
+    // hash-after-explode (md5 in whole-stage codegen, not in the
+    // CodegenFallback transform lambda — see ngramStrings)
+    graft.util.Spread.wide(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), isTarget.as("__tgt"),
-        explode(hashedNgramBuckets(col(textCol), nBuckets)).as("bucket"))
+        explode(ngramStrings(col(textCol))).as("__g"))
+      .select(col(idCol), col("__tgt"), bucketOf(col("__g"), nBuckets).as("bucket"))
       .groupBy(col(idCol), col("__tgt"), col("bucket"))
       .agg(count(lit(1)).as("__c"))
 
@@ -69,9 +89,10 @@ object Dsir {
     */
   def fitLogRatio(docs: DataFrame, textCol: String, isTarget: Column,
       nBuckets: Int): DataFrame = {
-    val b = docs.filter(col(textCol).isNotNull)
+    val b = graft.util.Spread.wide(docs.filter(col(textCol).isNotNull))
       .select(isTarget.as("__tgt"),
-        explode(hashedNgramBuckets(col(textCol), nBuckets)).as("bucket"))
+        explode(ngramStrings(col(textCol))).as("__g"))
+      .select(col("__tgt"), bucketOf(col("__g"), nBuckets).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("__cr"),
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
@@ -126,11 +147,24 @@ object Dsir {
     */
   def scoreAgainstTarget(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int): DataFrame = {
+    // dcb feeds TWO consumers (the bucket histogram behind the broadcast
+    // log-ratio table, then the per-doc score join); without
+    // materialization the static plan carries the corpus explode+md5
+    // subtree TWICE and executes both (verified in the r14 plan dump —
+    // exchange reuse does not collapse them across the broadcast
+    // boundary). The counts frame is ≤ |docs|·min(nBuckets, doc n-grams)
+    // rows — far smaller than the exploded n-gram stream it replaces.
+    // The withShingleSets discipline: persist, eagerly compute the
+    // result (localCheckpoint truncates lineage off the cache), release.
     val dcb = docBucketCounts(docs, idCol, textCol, isTarget, nBuckets)
-    val counts = dcb.groupBy("bucket")
-      .agg(sum("__c").as("__cr"),
-        sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__ct"))
-    scoreCounts(dcb, idCol, logRatioFromCounts(counts, nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = dcb.groupBy("bucket")
+        .agg(sum("__c").as("__cr"),
+          sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__ct"))
+      scoreCounts(dcb, idCol, logRatioFromCounts(counts, nBuckets))
+        .localCheckpoint(true)
+    } finally { dcb.unpersist(); () }
   }
 
   /** Gumbel-top-k resampling: draw `k` rows without replacement with

@@ -387,7 +387,8 @@ object TextAnalysis {
     * @return (source_a, source_b, n_shared, overlap_frac), a < b */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = docs.filter(col(textCol).isNotNull)
+    // Spread.wide: shingle build + explode run pre-exchange
+    val sh = graft.util.Spread.wide(docs.filter(col(textCol).isNotNull))
       .select(col(srcCol).as("__src"),
         explode(graft.dedup.Dedup.wordShingles(col(textCol), n)).as("__sh"))
       .distinct()

@@ -191,6 +191,22 @@ object Bench {
         .agg(min(substring(md5(concat(lit("0:"), col("s"))), 1, 16)),
           sum(conv(substring(md5(col("s")), 1, 1), 16, 10).cast("int")))
         .agg(count(lit(1))).collect()
+      // (b3, r14) the text-reassembly classes the tokenizer/text family
+      // loads first (regex split → posexplode → ObjectHashAggregate
+      // collect_list of structs → array_sort → transform → concat_ws):
+      // the first text query of a sweep repeatedly absorbed a multi-
+      // second first-work stall its same-JVM retime never reproduced
+      // (r13 official tok1 6.05 s vs 0.65 s retime; r14 sweepE 8.9 vs
+      // 1.0) — charge that class-loading/JIT window to the session like
+      // every other warmup cost.
+      small.selectExpr("id", "concat('a b c d ', id) AS t")
+        .select(col("id"), posexplode(split(lower(trim(col("t"))), "\\s+"))
+          .as(Seq("p", "w")))
+        .groupBy(col("id"))
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("p"), col("w")))),
+          e => e.getField("w"))).as("s"))
+        .agg(count(lit(1))).collect()
       // (c) one untimed pass of the first registered query: even with (a)
       // and (b), the first TIMED slot intermittently absorbed an external
       // stall (r10 back-to-back sf0.1 sweeps: 9.2 s vs a 1.06 s same-JVM

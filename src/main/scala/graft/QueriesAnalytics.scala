@@ -1943,13 +1943,8 @@ private[graft] object QueriesAnalytics {
     * ≤3-hop path lengths ≡ BFS level). */
   private[graft] val qBfsLevels = Q("g1_bfs_levels",
     (s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val e = coPurchasePairs(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")))
       graft.graph.Bfs.levels(e, "u", "v", source = 1L, maxDepth = 3)
         .orderBy("id")
     },

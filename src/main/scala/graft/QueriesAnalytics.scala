@@ -176,20 +176,39 @@ private[graft] object QueriesAnalytics {
     * edge set at 2 exchanges instead of 4: distinct's (order, part)
     * hash partitioning never satisfied the order-keyed self-join, so
     * both join inputs re-shuffled (guide §2.4 — remove shuffles
-    * outright; plan diff in plans/r14). Per-order part lists are
-    * order-sized (single-digit in a sales schema), so the expansion is
-    * skew-free by construction; Spread.wide keeps the collect phase off
-    * a single core on narrow local scans (no-op at scale). */
+    * outright; plan diff in plans/r14). Spread.wide keeps the collect
+    * phase off a single core on narrow local scans (no-op at scale).
+    *
+    * Giant-basket safety (r15, guide §2.5/§5): the pair expansion is a
+    * TWO-LEVEL explode — `posexplode` streams one (position, u) row per
+    * part, then each row explodes only its own suffix slice — so no
+    * single row or buffer ever holds more than ONE order's part list
+    * (O(basket)); the r14 form materialized the full per-order pair
+    * array (O(basket²) structs in one aggregation-output value), which
+    * a pathological 10⁴-part order would have turned into a 5·10⁷-
+    * element cell. Total pair-row COUNT is unchanged (it is the edge
+    * multiset both shapes produce); only the peak per-row footprint
+    * drops, which is strictly stronger than the capped-slice fix
+    * because it needs no cap to prove safe. The remaining per-order
+    * state is collect_set's O(basket) list — the same bound the old
+    * self-join's per-key join buffer carried.
+    *
+    * NULL l_orderkey rows are dropped explicitly: the replaced
+    * self-join (and the SQL oracle's equi-join) never paired them,
+    * while a bare groupBy would have collected all NULL-order rows
+    * into one giant spurious basket — the filter makes the equivalence
+    * hold by construction on nullable input, not just on TPC-H data
+    * (CoPurchaseSpec pins both). */
   private[graft] def coPurchasePairs(li: DataFrame): DataFrame = {
     val parts = graft.util.Spread.wide(li)
+      .filter(col("l_orderkey").isNotNull)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
     parts
-      .select(explode(flatten(transform(col("__ps"), (x, i) =>
-        transform(slice(col("__ps"), i + lit(2), size(col("__ps"))),
-          y => struct(x.as("u"), y.as("v"))))))
-        .as("__e"))
-      .select(col("__e.u").as("u"), col("__e.v").as("v"))
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "u")))
+      .select(col("u"),
+        explode(slice(col("__ps"), col("__i") + lit(2), size(col("__ps"))))
+          .as("v"))
       .distinct()
   }
 

@@ -370,7 +370,8 @@ private[graft] object QueriesCore {
     // The 26-row result is eagerly localCheckpoint-ed so the node cache can
     // be released before returning — the query leaks no cache entries.
     val g = RelGraph.build(slim, tables.toMap).withCachedNodes
-    try g.stats(s, includeReverse = true).localCheckpoint(true).orderBy("entity", "kind")
+    try graft.util.Checkpoints.eager(g.stats(s, includeReverse = true))
+      .orderBy("entity", "kind")
     finally { g.unpersistNodes(); () }
   }
 

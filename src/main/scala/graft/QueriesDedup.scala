@@ -675,12 +675,20 @@ private[graft] object QueriesDedup {
       // Three full passes consume the pair frame (2 EM aggregates + the
       // score pass); generating the nation-blocked pairs costs a join
       // that explodes 15k customers into 4.5M rows, so (r14) the pairs
-      // are built ONCE and persisted: broadcast the right side (the
-      // customer projection is dimension-sized) so pair generation is a
-      // map-side explosion over the SPREAD left side — no nation-keyed
-      // shuffle, no 25-hot-key skew (guide §3.1/§2.5) — and the γ
-      // comparison vectors (3 ints) are all that is ever stored.
-      val pairs = graft.util.Spread.wide(a).join(broadcast(b), "nk")
+      // are built ONCE and persisted: the right side broadcasts (the
+      // customer projection sits under autoBroadcastJoinThreshold at
+      // every bench SF) so pair generation is a map-side explosion over
+      // the SPREAD left side — no nation-keyed shuffle, no 25-hot-key
+      // skew (guide §3.1/§2.5) — and the γ comparison vectors (3 ints)
+      // are all that is ever stored. (r15) The broadcast is NOT forced:
+      // customer scales with SF, and a pinned hint would OOM the driver
+      // at large SF where the planner's size-based choice degrades
+      // gracefully to a shuffle join — scale-adaptivity over 0 ms of
+      // local win (the plan is identical at bench SFs either way). The
+      // persist stays: all three passes reread the γ frame, it is the
+      // smallest representation of the pair set (3 ints/row), and
+      // MEMORY_AND_DISK spills rather than pins.
+      val pairs = graft.util.Spread.wide(a).join(b, "nk")
         .filter(col("ak") < col("bk"))
         .select(
           (col("aseg") === col("bseg")).cast("int").as("g1"),
@@ -704,7 +712,7 @@ private[graft] object QueriesDedup {
             lit(fz.u(1)).as("u2"), lit(fz.u(2)).as("u3"),
             lit(fz.lambda).as("lambda"),
             col("n_pairs"), col("n_matches"), col("avg_weight"))
-          .localCheckpoint(true) // one row; frees the cache below safely
+          .transform(graft.util.Checkpoints.eager) // one row; frees the cache below safely
       } finally { pairs.unpersist(); () }
     },
     Some {

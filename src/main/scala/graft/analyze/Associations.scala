@@ -41,15 +41,37 @@ object Associations {
     val li = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
     val counts = li.groupBy("__i").agg(count(lit(1)).as("__n"))
-    // a-priori prune: only frequent items can appear in a frequent pair
+    // a-priori prune: only frequent items can appear in a frequent pair.
+    // NULL baskets are dropped explicitly — the r14 self-join's __b
+    // equi-join never paired them, and the basket-collect below must not
+    // sweep them into one spurious group (the coPurchasePairs device).
     val fi = li.join(counts.filter(col("__n") >= minCount), Seq("__i"))
-    val pairs = fi.as("a").join(fi.as("b"),
-        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .filter(col("__b").isNotNull)
+    // r15 (guide §2.4, the now-proven coPurchasePairs device): collect
+    // each basket's sorted frequent (item, count) structs with ONE
+    // groupBy(basket) — partial-aggregating map-side — and expand the
+    // u<v pairs row-locally with a TWO-LEVEL explode (posexplode + the
+    // suffix slice), so no value ever holds more than one basket's
+    // O(frequent items) list. Replaces the __b-keyed self-join: its two
+    // identical legs shared one exchange via reuse, but the join output
+    // (one row per candidate pair) then re-shuffled into the pair
+    // groupBy, where this shape shuffles each basket's item list once
+    // and pairs never cross the wire unaggregated. sort_array orders by
+    // (__i, __n) = by __i (the count is functionally determined by the
+    // item), reproducing the a.__i < b.__i orientation; collect_set is
+    // set-semantics like the self-join over the distinct'd input.
+    val baskets2 = fi.groupBy(col("__b"))
+      .agg(sort_array(collect_set(struct(col("__i"), col("__n")))).as("__ps"))
+    val pairs = baskets2
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__x", "__a")))
+      .select(col("__a"),
+        explode(slice(col("__ps"), col("__x") + lit(2), size(col("__ps"))))
+          .as("__c"))
+      .groupBy(col("__a.__i").as("item_a"), col("__c.__i").as("item_b"))
       // per-item counts are constant within the group; min() carries them
       // through on the same shuffle instead of two extra joins
       .agg(count(lit(1)).as("pair_n"),
-        min(col("a.__n")).as("n_a"), min(col("b.__n")).as("n_b"))
+        min(col("__a.__n")).as("n_a"), min(col("__c.__n")).as("n_b"))
       .filter(col("pair_n") >= minCount)
     val nBaskets = li.agg(countDistinct(col("__b")).as("n_baskets"))
     pairs.crossJoin(nBaskets)

@@ -60,9 +60,10 @@ object Bootstrap {
     // small parquet file = one partition) would serialize the whole
     // pass on a single core; spreading the (cheap, pre-explode) rows
     // costs 1/B of the work it parallelizes. A 100 TB input already
-    // has >> parallelism partitions and skips this branch entirely.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // reads as >> parallelism partitions and skips the branch entirely
+    // (this was the origin of graft.util.Spread — r15 routes it through
+    // the shared utility instead of an inline copy).
+    val spread = graft.util.Spread.wide(df)
     // Two-level explode, (r14) replacing one B-wide weight-array
     // projection: rows explode into nBlocks (block, digest) pairs, then
     // each pair into its 8 slice-ladder weights (__r = 8·block + slice —

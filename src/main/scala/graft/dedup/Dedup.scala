@@ -148,7 +148,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sets.count()
-      pipeline(sets).localCheckpoint(true)
+      // Checkpoints.eager = localCheckpoint(true), except under
+      // tools.Explain's -Dgraft.explain.lazyPlans, where the real
+      // pre-checkpoint plan is kept visible for the plan dumps
+      graft.util.Checkpoints.eager(pipeline(sets))
     } finally { sets.unpersist(); () }
   }
 
@@ -189,22 +192,68 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
+  // ---- packed bit-count vote lanes (r15, guide §2.3 shuffle fewer bytes
+  // + codegen §1.2 per-task work) ----
+  //
+  // SimHash majority votes via packed bit-count lanes instead of one
+  // conditional ±1 sum per bit: for n tokens the per-bit vote sum is
+  // v_b = 2·c_b − n where c_b counts tokens with bit b set, so only the
+  // 64 bit-counts and n are needed — and three 21-bit counts pack into
+  // one long. Accumulator a sums `(h >> a) & (1 | 1<<21 | 1<<42)`, whose
+  // three lanes count bits a, a+21, a+42 independently (each addend lane
+  // is 0/1, so no carry crosses a lane while every count stays below
+  // 2²¹). 64 vote columns collapse to 22 + count(1): the aggregation
+  // buffer and the partial-aggregate exchange narrow ~65→23 longs per
+  // document, and per-token map work drops from 64 conditional sums to
+  // 22 shift-and-mask adds. Exact, not approximate — DedupSpec pins the
+  // signatures against the ±1-sum definition and (for the portable
+  // variant) an independent driver-side md5 reimplementation.
+  //
+  // Lane bound: counts ≤ n, so any document under 2²¹ = 2,097,151 tokens
+  // (≈ 8 MB of text) is exact by construction; past it the packing
+  // RAISES (raise_error) instead of silently corrupting a lane — cap or
+  // split pathological documents upstream.
+  private val laneMask3: Long = 1L | (1L << 21) | (1L << 42)
+  private val laneLimit: Long = 1L << 21
+
+  /** The 22 lane accumulators for one 64-bit hash word. */
+  private def laneAggs(h: Column, prefix: String): Seq[Column] =
+    (0 until 21).map(a =>
+      sum(shiftright(h, a).bitwiseAND(laneMask3)).as(s"$prefix$a")) :+
+      sum(shiftright(h, 63).bitwiseAND(1L)).as(s"${prefix}21")
+
+  /** Count of tokens with word-bit `b` set, decoded from the lanes. */
+  private def laneCount(prefix: String, b: Int): Column =
+    if (b == 63) col(s"${prefix}21")
+    else shiftright(col(s"$prefix${b % 21}"), 21 * (b / 21))
+      .bitwiseAND(laneLimit - 1L)
+
+  /** Majority-vote pack of word bits [0,64) into one signed long: bit b
+    * set iff v_b = 2·c_b − n > 0 (a tie stays 0, exactly as the ±1 sum). */
+  private def lanePack(prefix: String, n: Column): Column =
+    (0 until 64).map { b =>
+      when(laneCount(prefix, b) * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Overflow guard: fail loudly past the 2²¹-token lane bound. */
+  private def laneGuard(n: Column, packed: Column): Column =
+    when(n < laneLimit, packed).otherwise(raise_error(format_string(
+      "simhash: document has %d tokens, over the 2097151-token bit-count" +
+        " lane bound; split or cap documents upstream", n)).cast("long"))
+
   /** 64-bit SimHash of the token multiset: per bit, majority vote of token
-    * hashes. Expressed as explode → one groupBy(id) with 64 conditional
-    * sums (all partial-aggregable); the bit-pack is a final projection. */
+    * hashes. Expressed as explode → one groupBy(id) with 22 packed
+    * bit-count lane sums (all partial-aggregable — see the lane notes
+    * above); the majority decode + bit-pack is a final projection. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Spread.wide: tokenize + 64 partial vote sums run pre-exchange
+    // Spread.wide: tokenize + the partial lane sums run pre-exchange
     val toks = graft.util.Spread.wide(docs).select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
       .withColumn("__h", xxhash64(col("__t")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
-    }
-    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val packed = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col(idCol), packed.as("simhash"))
+    val aggs = laneAggs(col("__h"), "__l") :+ count(lit(1)).as("__n")
+    val voted = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    voted.select(col(idCol),
+      laneGuard(col("__n"), lanePack("__l", col("__n"))).as("simhash"))
   }
 
   /** Chunk boundaries for pigeonhole banding: `nChunks` contiguous chunks
@@ -258,24 +307,21 @@ object Dedup {
 
   /** 128-bit SimHash as two packed longs (lo = bits 0-63, hi = 64-127):
     * the second word's per-token hash is seeded independently. Same
-    * explode → one groupBy(id) shape as [[simhash]], 128 conditional-sum
-    * votes, all partial-aggregable. */
+    * explode → one groupBy(id) shape as [[simhash]], two 22-lane
+    * bit-count blocks (44 + 1 columns instead of 128), all
+    * partial-aggregable. */
   def simhash128(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Spread.wide: tokenize + 128 partial vote sums run pre-exchange
+    // Spread.wide: tokenize + the partial lane sums run pre-exchange
     val toks = graft.util.Spread.wide(docs).select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
       .withColumn("__h0", xxhash64(col("__t")))
       .withColumn("__h1", xxhash64(col("__t"), lit(0x9e3779b97f4a7c15L)))
-    val votes = (0 until 128).map { b =>
-      val h = if (b < 64) col("__h0") else col("__h1")
-      sum(when(shiftright(h, b % 64).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
-    }
-    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    def pack(range: Range): Column = range.map { b =>
-      when(col(s"v_$b") > 0, lit(1L << (b % 64))).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val aggs = laneAggs(col("__h0"), "__a") ++ laneAggs(col("__h1"), "__b") :+
+      count(lit(1)).as("__n")
+    val voted = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     voted.select(col(idCol),
-      pack(0 until 64).as("simhash_lo"), pack(64 until 128).as("simhash_hi"))
+      laneGuard(col("__n"), lanePack("__a", col("__n"))).as("simhash_lo"),
+      laneGuard(col("__n"), lanePack("__b", col("__n"))).as("simhash_hi"))
   }
 
   /** [[simhashNearDups]] over the 128-bit signature — the honest-at-scale
@@ -368,27 +414,28 @@ object Dedup {
     * from the left — at in-digit position `b % 4`; a tie votes 0). Output
     * is `(idCol, simhash: Long)` like [[simhash]]; [[simhashPortableNearDups]]
     * reuses the pigeonhole banding unchanged. Same single
-    * explode → groupBy(id) shape — 16 digit decodes per token then 64
-    * conditional sums, all partial-aggregable. */
+    * explode → groupBy(id) shape — one conv decode per token then the
+    * shared 22-lane bit-count sums, all partial-aggregable. */
   def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val digitCols = (1 to 16).map { j =>
-      conv(substring(col("__md5"), j, 1), 16, 10).cast("int").as(s"__d$j")
-    }
-    // Spread.wide: the per-token md5 + 16 digit decodes + 64 partial vote
-    // sums all run pre-exchange — the family's most expensive map side
+    // The 16 md5 hex digits ARE one 64-bit word: digit j (1-based from
+    // the left) carries value bits 4·(16−j)..4·(16−j)+3, i.e. bit b
+    // lives in digit 16 − b/4 at in-digit position b % 4 — exactly the
+    // layout `conv(prefix16, 16, −10)` produces when decoding the prefix
+    // as one signed 64-bit value (two's-complement wrap preserves every
+    // bit). The r14 form decoded 16 digit columns then ran 64
+    // conditional ±1 sums; one conv plus the shared 22-lane bit-count
+    // aggregation yields the same signature bit for bit (pinned by the
+    // independent driver-side md5 reimplementation in DedupSpec).
+    // Spread.wide: the per-token md5 + partial lane sums run
+    // pre-exchange — the family's most expensive map side.
     val toks = graft.util.Spread.wide(docs.filter(col(textCol).isNotNull))
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("__t"))
-      .withColumn("__md5", substring(md5(col("__t")), 1, 16))
-      .select(col(idCol) +: digitCols: _*)
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col(s"__d${16 - b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v_$b")
-    }
-    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val packed = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col(idCol), packed.as("simhash"))
+      .withColumn("__h",
+        conv(substring(md5(col("__t")), 1, 16), 16, -10).cast("long"))
+    val aggs = laneAggs(col("__h"), "__l") :+ count(lit(1)).as("__n")
+    val voted = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    voted.select(col(idCol),
+      laneGuard(col("__n"), lanePack("__l", col("__n"))).as("simhash"))
   }
 
   /** [[simhashNearDups]] on the portable signature: full-recall pigeonhole

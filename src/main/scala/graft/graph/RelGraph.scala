@@ -98,10 +98,9 @@ final case class RelGraph(
         val names = edges.keys.toSeq.map(et =>
           (et.toString, EdgeType(et.dst, s"rev_${et.rel}", et.src).toString))
           .toDF("__et", "__rev")
-        val ec = names
+        val ec = graft.util.Checkpoints.eager(names
           .join(all.groupBy(col("__et")).agg(count(lit(1)).as("__n")), Seq("__et"), "left")
-          .select(col("__et"), col("__rev"), coalesce(col("__n"), lit(0L)).as("n"))
-          .localCheckpoint(true)
+          .select(col("__et"), col("__rev"), coalesce(col("__n"), lit(0L)).as("n")))
         val fwd = ec.select(col("__et").as("entity"), lit("edges").as("kind"), col("n"))
         if (!includeReverse) Seq(fwd)
         else Seq(fwd,
@@ -125,7 +124,25 @@ object RelGraph {
     * single partition the way a global window would — the oracle-parity
     * semantics at cluster scale. `monotonically_increasing_id` is unusable
     * here: not contiguous.
-    */
+    *
+    * r15 NEGATIVE RESULT, measured and reverted (OPTIMIZATION_r15.md §
+    * withRowId): two all-codegen replacements for the zipWithIndex round
+    * trip — (a) sort → mid-stamp → localCheckpoint → offsets collect →
+    * broadcast-join, (b) the same over a MEMORY_AND_DISK persist — were
+    * built, verified id-identical (RelGraphSpec), and benched SLOWER on
+    * every consumer (w1 0.4→0.8 s, d11 1.8→3.0, a12 5.6→9.1 warm,
+    * cal-matched windows) despite cutting a12's shuffle bytes 21→13 MB.
+    * Where the time went: the zipWithIndex result enters downstream
+    * plans as an OPAQUE LogicalRDD leaf — trivial to plan, no AQE
+    * stages, no broadcast build — while the replacement frames carry a
+    * real plan tree (cache + broadcast-join) that every consumer
+    * re-plans and AQE re-stages; per-job profiling showed a12 spending
+    * ~6 of 10 s OFF-job in exactly that driver work across ~116 jobs.
+    * The per-row Row-conversion cost the rewrite removes is real but is
+    * dwarfed at bench SFs by the per-query planning cost it adds; the
+    * conversion is linear, executor-side and embarrassingly parallel,
+    * so it also does not threaten the 100 TB regime the way a driver-
+    * side planning multiplier would. */
   def withRowId(df: DataFrame, orderCols: Seq[String], idCol: String = RowId): DataFrame = {
     require(orderCols.nonEmpty, "withRowId needs a total order (PK or all columns)")
     val spark = df.sparkSession

@@ -26,8 +26,8 @@ object Triangles {
     // legs — materialize each once (eager localCheckpoint, the same device
     // as PageRank/connectedComponents; blocks free on GC) instead of
     // re-deriving the upstream per branch
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .localCheckpoint(true)
+    val e = graft.util.Checkpoints.eager(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
     val deg = e.select(col("a").as("x")).unionAll(e.select(col("b").as("x")))
       .groupBy(col("x")).agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
     val withD = e
@@ -42,7 +42,7 @@ object Triangles {
         struct(col("b").as("s"), col("a").as("t")))
       .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint(true)
+      .transform(graft.util.Checkpoints.eager)
     // node-iterator++: triangles = Σ over oriented edges (s,t) of
     // |N⁺(s) ∩ N⁺(t)|. The per-node out-neighbor lists are O(√m) long
     // under degree orientation, so each edge does bounded work and NO
@@ -68,8 +68,8 @@ object Triangles {
     // materialize the (possibly expensive) upstream edge derivation ONCE —
     // both the triangle count and the degree pass read it, and without
     // this the tc2 co-purchase self-join executed twice per call
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .localCheckpoint(true)
+    val e = graft.util.Checkpoints.eager(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
     val tri = count(e, "u", "v")
     val deg = e.select(col("u").as("__x"))
       .unionAll(e.select(col("v").as("__x")))

@@ -162,8 +162,18 @@ object Dsir {
       val counts = dcb.groupBy("bucket")
         .agg(sum("__c").as("__cr"),
           sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__ct"))
-      scoreCounts(dcb, idCol, logRatioFromCounts(counts, nBuckets))
-        .localCheckpoint(true)
+      // NOTE eager-execution semantics: calling this method runs the
+      // corpus pass as Spark jobs at CALL time and returns a
+      // materialized (lineage-truncated) frame — caller-side filters do
+      // not push into the scan, and off local mode an executor loss
+      // invalidates the blocks (no lineage to recompute). That is the
+      // deliberate trade for scanning the corpus once across the two
+      // consumers; a caller needing a lazy plan should compose [[score]]
+      // with [[fitLogRatio]] instead. Under tools.Explain's lazyPlans
+      // mode the checkpoint is skipped so plan dumps show the real
+      // dataflow (Checkpoints.eager).
+      graft.util.Checkpoints.eager(
+        scoreCounts(dcb, idCol, logRatioFromCounts(counts, nBuckets)))
     } finally { dcb.unpersist(); () }
   }
 

@@ -11,6 +11,13 @@ import graft.SparkEntry
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    // Skip one-shot eager localCheckpoints during query CONSTRUCTION so
+    // the printed plan is the real dataflow, not a post-checkpoint RDD
+    // scan (graft.util.Checkpoints.eager; r14 verdict evidence gap).
+    // Loop operators keep real checkpoints — their convergence depends on
+    // them — so iterative queries still explain as their final round.
+    // This property is explain-only: Bench/Verify never set it.
+    sys.props("graft.explain.lazyPlans") = "true"
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()

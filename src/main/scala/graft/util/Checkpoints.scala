@@ -25,6 +25,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
+  /** True when the process runs with `-Dgraft.explain.lazyPlans=true` —
+    * set ONLY by [[graft.tools.Explain]] so plan dumps show the real
+    * pre-checkpoint physical plan instead of a vacuous post-checkpoint
+    * RDD scan (the r14 verdict's evidence gap for the eagerly-
+    * materializing family: dsir1/2, er1, d3/d6/d8/dq7). Bench and Verify
+    * never set it, so timed/verified semantics are untouched. */
+  private[graft] def lazyPlans: Boolean =
+    java.lang.Boolean.getBoolean("graft.explain.lazyPlans")
+
+  /** Eagerly materialize a ONE-SHOT result frame (`localCheckpoint(true)`)
+    * — or, under [[lazyPlans]], return the frame unchanged so its full
+    * plan stays visible to explain. Use for terminal materializations
+    * only; iterate-to-fixpoint loops must keep real `localCheckpoint`
+    * calls (their convergence counts and [[release]] discipline depend on
+    * actually materializing each round). */
+  def eager(df: DataFrame): DataFrame =
+    if (lazyPlans) df else df.localCheckpoint(true)
+
   /** Unpersisting a locally-checkpointed RDD logs a WARN ("lineage has
     * been truncated and cannot be recomputed") — here that is the whole
     * POINT (the contract above releases only unreachable frames), and a

@@ -41,4 +41,37 @@ class CoPurchaseSpec extends SparkSpec {
     val old = oldBuild(li).orderBy("u", "v").as[(Long, Long)].collect().toSeq
     assert(got === old)
   }
+
+  test("coPurchasePairs: NULL l_orderkey rows pair with nothing (oracle equi-join semantics)") {
+    import spark.implicits._
+    // two NULL-order rows: the old self-join (and the SQL oracle) drops them;
+    // a bare groupBy would have paired 11 with 13 through the NULL group
+    val li = Seq((Some(1L), 3L), (Some(1L), 7L), (None, 11L), (None, 13L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = QueriesAnalytics.coPurchasePairs(li)
+      .orderBy("u", "v").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 7L)))
+    val old = oldBuild(li).orderBy("u", "v").as[(Long, Long)].collect().toSeq
+    assert(got === old)
+  }
+
+  test("coPurchasePairs: a giant basket streams pairs without one O(basket²) cell") {
+    import spark.implicits._
+    // 1500 distinct parts in ONE order -> 1500*1499/2 = 1_124_250 pairs.
+    // The two-level explode keeps per-row state O(basket); this both checks
+    // the count algebra and exercises the path the r14 single-array
+    // expansion would have materialized as one 1.1M-struct cell.
+    val n = 1500
+    val li = (1 to n).map(p => (1L, p.toLong)).toDF("l_orderkey", "l_partkey")
+    val e = QueriesAnalytics.coPurchasePairs(li)
+    assert(e.count() === n.toLong * (n - 1) / 2)
+    import org.apache.spark.sql.functions._
+    val chk = e.agg(sum(col("u")).as("su"), sum(col("v")).as("sv"),
+      min(col("u")).as("mu"), max(col("v")).as("mv")).collect()(0)
+    // Σu over all pairs u<v: u appears (n-u) times; Σv: v appears (v-1) times
+    val su = (1 to n).map(u => u.toLong * (n - u)).sum
+    val sv = (1 to n).map(v => v.toLong * (v - 1)).sum
+    assert(chk.getLong(0) === su && chk.getLong(1) === sv)
+    assert(chk.getLong(2) === 1L && chk.getLong(3) === n.toLong)
+  }
 }

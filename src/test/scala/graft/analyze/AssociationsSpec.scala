@@ -60,4 +60,20 @@ class AssociationsSpec extends SparkSpec {
   test("minCount below any pair count yields no rows, not an error") {
     assert(Associations.frequentPairs(baskets, "b", "i", 100).isEmpty)
   }
+
+  test("NULL baskets and NULL items pair with nothing (self-join-semantics parity)") {
+    // the r14 __b-keyed self-join dropped NULL baskets via the equi-join;
+    // the r15 basket-collect drops them via an explicit filter — pin that
+    // they agree, and that NULL items never survive the frequent-item join
+    val withNulls = Seq(
+      (Option(10L), Option(1L)), (Option(10L), Option(2L)),
+      (Option.empty[Long], Option(1L)), (Option.empty[Long], Option(2L)),
+      (Option(20L), Option(1L)), (Option(20L), Option(2L)),
+      (Option(30L), Option.empty[Long])
+    ).toDF("b", "i")
+    val got = Associations.frequentPairs(withNulls, "b", "i", 2)
+      .select("item_a", "item_b", "pair_n")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L)))
+  }
 }

@@ -69,6 +69,32 @@ class DedupSpec extends SparkSpec {
     assert(nd.contains((1L, 3L)))
   }
 
+  test("lane-packed simhash equals the per-bit ±1 vote definition (64 and 128 bit)") {
+    // the r14 per-bit conditional-sum form, kept here as the REFERENCE the
+    // r15 packed bit-count lanes must reproduce bit for bit
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("__t"))
+      .withColumn("__h0", xxhash64(col("__t")))
+      .withColumn("__h1", xxhash64(col("__t"), lit(0x9e3779b97f4a7c15L)))
+    val votes = (0 until 128).map { b =>
+      val h = if (b < 64) col("__h0") else col("__h1")
+      sum(when(shiftright(h, b % 64).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    def pack(range: Range) = range.map { b =>
+      when(col(s"v_$b") > 0, lit(1L << (b % 64))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val want = voted
+      .select(col("doc_id"), pack(0 until 64).as("lo"), pack(64 until 128).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got64 = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got128 = Dedup.simhash128(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got64 == want.map { case (k, v) => k -> v._1 })
+    assert(got128 == want)
+  }
+
   test("ngramJaccardPairs computes exact jaccard over an inverted index") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -30,6 +30,29 @@ class RelGraphSpec extends SparkSpec {
     assert(out.toSeq == Seq((10, 0L), (20, 1L), (30, 2L)))
   }
 
+  test("withRowId stays contiguous across many range partitions") {
+    // wide-enough input that the sort spans several partitions — exercises
+    // the per-partition offset accumulation (id = partition start + local
+    // position), which a single-partition case cannot
+    val n = 10000
+    val df = spark.range(n).selectExpr(s"cast($n - id AS long) AS k")
+      .repartition(16)
+    val got = RelGraph.withRowId(df, Seq("k"))
+      .select("k", RelGraph.RowId).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.length == n)
+    // k = 1..n sorted ascending must map to ids 0..n-1 exactly
+    assert(got.zipWithIndex.forall { case ((k, id), i) =>
+      k == i + 1L && id == i.toLong })
+  }
+
+  test("withRowId on an empty frame keeps the schema and returns no rows") {
+    val df = Seq.empty[(Int, String)].toDF("k", "v")
+    val out = RelGraph.withRowId(df, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "v", RelGraph.RowId))
+    assert(out.count() == 0L)
+  }
+
   test("fkEdges drops dangling and null FK rows, maps to row ids") {
     val g = RelGraph.build(tinySchema, tinyTables)
     val e = g.edges(EdgeType("child", "pid", "parent"))
